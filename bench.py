@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Each query is executed to
+completion via a count-style action (no driver-side collect of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oke_cassandra_spark_locality_demo_spark import registry
+from oke_cassandra_spark_locality_demo_spark.session import build_session
+
+#: headline set: one per operator family, weighted toward shuffle-heavy shapes
+HEADLINE = [
+    "q_flagship_pricing_summary",
+    "q_scan_pushdown",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sim_knn_exact",
+    "q_text_tfidf",
+    "q_multimodal_cols",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = build_session(app_name="spark-graft-bench")
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # warm the IO cache / JIT once at tiny scale is skipped — measure cold
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

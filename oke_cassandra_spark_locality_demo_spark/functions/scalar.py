@@ -1,0 +1,258 @@
+"""Scalar function families: string / date / math / array / map / json /
+casts (SURVEY §2.3).
+
+All of these are built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, no Python in the row path. Parity notes are
+inline where Spark and DuckDB dialects could diverge (1-vs-0-based
+indexing, ceil/floor return types, rounding of binary doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT doc_id,
+           UPPER(lang) AS lang_up,
+           LOWER(source) AS source_lo,
+           LENGTH(text) AS text_len,
+           CONCAT(lang, ':', source) AS lang_source,
+           SUBSTRING(text, 1, 10) AS prefix10,
+           TRIM(CONCAT('  ', lang, ' ')) AS trimmed,
+           STRING_SPLIT(text, ' ')[1] AS first_word,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_token,
+           REGEXP_REPLACE(text, ' ', '_', 'g') AS snaked,
+           CONTAINS(text, 'spark') AS has_spark,
+           STARTS_WITH(text, 'the') AS starts_the
+    FROM documents
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, concat, substring (1-based in both
+    engines), split-first-element, regexp extract/replace, contains."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("source_lo"),
+        F.length("text").alias("text_len"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_token"),
+        F.regexp_replace("text", " ", "_").alias("snaked"),
+        F.col("text").contains("spark").alias("has_spark"),
+        F.col("text").startswith("the").alias("starts_the"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_s,
+           CAST(o_orderdate AS DATE) AS order_date,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Week-of-year and day-of-week are deliberately
+    omitted (divergent conventions, FIXTURES.md); everything here is
+    convention-stable under UTC."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(LN(l_quantity + 1.0), 4) AS qty_ln,
+           POWER(l_quantity, 2.0) AS qty_sq,
+           CAST((CAST(l_orderkey AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS key_mod7,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. ceil/floor are cast to bigint on both sides (Spark
+    returns LONG, DuckDB DOUBLE); ln is rounded to 4 dp (libm last-ulp
+    differences); pow on integral bases is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_quantity") + 1.0), 4).alias("qty_ln"),
+        F.pow("l_quantity", 2.0).alias("qty_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS mentions_spark,
+           STRING_SPLIT(text, ' ')[1:5] AS first5,
+           LIST_SORT(STRING_SPLIT(SUBSTRING(text, 1, 40), ' ')) AS sorted_head,
+           LIST_TRANSFORM(STRING_SPLIT(SUBSTRING(text, 1, 40), ' '), w -> UPPER(w))
+               AS upper_head,
+           LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) > 5) AS long_words
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/filter. Spark `slice`
+    takes (start, length); DuckDB list slicing is [begin:end] inclusive —
+    slice(1,5) ≡ [1:5]."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    head_words = F.split(F.substring("text", 1, 40), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").alias("mentions_spark"),
+        F.slice(words, 1, 5).alias("first5"),
+        F.sort_array(head_words).alias("sorted_head"),
+        F.transform(head_words, lambda w: F.upper(w)).alias("upper_head"),
+        F.filter(words, lambda w: F.length(w) > 5).alias("long_words"),
+    )
+
+
+@register(
+    "q_fn_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UDTF-style 1→N) + word count — the canonical lateral
+    view. (posexplode is exercised in tests; its 0-based pos has no
+    clean DuckDB analog.)"""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS qty_from_map,
+           l_extendedprice AS price_from_map,
+           2 AS map_size,
+           ['price', 'qty'] AS map_keys_sorted
+    FROM lineitem
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map / element_at / map_keys / size. The oracle
+    states the expected *values* directly (DuckDB's MAP dialect differs;
+    the point is verifying Spark's map semantics, not DuckDB's)."""
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_from_map"),
+        F.element_at(m, "price").alias("price_from_map"),
+        F.size(m).alias("map_size"),
+        F.sort_array(F.map_keys(m)).alias("map_keys_sorted"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_get,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_struct,
+           (CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over `events.props` ('{"k": <int>}'): path extraction
+    (get_json_object) and typed parsing (from_json → struct field)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.IntegerType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        parsed.getField("k").alias("k_struct"),
+        parsed.getField("k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "q_fn_cast_decimal",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(14,2)) AS price_x2,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(100.50 AS DECIMAL(12,2))
+                AS DECIMAL(14,2)) AS price_plus,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def q_fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. DECIMAL(12,2) money math (exact arithmetic — the fix
+    for float drift in financial columns) and string round-trips."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.select(
+        "o_orderkey",
+        dec.alias("price_dec"),
+        (dec * 2).cast("decimal(14,2)").alias("price_x2"),
+        (dec + F.lit(100.50).cast("decimal(12,2)")).cast("decimal(14,2)").alias("price_plus"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+    )

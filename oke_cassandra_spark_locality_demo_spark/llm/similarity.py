@@ -1,0 +1,196 @@
+"""Similarity search over `embeddings` (SURVEY §2.3 LLM block).
+
+Baseline: brute-force cosine top-k (exact, oracle-checked). Scale path:
+sign-random-projection LSH buckets — probe only same-bucket candidates
+(recall asserted vs exact in tests). At 100 TB the same structure holds:
+the projection matrix is a broadcast literal, bucketing is one narrow
+map, and the candidate join is bounded by bucket occupancy instead of N².
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+TOP_K = 5
+#: deterministic sign-projection planes (fixed seed ⇒ reproducible runs).
+#: 4 planes → 16 buckets; queries multi-probe their own bucket plus every
+#: hamming-1 neighbor (5 of 16 buckets ≈ 31% of candidates scored). On
+#: uniformly random vectors (this fixture — worst case for LSH) expected
+#: recall ≈ P(≤1 plane disagrees) ≈ 0.55; on genuinely-near neighbors
+#: (cos ≥ 0.9) it approaches 1.
+N_PLANES = 4
+_RNG_SEED = 42
+_DIM = 64
+
+
+def _dot(x: Column, y: Column) -> Column:
+    """In-element-order left-fold dot product — matches DuckDB's
+    list_dot_product evaluation order, so doubles are bit-identical."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    return q, c
+
+
+_KNN_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.cand_id,
+           LIST_DOT_PRODUCT(q.qv, c.cv)
+             / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)))
+               AS cosine
+    FROM q CROSS JOIN c
+    WHERE q.query_id <> c.cand_id
+)
+SELECT query_id, cand_id, ROUND(cosine, 6) AS cosine
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, cand_id ASC) <= {TOP_K}
+"""
+
+
+@register("q_sim_knn_exact", oracle=_KNN_ORACLE)
+def q_sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the full
+    candidate side (queries ≪ candidates — the fact side never shuffles),
+    per-query top-k via window rank with WindowGroupLimit pushdown."""
+    q, c = _queries_and_candidates(spark, sf_dir)
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _projection_planes() -> list[list[float]]:
+    rng = np.random.RandomState(_RNG_SEED)
+    return rng.standard_normal((N_PLANES, _DIM)).round(6).tolist()
+
+
+def _bucket_of(v: Column) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(v · plane_i)."""
+    planes = _projection_planes()
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda p, q: p * q,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    return sum(bits).alias("bucket")
+
+
+@register("q_sim_lsh")  # rows-only: ANN recall < 1 has no exact oracle
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-projection LSH with multi-probe — each
+    query scores its own bucket and all hamming-1 neighbor buckets
+    (the standard recall/cost lever). Deterministic (fixed-seed planes);
+    recall vs exact asserted in tests, not oracle-checkable."""
+    q, c = _queries_and_candidates(spark, sf_dir)
+    probe_offsets = F.array(F.lit(0), *[F.lit(1 << i) for i in range(N_PLANES)])
+    qb = (
+        q.withColumn("home_bucket", _bucket_of(F.col("qv")))
+        .withColumn("probe", F.explode(probe_offsets))
+        .withColumn("bucket", F.col("home_bucket").bitwiseXOR(F.col("probe")))
+        .drop("home_bucket", "probe")
+    )
+    cb = c.withColumn("bucket", _bucket_of(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register(
+    "q_sim_pairwise_label",
+    oracle="""
+    SELECT a.label,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(ROUND(SUM(CAST(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[]))
+                                     AS DECIMAL(28,12))), 6) AS DOUBLE) / COUNT(*), 4) AS avg_dot
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+    GROUP BY a.label
+    """,
+)
+def q_sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class pairwise dot-product statistics on a sampled subset —
+    the vector-math + blocking-join composition, grouped per label.
+
+    AVG over doubles is summation-order-dependent, so the average runs
+    over DECIMAL(28,12)-cast dots (exact, order-free) and divides
+    exactly as the oracle does."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    dot = _dot(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", dot.alias("dot"))
+    )
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        # round the exact decimal sum to 6dp before the double cast: keeps
+        # the scaled integer < 2^53 so decimal→double is single-rounding
+        # (identical) on both engines
+        F.round(
+            F.round(F.sum(F.col("dot").cast("decimal(28,12)")), 6).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_dot"),
+    )

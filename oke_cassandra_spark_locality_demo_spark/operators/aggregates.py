@@ -1,0 +1,294 @@
+"""Aggregation operators (SURVEY §2.3 "Aggregations").
+
+Spark's hash aggregation is partial+final (map-side combine before the
+shuffle), so grouped aggs move only one row per (partition, group) —
+the property that makes these shapes scale to 100 TB.
+
+Float parity discipline: every money/quantity sum is computed over a
+DECIMAL cast, making the aggregate exact and order-independent, then
+ROUNDed to a coarse scale *before* the final cast to double. The round
+matters: decimal→double is only guaranteed single-rounding (identical
+across engines) while the scaled integer fits in 2^53 — DuckDB converts
+int128 then divides by 10^scale, which double-rounds past that and can
+land 1 ulp away from Spark's BigDecimal conversion (observed at sf0.01
+with scale-8 sums of ~5e8 magnitudes).
+Derived stats (avg/stddev/var/corr) are computed *from* those exact
+sums with plain double arithmetic — deterministic on both engines —
+instead of calling the engines' own float accumulators, whose
+partition-order-dependent summation would never hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..registry import register
+
+
+def _dec(c: Column | str, scale: int = 8) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal(28,{scale})")
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate: count/sum/avg/min/max in one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    sum_qty = F.round(F.sum(_dec("l_quantity")), 4).cast("double")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        sum_qty.alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_price"),
+        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "q_agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 4) AS DOUBLE)
+               AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: grouped hash aggregate with partial (map-side) combine."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec(disc_price)), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec(disc_price * (1 + F.col("l_tax")))), 4).cast("double").alias("sum_charge"),
+            (F.round(F.sum(_dec("l_quantity")), 4).cast("double") / n).alias("avg_qty"),
+            (F.round(F.sum(_dec("l_discount")), 4).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           CAST(LEN(LIST_SORT(LIST(DISTINCT l_linestatus))) AS INTEGER) AS n_statuses,
+           LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) (expand-based in Spark) + collect_set, sorted for
+    determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+    )
+
+
+@register("q_agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct next to the exact count.
+    No oracle (sketch estimates differ by implementation); the test suite
+    asserts the estimate is within the configured rsd of exact. At 100 TB
+    this is the only affordable distinct-count — fixed-size sketch, no
+    expand, mergeable across partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+_ROLLUP_ORACLE_TMPL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY {clause} (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_agg_rollup", oracle=_ROLLUP_ORACLE_TMPL.format(clause="ROLLUP"))
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag,status) → (flag) → ()."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q_agg_cube", oracle=_ROLLUP_ORACLE_TMPL.format(clause="CUBE"))
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_gsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand node
+    as rollup/cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(28,8))) > 1000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("total_qty"),
+        )
+        .filter(F.col("total_qty") > 1000)
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 1) AS DOUBLE) AS sx,
+               CAST(ROUND(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))), 1) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(CAST(l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS sy,
+               CAST(ROUND(SUM(CAST(l_linenumber * l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS syy,
+               CAST(ROUND(SUM(CAST(l_quantity * l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS sxy,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_qty,
+           ROUND(SQRT((sxx - sx*sx/n) / (n - 1)), 4) AS stddev_qty,
+           ROUND((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 4)
+               AS corr_qty_line,
+           median_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — variance, stddev, correlation, exact
+    median — computed from exact decimal moment sums (see module doc:
+    the engines' native float accumulators are summation-order-dependent
+    and would not reproduce across engines or even across runs)."""
+    li = load(spark, sf_dir, "lineitem")
+    q, ln = F.col("l_quantity"), F.col("l_linenumber")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(_dec(q)), 1).cast("double").alias("sx"),
+        F.round(F.sum(_dec(q * q)), 1).cast("double").alias("sxx"),
+        F.round(F.sum(_dec(ln)), 1).cast("double").alias("sy"),
+        F.round(F.sum(_dec(ln * ln)), 1).cast("double").alias("syy"),
+        F.round(F.sum(_dec(q * ln)), 1).cast("double").alias("sxy"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "l_returnflag",
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            4,
+        ).alias("corr_qty_line"),
+        "median_price",
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS evt_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS evt_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS evt_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS evt_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS evt_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events into one column per event_type. Pivot values are
+    passed explicitly — at 100 TB the implicit distinct-scan to discover
+    them is a full extra pass."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = e.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"evt_{t}") for t in types]
+    )

@@ -1,0 +1,349 @@
+"""Join operators — every type and physical strategy (SURVEY §2.3 "Joins").
+
+Reference analogs: the connector's DirectJoin (point-lookup join, SURVEY
+§2.2 B5) maps to broadcast hash join; `repartitionByCassandraReplica`
+(B6) maps to key-co-partitioned joins; token-aware locality (B2) maps to
+aligned partitioning so the join's exchange is shared/reusable.
+
+Scale notes (100 TB): fact↔dim joins broadcast the dim (no shuffle of
+the fact side at all); fact↔fact joins shuffle both sides on the join
+key once — AQE converts to broadcast at runtime when a filtered side
+shrinks below the threshold, and splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..catalog import load
+from ..conf import co_partition
+from ..registry import EVENTS_US, register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (SMJ/SHJ; AQE may convert to broadcast)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_orderdate", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause,
+    not the WHERE, so unmatched rows survive)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+         big_ord  AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                      WHERE o_totalprice > 300000)
+    SELECT b.c_custkey, b.c_name, g.o_orderkey, g.o_totalprice
+    FROM big_cust b FULL JOIN big_ord g ON b.c_custkey = g.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on filtered sides so both null-extensions occur."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, r.r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join — the engine's analog of the connector's
+    DirectJoin (SURVEY §2.2 B5): the dim is shipped to every executor so
+    the fact side is never shuffled. Explicit `broadcast()` hints; the
+    plan-shape test asserts BroadcastHashJoin with no fact-side Exchange.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+               ('high', 300000.0, 1000000.0)
+    )
+    SELECT b.band_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_value
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join against a tiny band table. Physically a
+    BroadcastNestedLoopJoin — fine because the build side is 3 rows; at
+    scale, range joins against small band tables stay broadcast-NL, which
+    is linear in the fact side."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1000000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("band_value"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT s.s_suppkey, r.r_regionkey, s.s_name, r.r_name
+    FROM supplier s CROSS JOIN region r
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (kept to supplier × region, both tiny)."""
+    s = load(spark, sf_dir, "supplier")
+    r = load(spark, sf_dir, "region")
+    return s.crossJoin(r).select("s_suppkey", "r_regionkey", "s_name", "r_name")
+
+
+@register(
+    "q_join_asof",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+    FROM {EVENTS_US} e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM {EVENTS_US}
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    WHERE e.event_type = 'click'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the same user's most recent
+    purchase at-or-before its timestamp.
+
+    Spark has no ASOF JOIN; the scalable formulation is the union-marker
+    trick — interleave both streams ordered by (user_id, ts) and carry the
+    last purchase forward with a running `last(..., ignorenulls=True)`
+    window. One shuffle on user_id, no range explosion, no row-count
+    blowup — this survives 100 TB where a naive range join would not.
+    DuckDB's native ASOF JOIN is the oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
+    tagged = clicks.select(
+        "user_id",
+        F.col("ts").alias("ord_ts"),
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.col("ts"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.col("p_ts").alias("ord_ts"),
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "p_ts",
+            "p_value",
+        )
+    )
+    # Purchases sort before clicks at the same timestamp (is_left asc) so
+    # `ts >= p.ts` inclusive semantics hold.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ord_ts").asc(), F.col("is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "*",
+        F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return carried.filter(F.col("is_left") == 1).select(
+        "event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value"
+    )
+
+
+@register(
+    "q_join_copartitioned",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity > 45
+    """,
+)
+def q_join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-co-partitioned fact↔fact join — the analog of the connector's
+    `repartitionByCassandraReplica` + token-aligned locality (SURVEY §2.2
+    B2/B6): both sides are explicitly hash-partitioned on the join key so
+    the join itself introduces no further exchange, and the partitioning
+    is reusable by any later stage keyed on o_orderkey."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o2, l2 = co_partition(
+        o, l.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    )
+    return o2.join(l2, "o_orderkey").select(
+        "o_orderkey", "o_orderdate", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table star join: filtered dim broadcast into the
+    orders↔lineitem shuffle join, grouped revenue on top."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

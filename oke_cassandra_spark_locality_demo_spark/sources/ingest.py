@@ -1,0 +1,154 @@
+"""CSV/JSON ingest with declared schemas, partitioned parquet sink, CTAS.
+
+Reference analogs: A6 (source load with store-inferred schema —
+userdata/cloudinit.sh:346-349) becomes schema-*declared* reads for
+formats that can't self-describe; B7 (connector writeback) becomes
+partitioned parquet writes; A1-A3 (CQL DDL/DML) become session-catalog
+CTAS.
+
+Each query round-trips fixture data through the format under test and
+returns the read-back result, so the DuckDB oracle (reading the
+original parquet) checks the full write→read fidelity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load, register_views
+from ..registry import register
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+
+
+def _out(name: str) -> str:
+    os.makedirs(_IO_ROOT, exist_ok=True)
+    return os.path.join(_IO_ROOT, name)
+
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), True),
+        T.StructField("c_nationkey", T.IntegerType(), True),
+        T.StructField("c_acctbal", T.DoubleType(), True),
+        T.StructField("c_mktsegment", T.StringType(), True),
+    ]
+)
+
+
+@register("q_source_csv", oracle="SELECT * FROM customer")
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with a declared StructType (no inference pass —
+    at 100 TB schema inference is a full extra scan). Doubles survive
+    exactly because Spark writes shortest-round-trip decimal strings."""
+    path = _out("customer_csv")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(CUSTOMER_SCHEMA).option("header", True).csv(path)
+
+
+@register("q_source_json", oracle="SELECT * FROM supplier")
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with declared schema."""
+    path = _out("supplier_json")
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType(), False),
+            T.StructField("s_name", T.StringType(), True),
+            T.StructField("s_nationkey", T.IntegerType(), True),
+            T.StructField("s_acctbal", T.DoubleType(), True),
+        ]
+    )
+    s = load(spark, sf_dir, "supplier")
+    s.write.mode("overwrite").json(path)
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "q_sink_parquet_partitioned",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (B7 analog), then an aggregate
+    over the read-back that *prunes by partition column* — the layout that
+    turns 100 TB scans into per-partition reads."""
+    path = _out("events_by_type")
+    e = load(spark, sf_dir, "events")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q_ctas",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL+DML (A1/A2/A3 analog): CREATE TABLE AS SELECT into the session
+    catalog (parquet-backed managed table), then read back via spark.sql.
+    """
+    import shutil
+
+    register_views(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS supplier_by_nation")
+    # the in-memory catalog forgets tables across sessions but the
+    # warehouse directory persists — clear any stale location too
+    loc = os.path.join(_out("warehouse"), "supplier_by_nation")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE supplier_by_nation USING parquet LOCATION '{loc}' AS
+        SELECT n.n_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    return spark.sql("SELECT * FROM supplier_by_nation")
+
+
+@register(
+    "q_insert_upsert",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Alice', 'alice@new.example.com'),
+        (2, 'Bob', 'bob@example.com'),
+        (3, 'Charlie', 'charlie@example.com'),
+        (4, 'Dana', 'dana@example.com')
+    ) AS users(id, name, email)
+    """,
+)
+def q_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra INSERT = primary-key upsert (reference
+    userdata/cloudinit.sh:312-314). Plain parquet has no keyed upsert, so
+    this is the documented MERGE-rewrite: anti-join the base on the key,
+    union the updates — the scalable pattern for keyed mutation on
+    immutable storage (SURVEY §7 hazard 2)."""
+    from ..catalog import users_df
+
+    base = users_df(spark)
+    updates = spark.createDataFrame(
+        [(1, "Alice", "alice@new.example.com"), (4, "Dana", "dana@example.com")],
+        "id int, name string, email string",
+    )
+    survived = base.join(updates.select("id"), "id", "left_anti")
+    return survived.unionByName(updates)

@@ -1,0 +1,69 @@
+"""Streaming runtime helpers: file-source setup + availableNow execution.
+
+The fixture `events.parquet` is a single file; Structured Streaming file
+sources want a directory they can list incrementally, so we stage a copy
+(one-time per sf_dir) into a temp dir. `run_streaming_query` then runs
+any events→DataFrame transformation as a real incremental query into a
+memory sink and returns the collected result table.
+
+At production scale the same code points `readStream` at the ingest
+directory/Kafka topic; `availableNow` is the batch-backfill trigger
+(process everything present, then stop) — the standard pattern for
+replaying history through the same query that serves the live stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy events.parquet into a streaming-source directory (idempotent)."""
+    from ..catalog import load
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_STAGE_ROOT, tag, "events")
+    marker = os.path.join(_STAGE_ROOT, tag, "_staged")
+    if not os.path.exists(marker):
+        # catalog.load handles the fixture's TIMESTAMP(NANOS) → µs staging
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        open(marker, "w").close()
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the staged events directory (schema from batch)."""
+    src = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+_SINK_SEQ = [0]
+
+
+def run_streaming_query(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run `transform(events_stream)` to completion with availableNow into
+    a memory sink; return the sink contents as a DataFrame."""
+    _SINK_SEQ[0] += 1
+    name = f"graft_sink_{_SINK_SEQ[0]}"
+    q = (
+        transform(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,151 @@
+"""Stateful streaming: dedup, watermarks, arbitrary per-key state, sinks.
+
+The oracle-checked keys use deterministic batch equivalents; the real
+incremental forms (dropDuplicates state store, watermark-driven late
+drop, applyInPandasWithState) run under `trigger(availableNow=True)` in
+the rows-only keys and the test suite.
+
+Scale notes: streaming dedup state is bounded by the watermark horizon
+(without it, state grows forever — never ship that); per-key state in
+applyInPandasWithState lives in the state store keyed by the shuffle
+partitioning, so key cardinality × state size is the sizing formula.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import EVENTS_US, register
+from .runtime import events_stream, run_streaming_query
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM {EVENTS_US}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: first event per (user_id, event_type) by event time.
+    Batch form is the deterministic window-rank pick (streaming
+    `dropDuplicates` keeps an arbitrary first — exercised as such in the
+    streaming tests, where any kept row is valid)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+@register("q_stream_watermark_late")  # rows-only: watermark semantics aren't SQL
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming run: 10-minute watermark + tumbling count, executed
+    incrementally with availableNow into a memory sink. In a single
+    replay nothing is late, so totals equal the batch form; the
+    dedicated test drives a two-batch replay where a late row is
+    actually dropped."""
+
+    def xf(stream: DataFrame) -> DataFrame:
+        return (
+            # watermarks require TIMESTAMP (LTZ); the staged events carry
+            # TIMESTAMP_NTZ — cast under the session's UTC zone
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+
+    return run_streaming_query(spark, sf_dir, xf, output_mode="complete")
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+    ]
+)
+
+
+def _count_per_user(key, pdf_iter, state):
+    """applyInPandasWithState update fn: running event count per user."""
+    seen = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        seen += len(pdf)
+    state.update((seen,))
+    yield pd.DataFrame({"user_id": [key[0]], "events_seen": [seen]})
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS events_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op: per-user running count via
+    `applyInPandasWithState` (GroupState in the state store), run as a
+    real incremental query. After a full replay the final state equals
+    the batch GROUP BY — which is the oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def xf(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _count_per_user,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    result = run_streaming_query(spark, sf_dir, xf, output_mode="update")
+    # availableNow may emit multiple updates per key across micro-batches;
+    # the final state per user is the max running count.
+    return result.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
+
+
+@register(
+    "q_stream_sink",
+    oracle="SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids FROM events",
+)
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sink round trip: readStream → append-mode parquet sink with
+    checkpoint (exactly-once via sink manifest) → batch read-back."""
+    import os
+    import shutil
+    import tempfile
+
+    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_sink")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    data_dir = os.path.join(out_root, tag, "data")
+    ckpt_dir = os.path.join(out_root, tag, "ckpt")
+    shutil.rmtree(os.path.join(out_root, tag), ignore_errors=True)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(data_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )

