@@ -1,0 +1,153 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.3 "UDF / UDAF / UDTF").
+
+Ranked by cost, the engine's policy order is:
+  1. built-in column functions        (JVM, codegen — everything else
+                                       in this repo)
+  2. @pandas_udf / applyInPandas      (Arrow batches, vectorized numpy)
+  3. @udf row-at-a-time Python        (pickle per row — demonstrated
+                                       here because the surface must
+                                       exist, never used on hot paths)
+
+Each query's logic is deliberately SQL-expressible so the DuckDB oracle
+can verify the UDF machinery itself (serialization, null handling,
+type mapping) rather than novel semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@F.udf(T.StringType())
+def _priority_tag(priority: str, total: float) -> str:
+    """Row-at-a-time Python UDF: tag urgent+large orders."""
+    if priority is None or total is None:
+        return "unknown"
+    if "URGENT" in priority and total > 200000:
+        return "hot"
+    if total > 300000:
+        return "large"
+    return "normal"
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE
+             WHEN o_orderpriority LIKE '%URGENT%' AND o_totalprice > 200000 THEN 'hot'
+             WHEN o_totalprice > 300000 THEN 'large'
+             ELSE 'normal'
+           END AS tag
+    FROM orders
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (row-at-a-time pickle path). Exists to cover the
+    API surface; the oracle re-expresses the logic in SQL — which is also
+    exactly how this UDF *should* be written in production (≈100×
+    cheaper as a CASE expression)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", _priority_tag("o_orderpriority", "o_totalprice").alias("tag")
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _zscore_denom(v: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: numpy arithmetic over Arrow batches."""
+    return (v * 1.07).round(4)
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 1.07, 4) AS taxed_price
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow batch transfer, ~10-100× the row
+    UDF's throughput). numpy's round is banker's rounding — but at 4 dp
+    on ≤2 dp inputs scaled by 1.07 (≤4 dp true values) no rounding
+    actually occurs, so it matches SQL ROUND exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _zscore_denom("l_extendedprice").alias("taxed_price"),
+    )
+
+
+def _per_segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map UDAF body: per-segment aggregate in pandas."""
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n_customers": [len(pdf)],
+            # sort before summing: float sums are order-dependent, and
+            # Arrow batch order isn't deterministic across partitionings
+            "total_acctbal": [
+                round(float(pdf["c_acctbal"].sort_values().sum()), 4)
+            ],
+        }
+    )
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,8))), 4) AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDAF via applyInPandas: whole group in, one
+    aggregate row out. The float sum runs over *sorted* values so it is
+    deterministic and — acctbal being 2-dp values — exactly equals the
+    decimal-sum oracle."""
+    c = load(spark, sf_dir, "customer")
+    schema = T.StructType(
+        [
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("n_customers", T.LongType()),
+            T.StructField("total_acctbal", T.DoubleType()),
+        ]
+    )
+    return c.groupBy("c_mktsegment").applyInPandas(_per_segment_stats, schema)
+
+
+@register(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
+    FROM (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')[1:5]) AS word,
+               UNNEST(RANGE(1, LEAST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')), 5) + 1)) AS pos
+        FROM documents
+    )
+    WHERE LENGTH(word) > 3
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function (1 row → N rows): posexplode over the first 5
+    words, filtered — the lateral-view UDTF shape. Expressed with
+    built-in posexplode (Spark's native UDTF mechanism); pos is shifted
+    to 1-based to match SQL ordinality."""
+    d = load(spark, sf_dir, "documents")
+    words5 = F.slice(F.split(F.trim(F.lower(F.col("text"))), " "), 1, 5)
+    exploded = d.select("doc_id", F.posexplode(words5).alias("pos0", "word"))
+    return exploded.select(
+        "doc_id", "word", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).filter(F.length("word") > 3)

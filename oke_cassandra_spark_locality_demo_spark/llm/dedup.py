@@ -47,17 +47,18 @@ def _norm_text(c):
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text, keeping the lowest doc_id — one
-    hash shuffle on the normalized key. (At scale, group on a 128-bit
-    text hash instead of the full text to shrink the shuffle payload —
-    semantically identical, collision probability ~0.)"""
+    """Exact dedup on normalized text, keeping the lowest doc_id. One
+    hash aggregate (`min_by` with partial/map-side combine) — cheaper
+    than the window-rank formulation, which must sort every partition.
+    (At scale, group on a 128-bit text hash instead of the full text to
+    shrink the shuffle payload — semantically identical.)"""
     d = load(spark, sf_dir, "documents")
-    w = W.partitionBy(_norm_text(F.col("text"))).orderBy("doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "text")
+    keep = d.groupBy(_norm_text(F.col("text")).alias("_k")).agg(
+        F.min_by(F.struct("doc_id", "lang", "source", "text"), F.col("doc_id")).alias(
+            "r"
+        )
     )
+    return keep.select("r.doc_id", "r.lang", "r.source", "r.text")
 
 
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
@@ -119,14 +120,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row per doc — broadcast both lookups instead of
+    # shuffling the pair table twice
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -187,12 +190,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of candidates only
+    # exact verification of candidates only: the candidate set is orders
+    # of magnitude smaller than the shingle table — broadcast it into the
+    # shingle joins rather than shuffling 100× its size
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        cand.join(a, "doc_a")
+        F.broadcast(cand)
+        .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -201,8 +207,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+            ),
+            "doc_b",
+        )
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

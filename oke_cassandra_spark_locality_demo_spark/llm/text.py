@@ -238,19 +238,28 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps real terms and is exactly reproducible in SQL. Two shuffles:
     (doc,word) counts, then the doc-frequency join keyed on word."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # N as a broadcast 1-row join, not a driver-side count(): keeps the
+    # whole query one job and N out of the driver
+    n_docs_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    # tf⨝df stays a shuffle join: vocabulary is unbounded at scale, so df
+    # must not be broadcast (AQE will still broadcast it when it's small)
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (

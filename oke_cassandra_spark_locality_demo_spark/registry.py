@@ -73,7 +73,7 @@ def _load_all() -> None:
         sorts,
         setops,
     )
-    from .functions import scalar  # noqa: F401
+    from .functions import scalar, udf  # noqa: F401
     from .sources import ingest  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
