@@ -313,23 +313,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB version blocks on coarse quantizer cells). Dot products use
     the same left-fold-in-element-order double arithmetic as DuckDB's
     list_dot_product, so values are bit-identical before rounding."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    # norms precomputed per vector (once), not per pair — same doubles as
+    # the oracle's per-pair recomputation, ~3× less higher-order-fn work
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
-    )
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"),
+        F.col("norm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb")
+        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
     )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -38,13 +38,23 @@ def _dot(x: Column, y: Column) -> Column:
 
 
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    """Query/candidate sides with norms precomputed *before* the pair
+    join — each side's norm is evaluated once per vector instead of once
+    per pair (the oracle recomputes per pair, but sqrt(dot(v,v)) yields
+    the identical double either way)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnorm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cnorm"),
+    )
     return q, c
 
 
@@ -75,9 +85,7 @@ def q_sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate side (queries ≪ candidates — the fact side never shuffles),
     per-query top-k via window rank with WindowGroupLimit pushdown."""
     q, c = _queries_and_candidates(spark, sf_dir)
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -133,9 +141,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("home_bucket", "probe")
     )
     cb = c.withColumn("bucket", _bucket_of(F.col("cv")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))

@@ -72,6 +72,7 @@ def _load_all() -> None:
         windows,
         sorts,
         setops,
+        meta,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest  # noqa: F401
