@@ -215,6 +215,65 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(r).select("s_suppkey", "r_regionkey", "s_name", "r_name")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for every left row, attach the right row with
+    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``key``.
+
+    Spark has no ASOF JOIN; the scalable formulation is the union-marker
+    trick — interleave both streams ordered by (key, ts) and carry the
+    latest right payload forward with a running `last(ignorenulls=True)`
+    window. One shuffle on the key, no range explosion, no row-count
+    blowup — this survives 100 TB where a naive range join would not.
+
+    ``payload_cols`` are the right-side columns carried to the output
+    (suffixed nothing — caller aliases). All left columns are preserved.
+    """
+    lcols = [c for c in left.columns]
+    tagged = left.select(
+        key,
+        F.col(left_ts).alias("_ord_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    ).unionByName(
+        right.select(
+            key,
+            F.col(right_ts).alias("_ord_ts"),
+            F.lit(0).alias("_is_left"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+                if c != key
+            ],
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    # Right rows sort before left rows at the same timestamp (_is_left
+    # asc) so the `right_ts <= left_ts` inclusive semantics hold.
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ord_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in payload_cols]
+    )
+
+
 @register(
     "q_join_asof",
     oracle=f"""
@@ -229,15 +288,8 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event matched to the same user's most recent
-    purchase at-or-before its timestamp.
-
-    Spark has no ASOF JOIN; the scalable formulation is the union-marker
-    trick — interleave both streams ordered by (user_id, ts) and carry the
-    last purchase forward with a running `last(..., ignorenulls=True)`
-    window. One shuffle on user_id, no range explosion, no row-count
-    blowup — this survives 100 TB where a naive range join would not.
-    DuckDB's native ASOF JOIN is the oracle.
-    """
+    purchase at-or-before its timestamp (via the generic `asof_join`;
+    DuckDB's native ASOF JOIN is the oracle)."""
     e = load(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -245,40 +297,14 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("p_value"),
     )
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-
-    tagged = clicks.select(
-        "user_id",
-        F.col("ts").alias("ord_ts"),
-        F.lit(1).alias("is_left"),
+    return asof_join(
+        clicks, purchases, "user_id", "ts", "p_ts", ["p_ts", "p_value"]
+    ).select(
         "event_id",
-        F.col("ts"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-        F.lit(None).cast("double").alias("p_value"),
-    ).unionByName(
-        purchases.select(
-            "user_id",
-            F.col("p_ts").alias("ord_ts"),
-            F.lit(0).alias("is_left"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("timestamp").alias("ts"),
-            "p_ts",
-            "p_value",
-        )
-    )
-    # Purchases sort before clicks at the same timestamp (is_left asc) so
-    # `ts >= p.ts` inclusive semantics hold.
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ord_ts").asc(), F.col("is_left").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = tagged.select(
-        "*",
-        F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
-        F.last("p_value", ignorenulls=True).over(w).alias("last_purchase_value"),
-    )
-    return carried.filter(F.col("is_left") == 1).select(
-        "event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value"
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
     )
 
 

@@ -1,0 +1,111 @@
+"""Property-based checks (hypothesis): the hand-built operators whose
+semantics aren't a single Spark builtin — as-of join, session windows —
+verified against brute-force Python references on random inputs.
+Randomness here is test-side only; the operators themselves stay
+deterministic."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from oke_cassandra_spark_locality_demo_spark.operators.joins import asof_join
+
+_BASE = datetime(2024, 1, 1)
+
+# (user, ts_offset_seconds, value)
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _mk_events(spark, rows, tag):
+    data = [
+        (i, u, _BASE + timedelta(seconds=s), float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, f"{tag}_id long, user_id long, ts timestamp, value double"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=_rows, right_rows=_rows)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    left = _mk_events(spark, left_rows, "l").withColumnRenamed("l_id", "lid")
+    right = (
+        _mk_events(spark, right_rows, "r")
+        .select("user_id", F.col("ts").alias("r_ts"), F.col("value").alias("r_value"))
+    )
+    got = {
+        (r["lid"]): (r["r_ts"], r["r_value"])
+        for r in asof_join(
+            left, right, "user_id", "ts", "r_ts", ["r_ts", "r_value"]
+        ).collect()
+    }
+
+    # brute force: per left row, latest right (ts', v) with ts' <= ts,
+    # ties on ts' broken by the later-arriving (max) value? — the union-
+    # marker form takes the right row that sorts LAST among equal ts',
+    # which for duplicates is whichever last() saw; restrict the check to
+    # the matched timestamp (deterministic) and skip value on exact ties.
+    rights = {}
+    for u, s, v in right_rows:
+        rights.setdefault(u, []).append((_BASE + timedelta(seconds=s), float(v)))
+    for i, (u, s, _v) in enumerate(left_rows):
+        ts = _BASE + timedelta(seconds=s)
+        cands = [rv for rv in rights.get(u, []) if rv[0] <= ts]
+        expect_ts = max((c[0] for c in cands), default=None)
+        assert i in got
+        assert got[i][0] == expect_ts, (i, got[i], expect_ts)
+        if expect_ts is not None:
+            tied = {c[1] for c in cands if c[0] == expect_ts}
+            assert got[i][1] in tied
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_session_window_matches_bruteforce(spark, rows):
+    """Spark session_window(gap=60s) vs brute-force gap clustering."""
+    df = _mk_events(spark, rows, "e")
+    got = sorted(
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in df.groupBy(
+            F.col("user_id"), F.session_window("ts", "60 seconds").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    per_user: dict[int, list[datetime]] = {}
+    for u, s, _v in rows:
+        per_user.setdefault(u, []).append(_BASE + timedelta(seconds=s))
+    expect = []
+    for u, tss in per_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for t in tss[1:]:
+            if (t - last) >= timedelta(seconds=60):
+                expect.append((u, start, last + timedelta(seconds=60), n))
+                start, n = t, 0
+            last = t
+            n += 1
+        expect.append((u, start, last + timedelta(seconds=60), n))
+    assert got == sorted(expect), (got, sorted(expect))
