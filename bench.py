@@ -38,6 +38,7 @@ HEADLINE = [
     "q_sim_knn_exact",
     "q_text_tfidf",
     "q_multimodal_cols",
+    "q_pipeline_e2e",
 ]
 
 
