@@ -231,6 +231,37 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS price_from_struct,
+           YEAR(o_orderdate) AS year_from_struct,
+           2 AS n_fields,
+           o_orderstatus AS status_via_nested
+    FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction and field access (struct / getField /
+    nested struct-in-struct). Outputs are the extracted scalars, so the
+    oracle states the expected values directly — what's under test is
+    Spark's struct machinery, not DuckDB's row syntax."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+        F.struct(F.col("o_orderstatus").alias("status")).alias("inner"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("price").alias("price_from_struct"),
+        s.getField("yr").alias("year_from_struct"),
+        F.lit(2).alias("n_fields"),
+        s.getField("inner").getField("status").alias("status_via_nested"),
+    )
+
+
+@register(
     "q_fn_cast_decimal",
     oracle="""
     SELECT o_orderkey,
