@@ -110,27 +110,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index: docs are only compared if they share a shingle, so
     the pair space is bounded by shingle co-occurrence, not N²."""
     d = load(spark, sf_dir, "documents")
+    # cache the shingle table (reused by the sizes agg and both join
+    # sides); sh2 itself is NOT cached — it's a cheap broadcast-join map
+    # over cached sh, and materializing it costs more than recomputing
     sh = _shingles(d, 3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # attach each doc's shingle count to its inverted-index rows
+    # (broadcast — one row per doc), so the self-join can size-prune
+    sh2 = sh.join(F.broadcast(sizes), "doc_id")
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+    # size-compatibility prune INSIDE the join: jaccard ≥ t implies
+    # |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min ≤ sizes), so
+    # incompatible pairs are provably below threshold — dropping them
+    # pre-aggregation loses nothing and cuts the pair space sharply
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (a.shingle == b.shingle)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= 0.6 * F.col("nb"))
+            & (F.col("nb") >= 0.6 * F.col("na")),
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    # sizes is one row per doc — broadcast both lookups instead of
-    # shuffling the pair table twice
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.6)
+        common.filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

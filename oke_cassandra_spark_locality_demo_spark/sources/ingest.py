@@ -94,6 +94,39 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 4) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY user_id
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over the Hive-layout sink: the filter on the
+    partition column prunes whole directories at planning time — at
+    100 TB this is the difference between listing 5 directories and
+    scanning everything. tests/test_plans.py asserts the pruned plan
+    reads only the 2 matching partitions."""
+    path = _out("events_by_type")
+    e = load(spark, sf_dir, "events")
+    # idempotent layout write (same layout q_sink_parquet_partitioned uses)
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
     "q_ctas",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_suppliers,
