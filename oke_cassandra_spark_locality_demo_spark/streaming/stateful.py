@@ -117,6 +117,139 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
 
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_user_agg_processor():
+    """StatefulProcessor for transformWithStateInPandas (Spark 4's
+    arbitrary-state API, successor to applyInPandasWithState): per-user
+    running count + max via a ValueState cell."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserAggProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "agg", "seen BIGINT, vmax DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                seen, vmax = self._state.get()
+            else:
+                seen, vmax = 0, None
+            for pdf in rows:
+                seen += len(pdf)
+                m = float(pdf["value"].max())
+                vmax = m if vmax is None else max(vmax, m)
+            self._state.update((seen, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_seen": [seen],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserAggProcessor()
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python worker needs protobuf, which this
+    container lacks (pip installs are off-limits) — gate behind an
+    import-try per the environment contract."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _count_max_per_user(key, pdf_iter, state):
+    """applyInPandasWithState fallback body: running (count, max)."""
+    if state.exists:
+        seen, vmax = state.get
+    else:
+        seen, vmax = 0, None
+    for pdf in pdf_iter:
+        seen += len(pdf)
+        m = float(pdf["value"].max())
+        vmax = m if vmax is None else max(vmax, m)
+    state.update((seen, vmax))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events_seen": [seen], "max_value": [vmax]}
+    )
+
+
+@register(
+    "q_stream_stateful_tws",
+    oracle="""
+    SELECT user_id, COUNT(*) AS events_seen, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-user
+    running count + max through a ValueState cell on the RocksDB state
+    store — the production store whose changelog checkpointing keeps
+    100 TB streaming state restartable. The API's Python worker needs
+    protobuf, absent in this container, so the same semantics fall back
+    to applyInPandasWithState when unavailable. Final state equals the
+    batch GROUP BY either way (max over doubles is order-exact, so the
+    oracle is exact)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    use_tws = _tws_available()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
+
+        def xf(stream: DataFrame) -> DataFrame:
+            grouped = stream.groupBy("user_id")
+            if use_tws:
+                return grouped.transformWithStateInPandas(
+                    statefulProcessor=_make_user_agg_processor(),
+                    outputStructType=_TWS_OUT_SCHEMA,
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            return grouped.applyInPandasWithState(
+                _count_max_per_user,
+                outputStructType=_TWS_OUT_SCHEMA,
+                stateStructType="seen BIGINT, vmax DOUBLE",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
+        result = run_streaming_query(spark, sf_dir, xf, output_mode="update")
+        return result.groupBy("user_id").agg(
+            F.max("events_seen").alias("events_seen"),
+            F.max("max_value").alias("max_value"),
+        )
+    finally:
+        if use_tws:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+
 @register(
     "q_stream_sink",
     oracle="SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids FROM events",
