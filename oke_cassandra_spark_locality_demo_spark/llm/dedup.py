@@ -12,8 +12,10 @@ Everything is deterministic: "random" permutations are keyed hashes
 
 100 TB story: all four avoid the quadratic pair space — the inverted
 index / band buckets bound the join fan-out; the exact verifications run
-only on candidate pairs. Skew guard: ultra-common shingles are capped
-(stop-shingle filter) so no bucket explodes.
+only on candidate pairs. Hot-shingle skew is handled exactly by the
+PPJoin prefix-filter formulation (q_dedup_ngram_prefix: prefixes index
+only each doc's *rarest* shingles, so common shingles never fan out),
+and AQE skew-join splitting covers the rest.
 """
 
 from __future__ import annotations

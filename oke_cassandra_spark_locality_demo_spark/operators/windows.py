@@ -153,6 +153,69 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_conversion",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_US}),
+    signups AS (
+        SELECT s.user_id, s.ts,
+               EXISTS (
+                   SELECT 1 FROM ev p
+                   WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+                     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+               ) AS converted
+        FROM ev s WHERE s.event_type = 'signup'
+    )
+    SELECT user_id,
+           COUNT(*) AS n_signups,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM signups
+    GROUP BY user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signups converting to a purchase within 30
+    minutes, per user. Scalable formulation: no self-join — interleave
+    both event types and scan each user's timeline *backward*, carrying
+    the earliest later purchase with a running `last(ignorenulls)`; a
+    signup converts iff that carried purchase is within the window.
+    One shuffle on user_id regardless of data size (the EXISTS-subquery
+    oracle would be a quadratic correlated scan at scale)."""
+    e = load(spark, sf_dir, "events")
+    su = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(1).alias("is_signup"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+    )
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_signup"),
+        F.col("ts").alias("p_ts"),
+    )
+    # scan backward: purchases at the same instant sort first so a
+    # purchase at exactly the signup ts counts (>= semantics)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_signup").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = su.unionByName(pu).select(
+        "*", F.last("p_ts", ignorenulls=True).over(w).alias("next_purchase")
+    )
+    conv = (
+        carried.filter(F.col("is_signup") == 1)
+        .select(
+            "user_id",
+            (
+                F.col("next_purchase").isNotNull()
+                & (F.col("next_purchase") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+            ).alias("converted"),
+        )
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("long").alias("n_converted"),
+    )
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
