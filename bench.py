@@ -62,12 +62,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        try:
+            n = fn(spark, sf_dir).count()
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the JSON line intact for the driver
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

@@ -1,0 +1,90 @@
+"""SQL-surface features: subqueries (scalar / IN / correlated EXISTS)
+and recursive CTEs — Catalyst's subquery machinery and Spark 4's
+WITH RECURSIVE, exercised through the SQL API (both re-expressible in
+DuckDB, so fully oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import register
+
+
+@register(
+    "q_subqueries",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           o.o_totalprice / (SELECT MAX(o2.o_totalprice) FROM orders o2) AS price_share,
+           (o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+               AS is_building,
+           EXISTS (SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+               AS has_bulk_line
+    FROM orders o
+    WHERE o.o_totalprice > 350000
+    """,
+)
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (broadcast 1-row), uncorrelated IN (left-semi
+    rewrite), and correlated EXISTS (semi join after decorrelation) — the
+    three subquery shapes Catalyst plans without any correlated re-scan.
+    price_share divides two exact doubles from the data, so it is
+    bit-identical across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               o.o_totalprice / (SELECT MAX(o2.o_totalprice) FROM orders o2)
+                   AS price_share,
+               (o.o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')) AS is_building,
+               EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+                   AS has_bulk_line
+        FROM orders o
+        WHERE o.o_totalprice > 350000
+        """
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + 1 FROM spine WHERE d < DATE '1995-03-31'
+    )
+    SELECT s.d AS day,
+           COALESCE(o.n, 0) AS n_orders
+    FROM spine s
+    LEFT JOIN (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ) o ON s.d = o.d
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): Q1-1995 date spine, left-
+    joined to per-day order counts — the densification pattern that
+    zero-fills gaps in a time series. The spine is generated, not
+    scanned, so its cost is independent of data volume."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-31'
+        )
+        SELECT s.d AS day,
+               COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders
+        FROM spine s
+        LEFT JOIN (
+            SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ) o ON s.d = o.d
+        """
+    )

@@ -73,6 +73,7 @@ def _load_all() -> None:
         sorts,
         setops,
         meta,
+        sql_features,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest  # noqa: F401
