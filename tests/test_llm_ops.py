@@ -48,6 +48,23 @@ def test_lsh_knn_recall(spark, sf_dir):
         assert recall >= 0.25, f"recall={recall}"
 
 
+def test_ivf_recall(spark, sf_dir):
+    """IVF (k-means quantizer, 4/16 cells probed) recall vs exact top-k
+    — ≈0.56 on uniform random vectors at sf0.001; assert ≥0.3."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in get("q_sim_knn_exact").fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"])
+        for r in get("q_sim_ivf").fn(spark, sf_dir).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    if exact:
+        recall = len(exact & ivf) / len(exact)
+        assert recall >= 0.3, f"recall={recall}"
+
+
 def test_hll_within_rsd(spark, sf_dir):
     rows = get("q_agg_approx_distinct").fn(spark, sf_dir).collect()
     for r in rows:
