@@ -373,3 +373,97 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated (salted) equi join, result-identical to the plain
+    join: the probe side's key is salted into S sub-keys with a keyed
+    hash, the build side is replicated S times, and the join runs on
+    (key, salt) — a hot key's rows now land on S partitions instead of
+    one. This is the manual fallback for skew AQE can't fix (a single
+    key larger than one executor's memory); at 100 TB, S is sized to
+    hottest-key-rows / target-partition-rows. Replication costs S× the
+    build side, so it is only applied to the skewed keys in practice —
+    here the whole (small) side is replicated for clarity."""
+    S = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(S)).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    dec = lambda col: col.cast("decimal(18,4)")  # noqa: E731
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o["_salt"] == c["_salt"]))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_join_range_binned",
+    oracle=f"""
+    WITH e AS (SELECT event_id, ts FROM {EVENTS_US} ev),
+         w AS (SELECT event_id AS win_id, ts AS win_start,
+                      ts + INTERVAL 30 MINUTE AS win_end
+               FROM {EVENTS_US} ev WHERE event_type = 'purchase')
+    SELECT w.win_id, COUNT(*) AS n_events
+    FROM w JOIN e ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) made scalable by binning: every
+    30-minute interval explodes to the 30-minute bins it overlaps, each
+    event maps to its bin, and the engine runs an EQUI join on the bin
+    followed by the exact range predicate. A naive theta join is a
+    broadcast-nested-loop (O(N·M) compares, one side fully replicated);
+    the bin key turns it into a hash join whose fan-out is bounded by
+    interval-length / bin-width + 1 ≈ 2 rows per interval — the same
+    trick behind interval-join implementations in stream processors.
+    DuckDB's native IEJoin on the un-binned predicate is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    bin_len = 1800  # seconds; == interval length so each window spans ≤ 2 bins
+    e = ev.select(
+        "event_id", "ts", (F.unix_timestamp("ts") / bin_len).cast("long").alias("bin")
+    )
+    w = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp("win_start") / bin_len).cast("long"),
+                    (F.unix_timestamp("win_end") / bin_len).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        w.join(
+            e,
+            (w.bin == e.bin)
+            & (e.ts >= F.col("win_start"))
+            & (e.ts < F.col("win_end")),
+        )
+        .groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

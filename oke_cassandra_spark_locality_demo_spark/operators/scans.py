@@ -114,3 +114,38 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 register("q_flagship_pricing_summary", oracle=FLAGSHIP_ORACLE)(flagship)
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE SUBSTRING(MD5(CONCAT(CAST(l_orderkey AS VARCHAR), '-',
+                               CAST(l_linenumber AS VARCHAR))), 1, 2)
+          < CASE WHEN l_returnflag = 'R' THEN '33' ELSE '1a' END
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, stratified hash sampling — the scalable substitute
+    for `df.sample()` when the sample must be reproducible across runs,
+    engines, and cluster sizes (train/test splits, A/B cohorts):
+    row ∈ sample ⟺ md5(stable key) prefix < per-stratum threshold.
+    'R'-flag rows are kept at ~20% ('33'/'100' of the hex space), the
+    rest at ~10% ('1a') — the same per-stratum-rate shape as
+    `sampleBy`, but with zero RNG state: the predicate pushes to the
+    scan, needs no shuffle, and any worker can decide membership
+    locally. Bit-identical in DuckDB, which is the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = F.substring(F.md5(key), 1, 2)
+    threshold = F.when(F.col("l_returnflag") == "R", F.lit("33")).otherwise(
+        F.lit("1a")
+    )
+    return li.filter(bucket < threshold).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
