@@ -200,3 +200,52 @@ def q_sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_dot"),
     )
+
+
+@register(
+    "q_vec_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ), m AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m,
+             COUNT(*) AS cnt
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, LIST(m ORDER BY pos) AS centroid, MAX(cnt) AS n_vectors
+    FROM m GROUP BY label
+    """,
+)
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype): posexplode the
+    vector to (label, pos, x) rows, aggregate the exact per-dimension
+    mean, and reassemble the array ordered by position. Sums run over
+    DECIMAL(28,12) so the result is addition-order-independent — the
+    same value on any partitioning and bit-equal to the DuckDB oracle.
+
+    Scale: the exploded relation is rows × dim tiny tuples that partial-
+    aggregate map-side before one shuffle on (label, pos) — no vector is
+    ever collected to one task, so this survives arbitrarily many
+    vectors per label (the k-means update step in ivf.py uses the same
+    shape). collect_list here gathers only the dim per-dimension means
+    per label, not the input vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    m = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid"),
+        F.max("cnt").alias("n_vectors"),
+    )

@@ -1,0 +1,85 @@
+"""Stream-stream interval join (SURVEY §2.3 streaming block extension).
+
+The reference's declared stack (Spark; SURVEY §2.2) includes Structured
+Streaming's stream-stream joins. The canonical shape: two event streams
+joined on an equi key plus an event-time interval — here "non-purchase
+events in the 10 minutes leading up to a purchase by the same user".
+
+Batch form (registered, DuckDB-oracle-checked) and streaming form (run
+by the tests as a real two-sided incremental join) share the same
+transformation; Spark executes the identical logical join either way.
+
+Scale: stream-stream joins keep both sides' unmatched rows in state
+until the watermark plus the join interval passes them — the watermark
+(30 min) and the 10-min interval bound state to ~40 min of events per
+side, independent of total stream length. The equi key (user_id) makes
+the state store hash-partitioned, so state lookups never cross tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import EVENTS_US, register
+
+
+def _sides(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("event_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        "event_type",
+    )
+    return p, c
+
+
+def _join(p: DataFrame, c: DataFrame) -> DataFrame:
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond).select(
+        "purchase_id", "event_id", "event_type"
+    )
+
+
+@register(
+    "q_stream_join_interval",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM {EVENTS_US} ev WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts AS e_ts, event_type
+               FROM {EVENTS_US} ev WHERE event_type <> 'purchase')
+    SELECT p.purchase_id, c.event_id, c.event_type
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.e_ts >= p.p_ts - INTERVAL 10 MINUTE
+     AND c.e_ts < p.p_ts
+    """,
+)
+def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events in the 10 minutes before each purchase by the same user —
+    batch form of the stream-stream interval join (equi key + time
+    bound; same plan shape Structured Streaming runs incrementally)."""
+    p, c = _sides(load(spark, sf_dir, "events"))
+    return _join(p, c)
+
+
+def streaming_join(e: DataFrame) -> DataFrame:
+    """Streaming form: both sides watermarked so Spark can expire join
+    state once event time passes watermark + interval. The staged file
+    source reads ts as TIMESTAMP_NTZ, which watermarks reject — cast to
+    TIMESTAMP first (session TZ is UTC, so values are unchanged)."""
+    p, c = _sides(e.withColumn("ts", F.col("ts").cast("timestamp")))
+    return _join(
+        p.withWatermark("p_ts", "30 minutes"),
+        c.withWatermark("e_ts", "30 minutes"),
+    )

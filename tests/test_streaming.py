@@ -126,6 +126,17 @@ def test_watermark_drops_late_row(spark, sf_dir):
     assert ("2024-01-01 00:00:00", 2) not in emitted
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Two-sided incremental interval join agrees with the batch form
+    (inner stream-stream joins emit every match regardless of
+    watermark; the watermark only bounds retained state)."""
+    from oke_cassandra_spark_locality_demo_spark.streaming.joins import streaming_join
+
+    batch = get("q_stream_join_interval").fn(spark, sf_dir)
+    stream = run_streaming_query(spark, sf_dir, streaming_join, "append")
+    assert _rowset(stream) == _rowset(batch)
+
+
 def test_stateful_running_count_matches_batch(spark, sf_dir):
     result = get("q_stream_stateful").fn(spark, sf_dir)
     batch = (
