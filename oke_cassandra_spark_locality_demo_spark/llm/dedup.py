@@ -136,14 +136,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # cache the shingle table (reused by the sizes agg and both join
     # sides); sh2 itself is NOT cached — it's a cheap broadcast-join map
-    # over cached sh, and materializing it costs more than recomputing
-    sh = _shingles(d, 3).cache()
+    # over cached sh, and materializing it costs more than recomputing.
+    # Shingles are collapsed to 64-bit xxhash64 keys before the self-join:
+    # the shuffle moves 8-byte longs instead of ~20-byte strings and the
+    # join compares longs (collision odds over ~10^6 distinct shingles are
+    # ~10^-7 — and a collision would have to land inside one doc pair's
+    # intersection to perturb a count).
+    sh = _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # attach each doc's shingle count to its inverted-index rows
     # (broadcast — one row per doc), so the self-join can size-prune
     sh2 = sh.join(F.broadcast(sizes), "doc_id")
-    a = sh2.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na"))
-    b = sh2.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb"))
+    a = sh2.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("na"))
+    b = sh2.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("nb"))
     # size-compatibility prune INSIDE the join: jaccard ≥ t implies
     # |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min ≤ sizes), so
     # incompatible pairs are provably below threshold — dropping them
@@ -151,7 +156,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         a.join(
             b,
-            (a.shingle == b.shingle)
+            (a.sh == b.sh)
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") >= 0.6 * F.col("nb"))
             & (F.col("nb") >= 0.6 * F.col("na")),
@@ -254,6 +259,81 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return common.filter(jac >= t).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+#: contamination geometry: 5-word shingles; eval set = every 50th doc
+_CONTAM_K = 5
+_CONTAM_MOD = 50
+
+_CONTAM_ORACLE = f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - {_CONTAM_K}, 0) + 1),
+                       i -> ARRAY_TO_STRING(
+                           STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+{_CONTAM_K}], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM shingled WHERE doc_id % {_CONTAM_MOD} = 0
+    ),
+    train AS (SELECT * FROM shingled WHERE doc_id % {_CONTAM_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_shared
+        FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           s.n_shingles,
+           ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles, 6)
+               AS contam_score,
+           (CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles >= 0.05)
+               AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+@register("q_contamination", oracle=_CONTAM_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train↔eval contamination check: every 50th doc is the held-out
+    eval set; each training doc is scored by the fraction of its 5-word
+    shingles that appear anywhere in the eval set (the n-gram-overlap
+    decontamination used before LLM pretraining).
+
+    Scale shape: the eval side is tiny relative to the corpus by
+    construction, so its distinct shingle set is BROADCAST and the
+    training corpus is scanned exactly once with a map-side hash probe —
+    no shuffle of the 100 TB side at all; only the per-doc counters
+    aggregate. Shingles travel as xxhash64 keys, not strings."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, _CONTAM_K).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    is_eval = F.col("doc_id") % _CONTAM_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    train = sh.filter(~is_eval)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    score = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(score, 6).alias("contam_score"),
+            (score >= 0.05).alias("contaminated"),
+        )
     )
 
 

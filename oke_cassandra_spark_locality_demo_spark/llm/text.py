@@ -211,6 +211,175 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunking geometry: 40-word windows advancing 30 words (10-word overlap)
+_CHUNK, _STRIDE = 40, 30
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws,
+               LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_id,
+           ARRAY_TO_STRING(ws[t.i*{_STRIDE}+1 : t.i*{_STRIDE}+{_CHUNK}], ' ') AS chunk_text,
+           CAST(LEN(ws[t.i*{_STRIDE}+1 : t.i*{_STRIDE}+{_CHUNK}]) AS INTEGER) AS n_chunk_words
+    FROM w, UNNEST(RANGE(0,
+        CASE WHEN n <= {_CHUNK} THEN 1
+             ELSE CAST(CEIL((n - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1 END)) AS t(i)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window-bounded training: overlapping
+    40-word windows with stride 30. One narrow stage — sequence() builds
+    the start offsets, posexplode fans out chunks, slice/concat_ws
+    materializes each window; no shuffle at all, so at 100 TB this is a
+    pure map over the scan and parallelism = input splits."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    n_chunks = (
+        F.when(n <= _CHUNK, F.lit(1))
+        .otherwise(F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))) + 1)
+        .cast("int")
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * _STRIDE, F.lit(_STRIDE))
+    chunk_words = F.slice(words, F.col("start") + 1, _CHUNK)
+    return (
+        d.select("doc_id", words.alias("ws"), F.posexplode(starts).alias("chunk_id", "start"))
+        .withColumn("ws", F.slice(F.col("ws"), F.col("start") + 1, _CHUNK))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(" ", "ws").alias("chunk_text"),
+            F.size("ws").alias("n_chunk_words"),
+        )
+    )
+
+
+#: any token containing a digit — the stand-in PII shape for the synthetic
+#: corpus (ids, phone-ish strings); same leftmost-greedy match in Java
+#: regex (Spark) and RE2 (DuckDB)
+_REDACT_PAT = "[a-z]*[0-9][a-z0-9]*"
+
+
+@register(
+    "q_text_redact",
+    oracle=f"""
+    SELECT doc_id,
+           REGEXP_REPLACE(text, '{_REDACT_PAT}', '<ID>', 'g') AS redacted_text,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_REDACT_PAT}')) AS INTEGER) AS n_redacted,
+           ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_REDACT_PAT}')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS redact_ratio
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: every digit-bearing token is replaced with a
+    sentinel, plus the per-doc redaction count/ratio for audit. Pure
+    regexp_replace/regexp_extract_all — codegen'd, shuffle-free; swap the
+    pattern for email/phone/SSN regexes on a real corpus."""
+    d = load(spark, sf_dir, "documents")
+    n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_REDACT_PAT), 0))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _REDACT_PAT, "<ID>").alias("redacted_text"),
+        n_hits.alias("n_redacted"),
+        F.round(
+            n_hits.cast("double") / F.size(F.split(F.col("text"), " ")), 4
+        ).alias("redact_ratio"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, UNNEST(ws) AS word FROM w)
+        GROUP BY doc_id, word
+    ),
+    uni_doc AS (
+        SELECT doc_id, SUM(cnt) AS total_words,
+               COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_words
+        FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, bigram, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     UNNEST(LIST_TRANSFORM(
+                         RANGE(0, GREATEST(LEN(ws) - 2, 0) + 1),
+                         i -> ARRAY_TO_STRING(ws[i+1:i+2], ' '))) AS bigram
+              FROM w)
+        GROUP BY doc_id, bigram
+    ),
+    bg_doc AS (
+        SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_bg FROM bg GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           ROUND(CAST(u.dup_words AS DOUBLE) / u.total_words, 4) AS dup_word_frac,
+           ROUND(CAST(b.top_cnt AS DOUBLE) / b.total_bg, 4) AS top_bigram_frac,
+           (CAST(u.dup_words AS DOUBLE) / u.total_words <= 0.5
+            AND CAST(b.top_cnt AS DOUBLE) / b.total_bg <= 0.2) AS keep
+    FROM uni_doc u JOIN bg_doc b ON u.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of words that belong to
+    repeated types (dup_word_frac) and the share of bigram mass captured
+    by the single most frequent bigram (top_bigram_frac), gated into a
+    keep verdict. Two explode→groupBy passes keyed on doc_id, joined —
+    both aggregations combine map-side, so the shuffle carries one row
+    per (doc, gram), never the raw text."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    # unigram pass
+    uni = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("total_words"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("dup_words"),
+        )
+    )
+    # bigram pass: zip each word with its successor (same zero-UDF shifted-
+    # zip construction as dedup._shingles, k=2)
+    bigrams = F.slice(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(1)),
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("total_bg"))
+    )
+    dup_frac = F.col("dup_words").cast("double") / F.col("total_words")
+    top_frac = F.col("top_cnt").cast("double") / F.col("total_bg")
+    return uni.join(bg, "doc_id").select(
+        "doc_id",
+        F.round(dup_frac, 4).alias("dup_word_frac"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
+    )
+
+
 @register(
     "q_text_tfidf",
     oracle="""

@@ -73,6 +73,41 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _join(p, c)
 
 
+def _enrich(e: DataFrame, customer: DataFrame) -> DataFrame:
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return e.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_stream_join_static",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
+    FROM {EVENTS_US} e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: each event picks up its
+    customer's name/segment. Batch form of the stateless stream-static
+    join — the dim side is broadcast, so the streaming micro-batches
+    (and, at scale, every executor) hash-probe a local copy and the
+    event stream never shuffles. The static side is re-read per
+    micro-batch, which is exactly how slowly-changing dims stay fresh."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return _enrich(e, c)
+
+
+def streaming_static_join(e: DataFrame, customer: DataFrame) -> DataFrame:
+    """Streaming form: stateless inner join against a batch DataFrame —
+    no watermark required; Spark plans it as a broadcast join inside
+    every micro-batch."""
+    return _enrich(e, customer)
+
+
 def streaming_join(e: DataFrame) -> DataFrame:
     """Streaming form: both sides watermarked so Spark can expire join
     state once event time passes watermark + interval. The staged file

@@ -137,6 +137,22 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert _rowset(stream) == _rowset(batch)
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stateless stream-static dimension join: every micro-batch probes
+    the broadcast static side; the union of micro-batch outputs equals
+    the batch join."""
+    from oke_cassandra_spark_locality_demo_spark.streaming.joins import (
+        streaming_static_join,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    batch = get("q_stream_join_static").fn(spark, sf_dir)
+    stream = run_streaming_query(
+        spark, sf_dir, lambda e: streaming_static_join(e, customer), "append"
+    )
+    assert _rowset(stream) == _rowset(batch)
+
+
 def test_stateful_running_count_matches_batch(spark, sf_dir):
     result = get("q_stream_stateful").fn(spark, sf_dir)
     batch = (
