@@ -35,7 +35,7 @@ HEADLINE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    "q_sim_knn_exact",
+    "q_sim_knn_blas",
     "q_text_tfidf",
     "q_multimodal_cols",
     "q_pipeline_e2e",
@@ -54,6 +54,9 @@ def main() -> None:
     # the events µs-copy for this SF (one-time pyarrow conversion).
     # Steady-state throughput is what the 100 TB story cares about.
     queries["q_flagship_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    # ... and the Python/Arrow worker pool (first pandas-UDF query otherwise
+    # pays worker fork + Arrow init, which is session setup, not throughput)
+    queries["q_sim_knn_blas"](spark, "/root/testdata/sf0.001").count()
     from oke_cassandra_spark_locality_demo_spark.catalog import load as _load
 
     _load(spark, sf_dir, "events").count()

@@ -55,3 +55,30 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_scan_full_has_no_shuffle(spark, sf_dir):
     df = get("q_scan_full").fn(spark, sf_dir)
     assert count_exchanges(df) == 0
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
+    """Runtime partition pruning: when the fact side is Hive-partitioned
+    on the join key and the dim side carries a selective filter, Catalyst
+    injects a dynamicpruning expression into the fact scan's
+    PartitionFilters — the fact directories are pruned with the dim's
+    broadcast result at runtime, the star-join fast path that at 100 TB
+    skips whole partitions no static filter could name."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import formatted_plan
+
+    # stage the Hive layout (idempotent overwrite, same path the sink uses)
+    get("q_scan_partition_pruned").fn(spark, sf_dir)
+    from oke_cassandra_spark_locality_demo_spark.sources.ingest import _out
+
+    fact = spark.read.parquet(_out("events_by_type"))
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 1), ("error", 0)],
+        "event_type string, keep int",
+    ).filter(F.col("keep") == 1)
+    joined = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
