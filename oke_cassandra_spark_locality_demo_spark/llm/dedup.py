@@ -541,3 +541,74 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.95)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id, (id = MIN(r)) AS canonical
+    FROM reach GROUP BY id
+"""
+
+
+@register("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the ngram-Jaccard pair list (≥ 0.6) becomes an
+    undirected graph and each doc is labeled with its connected
+    component's minimum doc_id — the canonical representative every
+    pipeline keeps. The iterative min-label propagation (label :=
+    min(label, neighbors' labels) until fixpoint) is the distributed
+    connected-components loop: each round is one shuffle join keyed on
+    doc_id, `localCheckpoint` truncates the growing lineage, and rounds
+    needed = graph diameter (near-dup clusters are shallow — a handful).
+    The DuckDB oracle computes the same components via a recursive CTE,
+    checking the fixpoint, not the iteration count."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; fixture converges in ≤3
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("canonical"),
+    )

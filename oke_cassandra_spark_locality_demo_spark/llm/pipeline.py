@@ -21,6 +21,7 @@ the embedding join is keyed on the dedup survivor set.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -111,4 +112,62 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             4,
         ).alias("mean_l2"),
+    )
+
+
+#: packing budget: tokens per training sequence (bpe_estimate = chars/4)
+_PACK_BUDGET = 512
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           -- // is floor division (CAST of a double rounds in DuckDB)
+           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+           cum_tokens - n_tokens
+               - ((cum_tokens - n_tokens) // {_PACK_BUDGET}) * {_PACK_BUDGET}
+               AS bin_offset
+    FROM cum
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are packed per source
+    into fixed token-budget bins ({_PACK_BUDGET} tokens, chars/4 BPE
+    estimate) by a running token cursor — bin_id = cursor div budget,
+    bin_offset = cursor within the bin. Deterministic next-fit packing in
+    ONE window pass: no driver loop, no per-bin state; each source packs
+    independently, so at 100 TB the shuffle is one hash partition per
+    source shard and skewed sources split under AQE. A doc that crosses
+    the boundary starts its bin at the overflow offset (next-fit-with-
+    spill), which keeps assignment a pure prefix-sum — the property that
+    makes packing expressible as a window instead of a sequential fold."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / 4.0).alias("n_tokens"),
+    )
+    cursor = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    bin_id = F.floor(cursor / _PACK_BUDGET)
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        bin_id.alias("bin_id"),
+        (cursor - bin_id * _PACK_BUDGET).alias("bin_offset"),
     )

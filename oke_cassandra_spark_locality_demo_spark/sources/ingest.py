@@ -185,3 +185,27 @@ def q_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survived = base.join(updates.select("id"), "id", "left_anti")
     return survived.unionByName(updates)
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write the supplier table as ORC, read it back
+    (self-describing schema, vectorized reader, predicate pushdown —
+    Spark's other first-class columnar format), aggregate over the
+    read-back so the oracle checks the full round-trip, not just counts."""
+    path = _out("supplier_orc")
+    s = load(spark, sf_dir, "supplier")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(28,4)")).cast("double").alias("total_bal"),
+    )

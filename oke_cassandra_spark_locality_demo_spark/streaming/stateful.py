@@ -282,3 +282,50 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+@register(
+    "q_stream_foreach_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as one parquet append
+    partitioned by its epoch id — the escape hatch for sinks Spark has no
+    native writer for (JDBC upserts, MERGEs, multi-table fan-out). The
+    epoch directory makes replays idempotent at the batch level: a
+    restarted query overwrites its epoch instead of double-appending.
+    Read-back aggregate is oracle-checked against the batch equivalent."""
+    import os
+    import shutil
+    import tempfile
+
+    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_feb_sink")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    data_dir = os.path.join(out_root, tag, "data")
+    ckpt_dir = os.path.join(out_root, tag, "ckpt")
+    shutil.rmtree(os.path.join(out_root, tag), ignore_errors=True)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.option("basePath", data_dir).parquet(data_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+    )
