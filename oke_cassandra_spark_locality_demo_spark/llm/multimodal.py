@@ -151,3 +151,62 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     media = media_table(spark, sf_dir)
     return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+#: frame sampling stride: one "frame" every 16 payload bytes
+_FRAME_STRIDE = 16
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the 1→N decode shape: each video payload
+    fans out to one row per sampled frame. The 'decode' is the
+    deterministic fake (frame = payload byte at i·stride); a real
+    pipeline swaps in pyav/ffmpeg keyframe extraction with the same
+    batch-in/batch-out contract."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, vals = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = (len(payload) + _FRAME_STRIDE - 1) // _FRAME_STRIDE
+            ids.append(np.full(n, doc_id, dtype="int64"))
+            idxs.append(np.arange(n, dtype="int32"))
+            vals.append(np.frombuffer(payload, dtype="uint8")[::_FRAME_STRIDE].astype("int32"))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "frame_idx": np.concatenate(idxs),
+                "frame_byte": np.concatenate(vals),
+            }
+        )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+           CAST(UNICODE(SUBSTRING(text, CAST(t.i * {_FRAME_STRIDE} + 1 AS INTEGER), 1))
+                AS INTEGER) AS frame_byte
+    FROM documents,
+         UNNEST(RANGE(0, (LENGTH(text) + {_FRAME_STRIDE} - 1) // {_FRAME_STRIDE})) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: filter the media table to video payloads and
+    fan each out to one row per sampled frame (every 16th byte) through
+    Arrow-batched mapInPandas — the 1→N decode shape (keyframe / audio-
+    window extraction). Fan-out happens executor-side inside the batch,
+    so output size never concentrates on the driver, and downstream ops
+    see an ordinary (doc_id, frame_idx, …) DataFrame they can shuffle,
+    join, or window like any other."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    return media.mapInPandas(sample_frames, schema=FRAME_SCHEMA)

@@ -209,3 +209,52 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("s_acctbal").cast("decimal(28,4)")).cast("double").alias("total_bal"),
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketed tables — the storage-layout analog
+    of the reference's replica-aligned locality (SURVEY §2.2 B2/B6):
+    both tables are written `bucketBy(8, key)` + `sortBy(key)`, so every
+    bucket i of orders co-locates with bucket i of lineitem and the join
+    compiles to a zero-Exchange sort-merge over aligned buckets
+    (asserted in tests/test_plans.py). At 100 TB this is the decisive
+    layout: the fact-table shuffle happens once at write time and every
+    subsequent keyed join/aggregation reads it back for free.
+    """
+    import shutil
+
+    # stale warehouse dirs outlive the in-memory catalog across sessions
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    for name, src, key in (
+        ("orders_bkt", "orders", "o_orderkey"),
+        ("lineitem_bkt", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            load(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("orders_bkt")
+    l = spark.table("lineitem_bkt")
+    joined = o.join(l, o.o_orderkey == l.l_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

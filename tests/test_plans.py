@@ -82,3 +82,56 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
     )
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key → the sort-merge join reads
+    aligned buckets directly; the only exchange left is the final
+    aggregation's (on a different key)."""
+    df = get("q_join_bucketed").fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime filtering for non-partition keys: with a selective filter
+    on the dim side of a shuffle join, Catalyst injects a bloom-filter
+    aggregate on the dim and a might-contain probe into the fact scan —
+    rows that can't join are dropped before the shuffle. At 100 TB this
+    is the row-level complement to dynamic partition pruning (which only
+    helps when the layout is partitioned on the join key)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need the bloom probe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        from oke_cassandra_spark_locality_demo_spark.plans.inspect import formatted_plan
+
+        assert "bloom_filter" in formatted_plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
