@@ -81,3 +81,94 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(15)
     )
+
+
+def _spread16(c: "F.Column") -> "F.Column":
+    """Interleave-ready bit spread: 16-bit value → even bit positions of a
+    32-bit word (the standard magic-mask doubling sequence)."""
+    c = c.bitwiseAND(F.lit(0xFFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+#: rows per simulated file in the z-order clustering audit
+_Z_BUCKET = 4096
+
+
+@register(
+    "q_sort_zorder",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               (
+                 (((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935
+                    | ((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935) << 4)) & 252645135
+                    | (((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935
+                        | ((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459
+                    | ((((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935
+                        | ((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935) << 4)) & 252645135
+                        | (((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935
+                            | ((((l_partkey & 65535) | ((l_partkey & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765
+               )
+               |
+               ((
+                 (((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935
+                    | ((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935) << 4)) & 252645135
+                    | (((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935
+                        | ((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459
+                    | ((((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935
+                        | ((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935) << 4)) & 252645135
+                        | (((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935
+                            | ((((l_suppkey & 65535) | ((l_suppkey & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765
+               ) << 1) AS zval
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS rn
+        FROM z
+    )
+    SELECT (rn - 1) // {_Z_BUCKET} AS file_id,
+           COUNT(*) AS n,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering on (l_partkey, l_suppkey): bits
+    of both keys interleave into one sort key, the table is range-sorted
+    by it, and the result reports per-simulated-file min/max ranges of
+    BOTH dimensions — the audit that shows why z-ordering enables data
+    skipping on either column (each file covers a narrow rectangle, so a
+    predicate on partkey OR suppkey prunes most files from min/max
+    stats). Pure bit arithmetic in codegen; the sort is Spark's range
+    exchange — at 100 TB this is the OPTIMIZE ZORDER layout pass run
+    before writing, and the min/max audit is what the parquet footers
+    will contain."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = _spread16(F.col("l_partkey")).bitwiseOR(
+        F.shiftleft(_spread16(F.col("l_suppkey")), 1)
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.orderBy("zval", "l_orderkey", "l_linenumber")
+    )
+    return (
+        li.withColumn("zval", z)
+        .withColumn("rn", rn)
+        .groupBy(((F.col("rn") - 1) / _Z_BUCKET).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
