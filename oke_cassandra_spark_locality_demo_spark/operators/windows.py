@@ -246,3 +246,37 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: percent_rank / cume_dist over the
+    per-nation balance order, plus nth_value with an explicit
+    whole-partition frame (the default running frame would make
+    nth_value(…, 2) null until row 2 — a classic silent-wrong-answer;
+    both engines get the same explicit frame)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
