@@ -258,3 +258,106 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "q_source_json_corrupt",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE s_suppkey % 7 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE s_suppkey % 7 = 0) AS n_corrupt,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(28,4)))
+                FILTER (WHERE s_suppkey % 7 <> 0) AS DOUBLE) AS good_bal
+    FROM supplier
+    """,
+)
+def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest handling: a JSON staging file where every 7th record
+    is truncated mid-object is read in PERMISSIVE mode with a
+    `_corrupt_record` column — bad rows are quarantined as raw strings
+    instead of failing the load (the only survivable posture for a
+    100 TB ingest: one bad record must not kill a 6-hour job). Returns
+    good/corrupt counts plus an aggregate over the clean rows; the
+    oracle derives the same numbers from the pristine source table."""
+    import json
+
+    path = _out("supplier_corrupt.json")
+    rows = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).collect()
+    with open(path, "w") as f:
+        for r in sorted(rows, key=lambda r: r["s_suppkey"]):
+            line = json.dumps(
+                {"s_suppkey": r["s_suppkey"], "s_name": r["s_name"],
+                 "s_acctbal": r["s_acctbal"]}
+            )
+            if r["s_suppkey"] % 7 == 0:
+                line = line[: len(line) // 2]  # truncate mid-object
+            f.write(line + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType(), True),
+            T.StructField("s_name", T.StringType(), True),
+            T.StructField("s_acctbal", T.DoubleType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # cache before splitting on _corrupt_record: Spark requires referencing
+    # the corrupt column only on a materialized frame (SPARK-21610)
+    raw = raw.cache()
+    raw.count()
+    bad = F.col("_corrupt_record").isNotNull()
+    return raw.agg(
+        F.count_if(~bad).alias("n_good"),
+        F.count_if(bad).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("s_acctbal")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("good_bal"),
+    )
+
+
+@register(
+    "q_source_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(COUNT(o_comment_len) AS BIGINT) AS n_with_new_col
+    FROM (
+        SELECT o_orderstatus, NULL AS o_comment_len
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, LENGTH(o_orderpriority)
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 is written with the v1 schema,
+    batch 2 adds a column; `mergeSchema` unifies them at read time with
+    nulls for the missing column — the append-only evolution path that
+    avoids rewriting 100 TB of history when a producer adds a field."""
+    path = _out("orders_evolving")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.length("o_orderpriority").alias("o_comment_len"),
+    )
+    v1.write.parquet(os.path.join(path, "batch=1"))
+    v2.write.parquet(os.path.join(path, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_comment_len").alias("n_with_new_col"),
+    )
