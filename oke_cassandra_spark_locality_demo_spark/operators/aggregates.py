@@ -292,3 +292,82 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "user_id", *[F.col(t).alias(f"evt_{t}") for t in types]
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        UNION ALL
+        SELECT p_partkey, 'name_len', CAST(LENGTH(p_name) AS DOUBLE) FROM part
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot): wide per-part measures to
+    long (entity, metric, value) triples via the native ``unpivot``
+    operator — a narrow, shuffle-free transform (each input row expands
+    in place; no Exchange), so it costs one scan at any scale. The long
+    layout is what metric stores and feature pipelines ingest."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+        F.length("p_name").cast("double").alias("name_len"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size", "name_len"], "metric", "value"
+    )
+
+
+@register(
+    "q_agg_hist",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 8000.0), 0), 13)
+                    AS INT) AS bucket,
+               l_extendedprice
+        FROM lineitem
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE)
+               AS sum_price,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: prices binned into 14 fixed 8000-wide
+    buckets (clamped at the edges) with per-bucket count/sum and a
+    running cumulative count. The bucket id is identical floor
+    arithmetic on both engines (no width_bucket, whose edge conventions
+    differ). Partial aggregation reduces each partition to ≤14 rows
+    before the shuffle, and the window runs over the aggregated
+    relation (≤14 rows) — both properties hold at any scale."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.least(
+            F.greatest(F.floor((F.col("l_extendedprice") - 900.0) / 8000.0), F.lit(0)),
+            F.lit(13),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    agg = li.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_price"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "bucket", "n", "sum_price", F.sum("n").over(w).cast("long").alias("cum_n")
+    ).orderBy("bucket")

@@ -88,3 +88,37 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o ON s.d = o.d
         """
     )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, t.n_lines, t.max_line_price
+    FROM orders o,
+         LATERAL (SELECT COUNT(*) AS n_lines,
+                         MAX(l.l_extendedprice) AS max_line_price
+                  FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey) t
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per-order line stats computed by a
+    multi-column correlated aggregate in the FROM clause. Catalyst
+    decorrelates it into a single aggregate + join rather than
+    re-scanning lineitem per outer row — the property that makes the
+    per-row-subquery *syntax* safe at 100 TB. Orders with no lines
+    surface as n_lines=0 (ungrouped aggregate over empty input), which
+    a plain inner-join rewrite would silently drop."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, t.n_lines, t.max_line_price
+        FROM orders o,
+             LATERAL (SELECT COUNT(*) AS n_lines,
+                             MAX(l.l_extendedprice) AS max_line_price
+                      FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey) t
+        WHERE o.o_totalprice > 400000
+        """
+    )
