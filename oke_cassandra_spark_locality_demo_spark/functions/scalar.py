@@ -287,3 +287,31 @@ def q_fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           l_orderkey & 255 AS lo_byte,
+           (l_orderkey << 8) | CAST(l_linenumber & 7 AS BIGINT) AS packed,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           CAST(bit_count(l_orderkey) AS INT) AS popcnt
+    FROM lineitem
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: AND/OR/XOR, shifts, and popcount —
+    the primitives behind bit-packed feature flags, partition-key
+    packing (key<<8 | lane), and Hamming-distance sketches (simhash
+    popcount). All JVM-codegen'd; no UDF."""
+    li = load(spark, sf_dir, "lineitem")
+    ok, pk = F.col("l_orderkey"), F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        ok.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        (F.shiftleft(ok, 8).bitwiseOR(F.col("l_linenumber").bitwiseAND(F.lit(7)).cast("long"))).alias("packed"),
+        ok.bitwiseXOR(pk).alias("key_xor"),
+        F.bit_count(ok).alias("popcnt"),
+    )

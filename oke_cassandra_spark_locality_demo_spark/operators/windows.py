@@ -280,3 +280,83 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH feed AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM {EVENTS_US}
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feed
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse a change feed (events as upserts, 'error'
+    rows standing in for deletes) to the current snapshot — latest
+    change per key wins, and keys whose latest change is a delete drop
+    out. One window pass partitioned by key; at scale the feed shuffles
+    once on user_id and each partition sorts independently, which is
+    the standard merge-on-read compaction shape (Hudi/Iceberg
+    upsert semantics re-expressed on plain parquet)."""
+    e = load(spark, sf_dir, "events")
+    feed = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_scd2_dimension",
+    oracle=f"""
+    SELECT user_id, event_id, value, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM {EVENTS_US}
+    WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each attribute-changing
+    event becomes a version row with [valid_from, valid_to) validity,
+    a per-key version number, and an is_current flag (open interval).
+    lead() over the per-key timeline closes each interval without a
+    self-join — one shuffle on the key, versus the naive
+    event×event range join that is quadratic per key."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
