@@ -436,3 +436,43 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("word").alias("top_word"), F.col("tfidf").alias("top_tfidf"))
     )
+
+
+@register(
+    "q_text_clean",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, text,
+               TRIM(REGEXP_REPLACE(
+                   REGEXP_REPLACE(text, '[^\\x20-\\x7e]', ' ', 'g'),
+                   ' {2,}', ' ', 'g')) AS clean_text
+        FROM documents
+    )
+    SELECT doc_id, clean_text,
+           LENGTH(text) AS len_raw,
+           LENGTH(clean_text) AS len_clean,
+           (clean_text <> text) AS was_dirty
+    FROM c
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for training corpora: non-printable /
+    non-ASCII bytes become spaces, runs of whitespace collapse, edges
+    trim — with a was_dirty audit flag and before/after lengths so the
+    cleaning rate is measurable. Pure codegen'd regexp_replace (RE2 and
+    Java agree on \\x escapes and greedy quantifiers; the oracle passes
+    'g' because DuckDB replaces first-match by default while Spark
+    replaces all). Narrow, shuffle-free map over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[^\\x20-\\x7e]", " "), " {2,}", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").alias("len_raw"),
+        F.length(clean).alias("len_clean"),
+        (clean != F.col("text")).alias("was_dirty"),
+    )

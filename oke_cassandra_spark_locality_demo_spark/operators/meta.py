@@ -130,3 +130,79 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_orderkey) AS k1_nn, COUNT(DISTINCT o_orderkey) AS k1_nd,
+               MIN(CAST(o_orderkey AS DOUBLE)) AS k1_min, MAX(CAST(o_orderkey AS DOUBLE)) AS k1_max,
+               COUNT(o_custkey) AS k2_nn, COUNT(DISTINCT o_custkey) AS k2_nd,
+               MIN(CAST(o_custkey AS DOUBLE)) AS k2_min, MAX(CAST(o_custkey AS DOUBLE)) AS k2_max,
+               COUNT(o_totalprice) AS k3_nn, COUNT(DISTINCT o_totalprice) AS k3_nd,
+               MIN(CAST(o_totalprice AS DOUBLE)) AS k3_min, MAX(CAST(o_totalprice AS DOUBLE)) AS k3_max,
+               COUNT(o_orderstatus) AS s1_nn, COUNT(DISTINCT o_orderstatus) AS s1_nd,
+               MIN(o_orderstatus) AS s1_min, MAX(o_orderstatus) AS s1_max,
+               COUNT(o_orderpriority) AS s2_nn, COUNT(DISTINCT o_orderpriority) AS s2_nd,
+               MIN(o_orderpriority) AS s2_min, MAX(o_orderpriority) AS s2_max
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n AS n_rows, n - k1_nn AS n_null,
+           k1_nd AS n_distinct, k1_min AS min_num, k1_max AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+    UNION ALL
+    SELECT 'o_custkey', n, n - k2_nn, k2_nd, k2_min, k2_max, NULL, NULL FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n, n - k3_nn, k3_nd, k3_min, k3_max, NULL, NULL FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - s1_nn, s1_nd, NULL, NULL, s1_min, s1_max FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - s2_nn, s2_nd, NULL, NULL, s2_min, s2_max FROM a
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (DESCRIBE/ANALYZE analog): one
+    aggregate computes count / nulls / exact distinct / min / max for
+    every profiled column, then the flat stat row is fanned out to one
+    long-format row per column. One table scan regardless of column
+    count — the property that makes profiling affordable at 100 TB
+    (the naive per-column loop is C scans). Numeric and string columns
+    carry their extrema in typed min_num/min_str slots rather than a
+    lossy string cast (engine float formatting differs)."""
+    o = load(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(c).alias(f"{c}_nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_nd"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}_min"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}_max"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    a = o.agg(*aggs)
+
+    def row(c: str, numeric: bool) -> DataFrame:
+        null_s = F.lit(None).cast("string")
+        null_d = F.lit(None).cast("double")
+        return a.select(
+            F.lit(c).alias("column_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"{c}_nn")).alias("n_null"),
+            F.col(f"{c}_nd").alias("n_distinct"),
+            (F.col(f"{c}_min") if numeric else null_d).alias("min_num"),
+            (F.col(f"{c}_max") if numeric else null_d).alias("max_num"),
+            (null_s if numeric else F.col(f"{c}_min")).alias("min_str"),
+            (null_s if numeric else F.col(f"{c}_max")).alias("max_str"),
+        )
+
+    out = row(num_cols[0], True)
+    for c in num_cols[1:]:
+        out = out.unionByName(row(c, True))
+    for c in str_cols:
+        out = out.unionByName(row(c, False))
+    return out

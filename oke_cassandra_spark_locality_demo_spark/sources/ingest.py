@@ -361,3 +361,61 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("o_comment_len").alias("n_with_new_col"),
     )
+
+
+@register(
+    "q_export_jsonl_shards",
+    oracle="""
+    SELECT CAST((STRPOS('0123456789abcdef',
+                        SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+                AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_distinct_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: documents serialized to JSONL and written
+    hash-sharded (md5(doc_id) % 8 — engine-portable, reproducible across
+    runs and cluster sizes, unlike round-robin) via a partitioned text
+    sink, then read back with partition discovery and audited per shard.
+    Deterministic sharding is what makes a 100 TB export resumable and
+    what keeps one doc's versions in one shard for downstream dedup.
+    The audit (count / distinct / char mass per shard) is computed on
+    the READ-BACK files, so the oracle match proves the JSON round-trip
+    is lossless, newlines included (to_json escapes them)."""
+    import shutil
+
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        (
+            F.expr(
+                "locate(substring(md5(cast(doc_id as string)), 1, 1),"
+                " '0123456789abcdef')"
+            )
+            - 1
+        )
+        % 8
+    ).cast("int")
+    path = _out("documents_jsonl")
+    shutil.rmtree(path, ignore_errors=True)
+    d.select(
+        F.to_json(F.struct("doc_id", "lang", "text")).alias("value"),
+        shard.alias("shard"),
+    ).write.partitionBy("shard").mode("overwrite").text(path)
+
+    back = spark.read.text(path)
+    r = F.from_json("value", "doc_id BIGINT, lang STRING, text STRING").alias("r")
+    return (
+        back.select(r, F.col("shard").cast("int").alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("r.doc_id").alias("n_distinct_docs"),
+            F.sum(F.length("r.text")).alias("n_chars"),
+        )
+        .orderBy("shard")
+    )
