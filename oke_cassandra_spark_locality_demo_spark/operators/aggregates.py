@@ -371,3 +371,73 @@ def q_agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "bucket", "n", "sum_price", F.sum("n").over(w).cast("long").alias("cum_n")
     ).orderBy("bucket")
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most-frequent value per group): count the
+    (group, value) pairs, then take the top row per group with an
+    explicit tiebreak (count desc, value desc). The engines' native
+    mode() aggregates resolve ties arbitrarily — useless for a
+    reproducible pipeline — so ties are broken in the query. Two
+    map-side-combined aggregations over tiny group cardinality; the
+    window runs on the aggregated relation, not the fact table."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").desc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           (SELECT LIST(x ORDER BY x)
+            FROM (SELECT DISTINCT c2.c_mktsegment AS x FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey)) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer c
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: the distinct market segments per
+    nation as a SORTED array (collect_set is partition-order-
+    nondeterministic; array_sort makes it canonical — the required
+    discipline for any array-typed output that feeds hashing or diff).
+    Arrays stay bounded (≤ #segments) so rows never blow up; the
+    parity harness compares the arrays element-wise."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
