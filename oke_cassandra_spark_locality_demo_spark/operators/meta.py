@@ -168,9 +168,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     every profiled column, then the flat stat row is fanned out to one
     long-format row per column. One table scan regardless of column
     count — the property that makes profiling affordable at 100 TB
-    (the naive per-column loop is C scans). Numeric and string columns
-    carry their extrema in typed min_num/min_str slots rather than a
-    lossy string cast (engine float formatting differs)."""
+    (the naive per-column loop is C scans). The long format comes from
+    `stack` over the single aggregate row, NOT a C-way union of selects:
+    union branches are column-pruned into *different* aggregates and
+    re-scan the table per branch (measured: 5 scans), while the
+    generator provably keeps one scan (asserted in tests/test_plans.py).
+    Numeric and string columns carry their extrema in typed
+    min_num/min_str slots rather than a lossy string cast (engine float
+    formatting differs)."""
     o = load(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority"]
@@ -186,23 +191,23 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.max(c).alias(f"{c}_max"))
     a = o.agg(*aggs)
 
-    def row(c: str, numeric: bool) -> DataFrame:
-        null_s = F.lit(None).cast("string")
-        null_d = F.lit(None).cast("double")
-        return a.select(
-            F.lit(c).alias("column_name"),
-            F.col("_n").alias("n_rows"),
-            (F.col("_n") - F.col(f"{c}_nn")).alias("n_null"),
-            F.col(f"{c}_nd").alias("n_distinct"),
-            (F.col(f"{c}_min") if numeric else null_d).alias("min_num"),
-            (F.col(f"{c}_max") if numeric else null_d).alias("max_num"),
-            (null_s if numeric else F.col(f"{c}_min")).alias("min_str"),
-            (null_s if numeric else F.col(f"{c}_max")).alias("max_str"),
-        )
-
-    out = row(num_cols[0], True)
-    for c in num_cols[1:]:
-        out = out.unionByName(row(c, True))
+    null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    stack_args: list = [F.lit(len(num_cols) + len(str_cols))]
+    for c in num_cols:
+        stack_args += [
+            F.lit(c), F.col("_n") - F.col(f"{c}_nn"), F.col(f"{c}_nd"),
+            F.col(f"{c}_min"), F.col(f"{c}_max"), null_s, null_s,
+        ]
     for c in str_cols:
-        out = out.unionByName(row(c, False))
-    return out
+        stack_args += [
+            F.lit(c), F.col("_n") - F.col(f"{c}_nn"), F.col(f"{c}_nd"),
+            null_d, null_d, F.col(f"{c}_min"), F.col(f"{c}_max"),
+        ]
+    stacked = F.stack(*stack_args).alias(
+        "column_name", "n_null", "n_distinct", "min_num", "max_num",
+        "min_str", "max_str",
+    )
+    return a.select(F.col("_n").alias("n_rows"), stacked).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

@@ -135,3 +135,18 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_profiler_is_single_scan(spark, sf_dir):
+    """q_profile_columns claims one table scan for C profiled columns;
+    a union-of-selects formulation silently becomes C scans."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_profile_columns").fn(spark, sf_dir)
+    assert simple_plan(df).count("Scan parquet") == 1
+
+
+def test_unpivot_has_no_exchange(spark, sf_dir):
+    """Unpivot is a narrow transform: rows expand in place, no shuffle."""
+    df = get("q_unpivot").fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
