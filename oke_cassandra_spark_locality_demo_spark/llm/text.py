@@ -476,3 +476,50 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("len_clean"),
         (clean != F.col("text")).alias("was_dirty"),
     )
+
+
+@register(
+    "q_text_url_extract",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang,
+               'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           REGEXP_EXTRACT(url, '^https://([^/]+)(/[^?]*)\\?lang=(.*)$', 1) AS host,
+           REGEXP_EXTRACT(url, '^https://([^/]+)(/[^?]*)\\?lang=(.*)$', 2) AS path,
+           REGEXP_EXTRACT(url, '^https://([^/]+)(/[^?]*)\\?lang=(.*)$', 3) AS lang_param
+    FROM u
+    WHERE REGEXP_EXTRACT(url, '^https://([^/]+)(/[^?]*)\\?lang=(.*)$', 1)
+          NOT IN ('src0.example.com', 'src13.example.com')
+    """,
+)
+def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-provenance handling: documents carry a source URL
+    (synthesized deterministically here from the fixture's source id);
+    host / path / query-param are extracted with one anchored regex and
+    blocklisted domains are dropped — the domain-filter step every
+    web-scale corpus pipeline runs before training. regexp_extract has
+    the same (str, pattern, group) signature and RE2-compatible
+    semantics in both engines, so the op is fully oracle-checked; the
+    blocklist is a literal IN-list (broadcast at scale). Narrow map +
+    filter: no shuffle, pushes behind column pruning."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    pat = "^https://([^/]+)(/[^?]*)\\?lang=(.*)$"
+    host = F.regexp_extract(url, pat, 1)
+    return (
+        d.select(
+            "doc_id",
+            url.alias("url"),
+            host.alias("host"),
+            F.regexp_extract(url, pat, 2).alias("path"),
+            F.regexp_extract(url, pat, 3).alias("lang_param"),
+        )
+        .filter(~F.col("host").isin("src0.example.com", "src13.example.com"))
+    )
