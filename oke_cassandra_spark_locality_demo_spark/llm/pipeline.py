@@ -171,3 +171,54 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_id.alias("bin_id"),
         (cursor - bin_id * _PACK_BUDGET).alias("bin_offset"),
     )
+
+
+@register(
+    "q_split_train_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN SUBSTRING(MD5(source), 1, 2) < 'cc' THEN 'train'
+                    WHEN SUBSTRING(MD5(source), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT source) AS sources,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS share
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is md5(source),
+    not md5(doc_id), so every document from one provenance group lands
+    in the same split — near-duplicates from the same crawl source can
+    never straddle train and eval. Hex-prefix thresholds give ~80/10/10
+    ('cc'/'e6' of the 256-bucket space) with zero RNG state: assignment
+    is a narrow map any worker computes locally (same portable-md5
+    pattern as q_sample_hash, which samples rather than partitions).
+    The returned audit — docs, distinct sources, and corpus share per
+    (split, lang) — is the balance check run before training; the
+    window total is a single-partition agg over the tiny grouped
+    result, not over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("source")), 1, 2)
+    split = (
+        F.when(pfx < "cc", "train").when(pfx < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("source").alias("sources"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("docs") / F.sum("docs").over(W.partitionBy()), 4),
+        )
+        .orderBy("split", "lang")
+    )

@@ -523,3 +523,91 @@ def q_text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("host").isin("src0.example.com", "src13.example.com"))
     )
+
+
+@register(
+    "q_text_pmi",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS w,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM (
+            SELECT w AS w1,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM wds
+        ) WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM wds GROUP BY w),
+    tot AS (SELECT (SELECT SUM(c) FROM uni) AS tu,
+                   (SELECT SUM(c_ab) FROM bi) AS tb)
+    SELECT b.w1, b.w2, b.c_ab,
+           ROUND(LN((b.c_ab / t.tb) /
+                    ((u1.c / t.tu) * (u2.c / t.tu))), 4) AS pmi
+    FROM bi b
+    CROSS JOIN tot t
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    ORDER BY b.c_ab DESC, b.w1, b.w2
+    LIMIT 50
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs across the corpus — the classic phrase-detection pass (e.g.
+    word2vec phrase merging) a training-data pipeline runs before
+    tokenizer training. Bigrams are built narrowly inside each row with
+    zip_with over two array slices (no per-token shuffle; the only wide
+    ops are the two count aggregations), unigram counts and the two
+    scalar totals are broadcast into the final join, and top-50 by raw
+    pair count is a TakeOrderedAndProject. PMI = ln(p(ab)/(p(a)p(b)))
+    computed in the same expression shape on both engines so the 4-dp
+    round absorbs only last-ulp ln() differences. Oracle builds the
+    identical bigrams via LEAD over ordinal-unnested tokens."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bi = (
+        d.withColumn("ws", words)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),"
+                    " (a, b) -> named_struct('w1', a, 'w2', b))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        d.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("tu")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("tb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("tb"))
+                    / ((F.col("c1") / F.col("tu")) * (F.col("c2") / F.col("tu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(50)
+    )

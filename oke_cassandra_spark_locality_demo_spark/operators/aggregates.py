@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 
 def _dec(c: Column | str, scale: int = 8) -> Column:
@@ -440,4 +440,71 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
         F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "q_agg_incremental",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(28,4))) AS s,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM {EVENTS_US}
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(DATE_TRUNC('month', day) AS TIMESTAMP) AS month,
+           COUNT(*) AS days,
+           SUM(n) AS events,
+           CAST(SUM(s) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 4) AS mean_value,
+           MIN(lo) AS min_value, MAX(hi) AS max_value
+    FROM daily
+    GROUP BY 1, 2
+    ORDER BY event_type, month
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: daily partial aggregates are
+    merged into the monthly rollup instead of re-scanning raw events —
+    the pre-aggregation pattern that keeps a 100 TB metrics pipeline
+    incremental (each day lands once; months re-derive from ~30 partial
+    rows per key). Correct merge requires algebraic aggregates: counts
+    and decimal sums add, min/max fold, and the mean is re-derived from
+    merged sum/count — never averaged across partials. The oracle
+    computes the same two-level merge; because every aggregate is
+    algebraic and the sums are decimal, the merged result is
+    bit-identical to a direct monthly aggregation."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_trunc("month", F.col("day")).alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.sum("n").alias("events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.round(
+                F.sum("s").cast("double") / F.sum("n"), 4
+            ).alias("mean_value"),
+            F.min("lo").alias("min_value"),
+            F.max("hi").alias("max_value"),
+        )
+        .orderBy("event_type", "month")
     )

@@ -467,3 +467,69 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q_join_pit",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts AS valid_from, value AS attr_value,
+               CAST(ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS dim_version
+        FROM {EVENTS_US} WHERE event_type IN ('signup', 'purchase')
+    ),
+    vd AS (
+        SELECT user_id, valid_from, attr_value, dim_version FROM (
+            SELECT v.*, ROW_NUMBER() OVER
+                   (PARTITION BY user_id, valid_from
+                    ORDER BY dim_version DESC) AS rn
+            FROM v
+        ) WHERE rn = 1
+    ),
+    f AS (
+        SELECT event_id, user_id, ts, event_type FROM {EVENTS_US}
+        WHERE event_type IN ('click', 'view', 'error')
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.event_type,
+           vd.dim_version, vd.attr_value
+    FROM f ASOF LEFT JOIN vd
+      ON f.user_id = vd.user_id AND f.ts >= vd.valid_from
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: every fact event is enriched
+    with the dimension version that was valid AT its timestamp — the
+    lookup that prevents feature leakage when building training rows
+    from an SCD2 dimension (q_scd2_dimension builds the versions; this
+    consumes them). Versions sharing a valid_from are collapsed to the
+    latest first, making the lookup deterministic. Runs on the generic
+    union-marker asof_join: one shuffle on user_id, no range-join row
+    explosion — at 100 TB the fact stream never fans out. Oracle is
+    DuckDB's native ASOF LEFT JOIN over the identical version set."""
+    e = load(spark, sf_dir, "events")
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("value").alias("attr_value"),
+            F.row_number().over(wv).cast("long").alias("dim_version"),
+        )
+    )
+    wd = W.partitionBy("user_id", "valid_from").orderBy(
+        F.col("dim_version").desc()
+    )
+    vd = (
+        v.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    f = e.filter(F.col("event_type").isin("click", "view", "error")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return asof_join(
+        f, vd, key="user_id", left_ts="ts", right_ts="valid_from",
+        payload_cols=["dim_version", "attr_value"],
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
         setops,
         meta,
         sql_features,
+        graph,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest  # noqa: F401
