@@ -222,3 +222,72 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "q_split_drift_chisq",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN SUBSTRING(MD5(source), 1, 2) < 'cc' THEN 'train'
+                    WHEN SUBSTRING(MD5(source), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, split, COUNT(*) AS n
+        FROM assigned WHERE split IN ('train', 'val')
+        GROUP BY lang, split
+    )
+    SELECT lang, split, n,
+           ROUND(SUM(n) OVER (PARTITION BY lang)
+                 * SUM(n) OVER (PARTITION BY split)
+                 * 1.0 / SUM(n) OVER (), 4) AS expected,
+           ROUND(POW(n - SUM(n) OVER (PARTITION BY lang)
+                         * SUM(n) OVER (PARTITION BY split)
+                         * 1.0 / SUM(n) OVER (), 2)
+                 / (SUM(n) OVER (PARTITION BY lang)
+                    * SUM(n) OVER (PARTITION BY split)
+                    * 1.0 / SUM(n) OVER ()), 4) AS chisq_contrib
+    FROM cells
+    ORDER BY lang, split
+    """,
+)
+def q_split_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-drift audit: a chi-square contingency check that the
+    language distribution of the train split matches val — the
+    before-training gate against a skewed holdout (the same machinery
+    audits temporal drift between corpus snapshots). Observed counts
+    come from one groupBy over the assigned corpus; expected counts and
+    per-cell chi-square contributions are pure window arithmetic over
+    the tiny (lang × split) contingency table, so the corpus is
+    scanned exactly once regardless of scale. Deterministic integer
+    counts → double division in identical expression shape on both
+    engines; a large total contribution vs the chi-square critical
+    value is the drift alarm."""
+    d = load(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("source")), 1, 2)
+    split = (
+        F.when(pfx < "cc", "train").when(pfx < "e6", "val").otherwise("test")
+    )
+    cells = (
+        d.select("lang", split.alias("split"))
+        .filter(F.col("split").isin("train", "val"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = (
+        F.sum("n").over(W.partitionBy("lang"))
+        * F.sum("n").over(W.partitionBy("split"))
+        / F.sum("n").over(W.partitionBy())
+    )
+    return (
+        cells.select(
+            "lang",
+            "split",
+            "n",
+            F.round(exp, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_contrib"),
+        )
+        .orderBy("lang", "split")
+    )

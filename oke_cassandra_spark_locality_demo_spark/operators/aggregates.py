@@ -508,3 +508,75 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "month")
     )
+
+
+@register(
+    "q_agg_mad_outliers",
+    oracle="""
+    WITH px AS (
+        SELECT p.p_brand, CAST(l.l_extendedprice AS DOUBLE) AS price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    med AS (
+        SELECT p_brand, QUANTILE_CONT(price, 0.5) AS med
+        FROM px GROUP BY p_brand
+    ),
+    mad AS (
+        SELECT px.p_brand, ANY_VALUE(med.med) AS med,
+               QUANTILE_CONT(ABS(px.price - med.med), 0.5) AS mad
+        FROM px JOIN med ON px.p_brand = med.p_brand
+        GROUP BY px.p_brand
+    )
+    SELECT px.p_brand,
+           ROUND(ANY_VALUE(mad.med), 4) AS median_price,
+           ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ABS(px.price - mad.med) > 3 * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM px JOIN mad ON px.p_brand = mad.p_brand
+    GROUP BY px.p_brand
+    ORDER BY px.p_brand
+    """,
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit: median absolute deviation, the
+    std-dev substitute that survives the heavy-tailed value columns
+    real corpora have. Three passes over the same brand partitioning —
+    exact median per brand, exact median of absolute deviations, then
+    the |x − med| > 3·MAD count — with the tiny per-brand stats
+    broadcast back into each pass, so the fact table shuffles once per
+    exact-percentile aggregation and never self-joins row-to-row. Exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB
+    QUANTILE_CONT) keep it fully oracle-checked, unlike the
+    approx_percentile sketch path."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    px = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    med = px.groupBy("p_brand").agg(
+        F.expr("percentile(price, 0.5)").alias("med")
+    )
+    mad = (
+        px.join(F.broadcast(med), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(price - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        px.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("price") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )

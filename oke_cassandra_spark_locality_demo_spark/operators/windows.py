@@ -360,3 +360,52 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_win_streaks",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+        FROM {EVENTS_US}
+    ),
+    g AS (
+        SELECT user_id, d,
+               DATE_DIFF('day', DATE '1970-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM d
+    )
+    SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+           COUNT(*) AS days
+    FROM g GROUP BY user_id, grp
+    ORDER BY user_id, streak_start
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days
+    (retention/engagement streaks). The classic trick — day-number minus
+    per-user row_number is constant within a run — turns island
+    detection into a plain groupBy: one shuffle on user_id for the
+    window, the grouping reuses the same partitioning, and nothing is
+    ever self-joined (the naive formulation is a per-user range join).
+    The epoch-day arithmetic keeps the island key an integer, identical
+    in both engines."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    g = d.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01")) - F.row_number().over(w),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "streak_start")
+    )

@@ -419,3 +419,64 @@ def q_export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q_maintenance_compact",
+    oracle="""
+    SELECT 'before' AS phase, event_type,
+           COUNT(DISTINCT user_id % 16) AS n_files, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'after' AS phase, event_type,
+           CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    ORDER BY phase, event_type
+    """,
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB lake needs (streaming/appends fragment partitions;
+    query latency then dies on file-open overhead and tiny row groups).
+    Stage 1 deliberately fragments: events land partitioned by
+    (event_type, user_id%16) — one file per leaf, 16 files per type.
+    Stage 2 compacts by rewriting with partitioning aligned to the
+    partition column only, collapsing each type directory to a single
+    file (at real scale: repartition to ceil(bytes/target) files per
+    partition, same mechanics). The audit counts physical files per
+    type via input_file_name() on the read-back of both layouts; the
+    fragment/compact file counts are deterministic functions of the
+    data (distinct shards per type, then 1), which is what makes a
+    filesystem-level maintenance op fully oracle-checkable."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(16))
+    )
+    small = _out("events_fragmented")
+    e.repartition("event_type", "shard").write.mode("overwrite").partitionBy(
+        "event_type", "shard"
+    ).parquet(small)
+
+    frag = spark.read.parquet(small)
+    compacted = _out("events_compacted")
+    frag.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(compacted)
+
+    def audit(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.withColumn("f", F.input_file_name())
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("f").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(
+                F.lit(phase).alias("phase"), "event_type", "n_files", "n_rows"
+            )
+        )
+
+    return (
+        audit(frag, "before")
+        .unionByName(audit(spark.read.parquet(compacted), "after"))
+        .orderBy("phase", "event_type")
+    )

@@ -150,3 +150,34 @@ def test_unpivot_has_no_exchange(spark, sf_dir):
     """Unpivot is a narrow transform: rows expand in place, no shuffle."""
     df = get("q_unpivot").fn(spark, sf_dir)
     assert count_exchanges(df) == 0
+
+
+def test_pit_join_is_single_key_shuffle(spark, sf_dir):
+    """q_join_pit must run as the union-marker window as-of, not a range
+    join: no BroadcastNestedLoop/CartesianProduct anywhere, and the fact
+    stream shuffles only on the key partitioning (scan exchanges for the
+    two event branches + the window exchange, never a range explosion)."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_join_pit").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_streaks_has_no_join(spark, sf_dir):
+    """Gaps-and-islands must compile join-free: the island key is pure
+    window arithmetic, so the only wide ops are the user_id exchange(s)
+    for distinct/window/groupBy — Catalyst reuses the partitioning."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_win_streaks").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_pmi_broadcasts_dictionaries(spark, sf_dir):
+    """The unigram dictionary and scalar totals must broadcast into the
+    bigram join — the fact (bigram) side never shuffles for a join."""
+    df = get("q_text_pmi").fn(spark, sf_dir)
+    assert has_broadcast_join(df)
