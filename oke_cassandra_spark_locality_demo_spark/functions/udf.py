@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 
 @F.udf(T.StringType())
@@ -151,3 +151,76 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "doc_id", "word", (F.col("pos0") + 1).cast("int").alias("pos")
     ).filter(F.length("word") > 3)
+
+
+def _signup_purchase_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-user merge for q_udf_cogroup: purchases after first signup."""
+    if left.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "first_signup": pd.Series(dtype="datetime64[us]"),
+             "n_purchases": pd.Series(dtype="int64"),
+             "avg_delay_s": pd.Series(dtype="float64")}
+        )
+    l_us = left["ts"].astype("datetime64[us]").astype("int64")
+    fs_us = int(l_us.min())
+    if right.empty:
+        n, avg = 0, None
+    else:
+        r_us = right["ts"].astype("datetime64[us]").astype("int64")
+        delta = r_us[r_us > fs_us] - fs_us
+        n = int(delta.size)
+        avg = round(int(delta.sum()) / n / 1e6, 4) if n else None
+    return pd.DataFrame(
+        {"user_id": [int(left["user_id"].iloc[0])],
+         "first_signup": [pd.Timestamp(fs_us, unit="us")],
+         "n_purchases": [n],
+         "avg_delay_s": [avg]}
+    )
+
+
+@register(
+    "q_udf_cogroup",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS first_signup
+        FROM {EVENTS_US} WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, ts FROM {EVENTS_US} WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.first_signup,
+           COUNT(p.user_id) AS n_purchases,
+           ROUND(SUM(EPOCH_US(p.ts) - EPOCH_US(s.first_signup))
+                 * 1.0 / COUNT(p.user_id) / 1000000, 4) AS avg_delay_s
+    FROM s LEFT JOIN p
+      ON p.user_id = s.user_id AND p.ts > s.first_signup
+    GROUP BY s.user_id, s.first_signup
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the per-key two-stream merge surface:
+    each user's signup rows and purchase rows arrive as two aligned
+    pandas frames (one Arrow batch each) and arbitrary Python reconciles
+    them (here: purchases after first signup, count + mean delay).
+    Physically both sides shuffle once on user_id and stream through
+    cogrouped Arrow batches — state never exceeds one key's rows, so
+    the pattern holds at 100 TB provided keys aren't pathological.
+    Delay math stays on exact integer microseconds until the final
+    division, mirroring the oracle's EPOCH_US expression shape; the
+    logic is deliberately SQL-expressible (min + filtered left join +
+    avg) so DuckDB verifies the cogroup machinery itself."""
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        signups.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            _signup_purchase_merge,
+            "user_id long, first_signup timestamp, "
+            "n_purchases long, avg_delay_s double",
+        )
+    )
