@@ -315,3 +315,35 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok.bitwiseXOR(pk).alias("key_xor"),
         F.bit_count(ok).alias("popcnt"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_variant,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_long,
+           JSON_EXTRACT_STRING(props, '$.missing') AS missing_str,
+           'OBJECT<k: BIGINT>' AS vtype
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json keeps the
+    whole document in the binary VARIANT encoding — schema-on-read
+    without committing to a struct, the modern replacement for
+    string-JSON re-parsing on every access. variant_get extracts typed
+    paths (missing paths → null via try semantics), schema_of_variant
+    reports the observed shape. At 100 TB VARIANT beats from_json when
+    documents are heterogeneous: one parse, binary-encoded storage,
+    per-path lazy extraction. The fixture's props is `{"k": int}`, so
+    every extraction is DuckDB-checkable."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_variant"),
+        F.variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        F.schema_of_variant(v).alias("vtype"),
+    )

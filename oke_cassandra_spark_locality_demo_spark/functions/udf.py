@@ -224,3 +224,54 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases long, avg_delay_s double",
         )
     )
+
+
+def _arrow_norms(batches):
+    """mapInArrow body for q_udf_arrow: per-batch vector norms without
+    pandas — zero-copy list offsets + one reduceat per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column(0)
+        emb = batch.column(1)
+        if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+            emb = emb.combine_chunks()
+        offsets = emb.offsets.to_numpy()
+        # float64 BEFORE squaring and a sequential reduceat: identical
+        # order of operations to the oracle's list_sum over doubles
+        vals = emb.flatten().to_numpy().astype(np.float64)
+        sq = vals * vals
+        sums = np.add.reduceat(sq, offsets[:-1])
+        dims = np.diff(offsets).astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(dims, type=pa.int32()),
+                pa.array(np.round(np.sqrt(sums), 4), type=pa.float64()),
+            ],
+            names=["vec_id", "dim", "norm"],
+        )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * x))), 4) AS norm
+    FROM embeddings
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python batch surface: raw Arrow
+    RecordBatches in and out, no pandas materialization (the right tier
+    for binary/vector payloads where pandas boxing dominates). The body
+    reads the list column's offsets zero-copy and computes every norm
+    in one vectorized reduceat per batch — no per-row Python. Math is
+    float64 with the same left-to-right reduction order as the oracle's
+    LIST_SUM, so results are bit-identical. Narrow map: no shuffle,
+    parallelism = input splits."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(_arrow_norms, "vec_id long, dim int, norm double")

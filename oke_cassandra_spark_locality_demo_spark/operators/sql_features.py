@@ -122,3 +122,40 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 400000
         """
     )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the flagship Q1 shape written as a
+    linear `FROM |> WHERE |> AGGREGATE |> ORDER BY` dataflow — each
+    stage reads top-to-bottom like the DataFrame API while remaining
+    pure SQL. Catalyst compiles it to exactly the plan of the nested
+    form (pushdown, partial aggregation, and codegen all apply), so
+    this checks the parser surface, not new semantics — the oracle is
+    the classic formulation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         AS sum_qty,
+                     COUNT(*) AS n,
+                     ROUND(AVG(l_discount), 4) AS avg_disc
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, n, avg_disc
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -409,3 +409,71 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "streak_start")
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('month', MIN(ts)) AS TIMESTAMP) AS cohort
+        FROM {EVENTS_US} WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    size_ AS (SELECT cohort, COUNT(*) AS cohort_users FROM s GROUP BY cohort),
+    act AS (
+        SELECT DISTINCT e.user_id, s.cohort,
+               DATE_DIFF('month', s.cohort,
+                         CAST(DATE_TRUNC('month', e.ts) AS TIMESTAMP))
+                   AS months_since
+        FROM {EVENTS_US} e JOIN s ON e.user_id = s.user_id
+        WHERE CAST(DATE_TRUNC('month', e.ts) AS TIMESTAMP) >= s.cohort
+    )
+    SELECT a.cohort, a.months_since,
+           COUNT(*) AS active_users,
+           ANY_VALUE(z.cohort_users) AS cohort_users,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(z.cohort_users), 4) AS retention
+    FROM act a JOIN size_ z ON a.cohort = z.cohort
+    GROUP BY a.cohort, a.months_since
+    ORDER BY a.cohort, a.months_since
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup month,
+    retention = share of the cohort active in each subsequent month —
+    the product-analytics staple. One aggregation builds the cohort
+    table (tiny: one row per user), which then broadcasts into the
+    event scan; activity dedup and the matrix are grouped aggs on
+    (cohort, months_since), so the events table is scanned once and
+    never self-joined. Month arithmetic stays on truncated timestamps
+    (exact integers in both engines)."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("month", F.min("ts")).alias("cohort"))
+    )
+    size = s.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    month = F.date_trunc("month", F.col("ts"))
+    act = (
+        e.join(F.broadcast(s), "user_id")
+        .filter(month >= F.col("cohort"))
+        .select(
+            "user_id",
+            "cohort",
+            F.months_between(month, F.col("cohort")).cast("long")
+                .alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        act.join(F.broadcast(size), "cohort")
+        .groupBy("cohort", "months_since")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.first("cohort_users").alias("cohort_users"),
+            F.round(
+                F.count(F.lit(1)) / F.first("cohort_users"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "months_since")
+    )

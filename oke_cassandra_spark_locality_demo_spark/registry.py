@@ -77,7 +77,7 @@ def _load_all() -> None:
         graph,
     )
     from .functions import scalar, udf  # noqa: F401
-    from .sources import ingest  # noqa: F401
+    from .sources import ingest, pyds  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401

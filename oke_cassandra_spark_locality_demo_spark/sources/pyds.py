@@ -1,0 +1,138 @@
+"""Custom Python DataSource mirroring the reference's Cassandra read path.
+
+The reference's only analytical source is
+`spark.read.format("org.apache.spark.sql.cassandra")` over `testks.users`
+(/root/reference/userdata/cloudinit.sh:346-349, table DDL+rows at
+306-314), whose connector splits the scan into Murmur3 token ranges
+(B1), advertises replica locality (B2), and pushes partition-key
+predicates down to single-replica point reads (B3) — SURVEY §2.2.
+
+This module re-creates that *source contract* on Spark's public Python
+DataSource API (Spark 4): `users_tokenring` serves the same 3-row users
+table, splits it into N hash "token ranges" (one input partition each —
+the B1 analog), and implements `pushFilters` so an `id = k` predicate
+routes the scan to exactly one partition (the B3/B2 analog of a
+token-aware single-replica read). At 100 TB the same shape is how any
+external keyed store (Cassandra, HBase, a KV service) is exposed to
+Spark: partitions = token ranges, pushed key predicates = point routes,
+everything else stays declarative above it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+from ..registry import register
+
+#: the reference table, verbatim (cloudinit.sh:312-314)
+USERS_ROWS = [
+    (1, "Alice", "alice@example.com"),
+    (2, "Bob", "bob@example.com"),
+    (3, "Charlie", "charlie@example.com"),
+]
+
+USERS_ORACLE_VALUES = (
+    "(VALUES (1, 'Alice', 'alice@example.com'),"
+    " (2, 'Bob', 'bob@example.com'),"
+    " (3, 'Charlie', 'charlie@example.com')) AS t(id, name, email)"
+)
+
+
+def _token(i: int, n_ranges: int) -> int:
+    """Deterministic 'token ring' route (Murmur3-token-mod analog)."""
+    return i % n_ranges
+
+
+class _UsersReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_ranges = int(options.get("ranges", "4"))
+        self.point_id: int | None = None
+
+    def pushFilters(self, filters):
+        """Accept `id = k` (the partition-key predicate the connector
+        turns into a routed point read); everything else is returned to
+        Spark to evaluate above the scan."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("id",):
+                self.point_id = int(f.value)
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self):
+        if self.point_id is not None:
+            # routed read: exactly one "replica" partition
+            return [InputPartition(_token(self.point_id, self.n_ranges))]
+        return [InputPartition(i) for i in range(self.n_ranges)]
+
+    def read(self, partition: InputPartition):
+        rng = partition.value
+        for row in USERS_ROWS:
+            if _token(row[0], self.n_ranges) == rng:
+                if self.point_id is None or row[0] == self.point_id:
+                    yield row
+
+
+class UsersTokenRingDataSource(DataSource):
+    """`spark.read.format("users_tokenring").option("ranges", 4)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "users_tokenring"
+
+    def schema(self) -> str:
+        # the reference's CQL schema: id int PRIMARY KEY, name text,
+        # email text (cloudinit.sh:306-310)
+        return "id int, name string, email string"
+
+    def reader(self, schema) -> _UsersReader:
+        return _UsersReader(self.options)
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    # idempotent per session; re-registering the same class is harmless
+    spark.dataSource.register(UsersTokenRingDataSource)
+    # runtime-settable; required for pushFilters to be consulted (the
+    # engine session sets it too, but queries must run on a plain one)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+@register(
+    "q_source_pyds_scan",
+    oracle=f"SELECT id, name, email FROM {USERS_ORACLE_VALUES}",
+)
+def q_source_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan through the custom Python DataSource: N token-range
+    input partitions, schema declared by the source (the A6 analog —
+    schema comes from the store, not the query). The driver-side data
+    is 3 rows only because the reference's is (cloudinit.sh:312-314);
+    the partition/route machinery is what scales."""
+    _ensure_registered(spark)
+    return spark.read.format("users_tokenring").option("ranges", "4").load()
+
+
+@register(
+    "q_source_pyds_lookup",
+    oracle=f"SELECT id, name, email FROM {USERS_ORACLE_VALUES} WHERE id = 2",
+)
+def q_source_pyds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the custom source: the `id = 2` predicate is
+    pushed into the reader (pushFilters), which routes the scan to the
+    single owning token range — one input partition instead of N, the
+    B3 predicate-pushdown / token-aware-routing analog. The filter also
+    stays in the plan above the scan (Spark keeps residuals), so
+    correctness never depends on the source honoring the pushdown."""
+    _ensure_registered(spark)
+    return (
+        spark.read.format("users_tokenring")
+        .option("ranges", "4")
+        .load()
+        .filter("id = 2")
+    )

@@ -181,3 +181,13 @@ def test_pmi_broadcasts_dictionaries(spark, sf_dir):
     bigram join — the fact (bigram) side never shuffles for a join."""
     df = get("q_text_pmi").fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_pyds_point_lookup_routes_to_one_partition(spark, sf_dir):
+    """The custom Python DataSource's B1/B3 analogs: a full scan plans
+    one input partition per token range; a pushed `id = k` predicate
+    routes the scan to exactly the owning range."""
+    full = get("q_source_pyds_scan").fn(spark, sf_dir)
+    point = get("q_source_pyds_lookup").fn(spark, sf_dir)
+    assert full.rdd.getNumPartitions() == 4
+    assert point.rdd.getNumPartitions() == 1
