@@ -580,3 +580,118 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_returned,
+           BOOL_AND(l_quantity <= 50) AS all_small,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation family: per-predicate partial aggregates
+    (count_if / FILTER-clause sum) and boolean reducers (bool_and /
+    bool_or) — the single-scan substitute for N filtered subqueries.
+    All stay algebraic (map-side combinable), so one pass emits every
+    conditional metric regardless of how many predicates are stacked;
+    at 100 TB this is the difference between one scan and one per
+    metric. Decimal-cast sum keeps the filtered money math
+    order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr("count_if(l_discount > 0.05)").alias("n_disc"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))"
+                " FILTER (WHERE l_returnflag = 'R') AS DOUBLE)"
+            ).alias("qty_returned"),
+            F.expr("bool_and(l_quantity <= 50)").alias("all_small"),
+            F.expr("bool_or(l_tax > 0.07)").alias("any_high_tax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS c_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
+    ),
+    singles AS (SELECT p_brand, COUNT(*) AS c FROM items GROUP BY p_brand),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT p.brand_a, p.brand_b, p.c_ab,
+           ROUND(p.c_ab * 1.0 / sa.c, 4) AS confidence,
+           ROUND(p.c_ab * 1.0 * t.n_orders / (sa.c * sb.c), 4) AS lift
+    FROM pairs p
+    CROSS JOIN tot t
+    JOIN singles sa ON p.brand_a = sa.p_brand
+    JOIN singles sb ON p.brand_b = sb.p_brand
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand grain: support,
+    confidence, and lift for brand pairs co-occurring in an order. The
+    pair space is generated by a self-join keyed on the order — bounded
+    by (brands per order choose 2), ~21 pairs for 7-line orders, never
+    corpus-quadratic — and the brand dimension comes in via a broadcast
+    of part. Singles counts and the order total are broadcast into the
+    final scoring join; top-25-by-lift is a TakeOrderedAndProject.
+    Same count-ratio math as q_text_pmi but over co-occurrence sets
+    rather than adjacency."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 10)
+    )
+    singles = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sa = singles.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "c_ab",
+            F.round(F.col("c_ab") / F.col("ca"), 4).alias("confidence"),
+            F.round(
+                F.col("c_ab") * F.col("n_orders") / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )

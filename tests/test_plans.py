@@ -191,3 +191,22 @@ def test_pyds_point_lookup_routes_to_one_partition(spark, sf_dir):
     point = get("q_source_pyds_lookup").fn(spark, sf_dir)
     assert full.rdd.getNumPartitions() == 4
     assert point.rdd.getNumPartitions() == 1
+
+
+def test_observe_single_pass_metrics(spark, sf_dir):
+    """df.observe(): audit counters ride along the action instead of
+    re-scanning — at 100 TB quality metrics must not double the I/O.
+    The observed row count must equal a separate count() exactly."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("l_quantity") > 45).cast("long")).alias("oversized"),
+    )
+    kept = observed.filter(F.col("l_quantity") <= 45).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == li.count()
+    assert metrics["rows_seen"] - metrics["oversized"] == kept
