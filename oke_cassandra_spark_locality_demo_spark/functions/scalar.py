@@ -347,3 +347,85 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
         F.schema_of_variant(v).alias("vtype"),
     )
+
+
+@register(
+    "q_fn_generators",
+    oracle="""
+    SELECT n_nationkey, 'name' AS attr, n_name AS val FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'region' AS attr,
+           CAST(n_regionkey AS VARCHAR) AS val
+    FROM nation
+    ORDER BY n_nationkey, attr
+    """,
+)
+def q_fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator function `stack`: the wide→long EAV emitter (1 row →
+    N typed attribute rows) — the generator-expression counterpart of
+    the native `unpivot` operator (q_unpivot). A generator stays a
+    narrow projection (no shuffle, no union re-scan); the oracle is the
+    UNION ALL rewrite, which at 100 TB would scan the table once per
+    attribute — exactly what stack avoids."""
+    n = load(spark, sf_dir, "nation")
+    return n.selectExpr(
+        "n_nationkey",
+        "stack(2, 'name', n_name,"
+        " 'region', CAST(n_regionkey AS STRING)) AS (attr, val)",
+    ).orderBy("n_nationkey", "attr")
+
+
+@register(
+    "q_fn_sequence",
+    oracle="""
+    SELECT r_regionkey, u - 10 AS pos, u AS val
+    FROM region, UNNEST(GENERATE_SERIES(10, 10 + r_regionkey)) t(u)
+    ORDER BY r_regionkey, pos
+    """,
+)
+def q_fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence() + posexplode: data-driven row generation with an
+    ordinal — date spines, per-row fan-out, padding. The array is built
+    and exploded inside one projection; cardinality is bounded by the
+    sequence length expression, never a cross join against a number
+    table."""
+    r = load(spark, sf_dir, "region")
+    return (
+        r.select(
+            "r_regionkey",
+            F.posexplode(
+                F.sequence(F.lit(10), F.lit(10) + F.col("r_regionkey"))
+            ).alias("pos", "val"),
+        )
+        .orderBy("r_regionkey", "pos")
+    )
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                    ELSE p_type END AS t
+        FROM part
+    )
+    SELECT COUNT(DISTINCT t) AS n_case_sensitive,
+           COUNT(DISTINCT LOWER(t)) AS n_case_insensitive
+    FROM mixed
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4): COUNT(DISTINCT x COLLATE
+    UTF8_LCASE) folds case variants into one group while the default
+    binary collation keeps them apart. Collations push the equivalence
+    into the comparator (hash/sort keys derive from the collation key),
+    so grouping/joining case-insensitively needs no LOWER()
+    materialization; the oracle is the LOWER() rewrite."""
+    p = load(spark, sf_dir, "part")
+    mixed = p.selectExpr(
+        "CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type) ELSE p_type END AS t"
+    )
+    return mixed.selectExpr(
+        "COUNT(DISTINCT t) AS n_case_sensitive",
+        "COUNT(DISTINCT t COLLATE UTF8_LCASE) AS n_case_insensitive",
+    )

@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from ..registry import register
@@ -95,6 +96,30 @@ class UsersTokenRingDataSource(DataSource):
     def reader(self, schema) -> _UsersReader:
         return _UsersReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "_UsersStreamReader":
+        return _UsersStreamReader()
+
+
+class _UsersStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source contract: the table arrives as a
+    change feed (offset = rows emitted so far). One microbatch carries
+    the snapshot, later batches are empty — the CDC-bootstrap shape;
+    readBetweenOffsets replays a committed range deterministically for
+    recovery, which is what makes the source exactly-once capable."""
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        if start["offset"] == 0:
+            return iter(USERS_ROWS), {"offset": len(USERS_ROWS)}
+        return iter([]), start
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if start["offset"] == 0 and end["offset"] > 0:
+            return iter(USERS_ROWS)
+        return iter([])
+
 
 def _ensure_registered(spark: SparkSession) -> None:
     # idempotent per session; re-registering the same class is harmless
@@ -136,3 +161,30 @@ def q_source_pyds_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter("id = 2")
     )
+
+
+@register(
+    "q_stream_pyds",
+    oracle=f"SELECT id, name, email FROM {USERS_ORACLE_VALUES}",
+)
+def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's read path as a STREAM: readStream over the custom
+    Python DataSource (SimpleDataSourceStreamReader), processed to
+    completion with availableNow into a memory sink — the same
+    source-contract symmetry the connector has (batch scan + CDC feed
+    from one store). Offsets are checkpointable dicts and
+    readBetweenOffsets replays ranges, so the source slots into
+    Structured Streaming's exactly-once machinery unchanged."""
+    _ensure_registered(spark)
+    name = "graft_pyds_sink"
+    q = (
+        spark.readStream.format("users_tokenring")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
