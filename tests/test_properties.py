@@ -109,3 +109,16 @@ def test_session_window_matches_bruteforce(spark, rows):
             n += 1
         expect.append((u, start, last + timedelta(seconds=60), n))
     assert got == sorted(expect), (got, sorted(expect))
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """With no dangling nodes (every nation trades at fixture scale),
+    PageRank is a stochastic-matrix fixpoint iteration: total rank mass
+    stays 1 every iteration. A drift means broken weight normalization
+    or dropped contributions."""
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    rows = get("q_graph_pagerank").fn(spark, sf_dir).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r["pagerank"] > 0 for r in rows)
