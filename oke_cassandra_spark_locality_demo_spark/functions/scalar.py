@@ -429,3 +429,41 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(DISTINCT t) AS n_case_sensitive",
         "COUNT(DISTINCT t COLLATE UTF8_LCASE) AS n_case_insensitive",
     )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+           l_extendedprice / NULLIF(l_quantity - 25.0, 0) AS price_per_dev,
+           STRING_SPLIT(l_linestatus, ' ')[99] AS word99,
+           TRY_CAST(SUBSTRING(l_shipdate::VARCHAR, 1, 10) AS DATE) AS ship_day
+    FROM lineitem
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family: try_cast / try_divide /
+    try_element_at turn malformed input into NULL instead of failing
+    the job — at 100 TB a single dirty row must never kill a
+    multi-hour pipeline, so ingest paths use try_* everywhere and
+    count the NULLs as the quality signal (q_source_json_corrupt is
+    the row-level counterpart). Non-numeric casts, division by zero,
+    and out-of-bounds array access all surface as NULL on both
+    engines (DuckDB: TRY_CAST / NULLIF guard / native NULL on
+    out-of-range list index)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_int"),
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25.0
+        ).alias("price_per_dev"),
+        F.try_element_at(
+            F.split(F.col("l_linestatus"), " "), F.lit(99)
+        ).alias("word99"),
+        F.expr(
+            "try_cast(substring(CAST(l_shipdate AS STRING), 1, 10) AS DATE)"
+        ).alias("ship_day"),
+    )
