@@ -1,0 +1,157 @@
+"""Deterministic corpus-sampling operators over `documents`.
+
+Training-data pipelines rarely train on the raw crawl: they *sample*
+it — weighting documents by token count (so the epoch-token budget is
+spent in proportion to content, not document count) and *rebalancing*
+sources toward a target mixture (so one over-crawled source doesn't
+dominate). Both are implemented here with zero RNG state: every
+"random" draw is a portable md5-derived uniform that any worker (and
+the DuckDB oracle) computes identically from the row itself, so the
+sample is reproducible across engines, runs, and cluster sizes —
+the property a 100 TB pipeline needs for auditable dataset builds.
+
+Reference parity note: the reference demo (SURVEY §2.1) has no sampling
+surface at all; these are Layer-C target-only operators mandated by the
+BASELINE.json LLM-pipeline block, like the rest of `llm/`.
+
+100 TB story: both operators are one narrow projection plus one
+aggregation — no self-joins, no windows over the corpus. The weighted
+sample is a global top-k (`TakeOrderedAndProject`: per-partition heaps
++ single driver merge of k·P candidate rows, never a full sort); the
+mixture rebalance is a per-source count (map-side-combinable) broadcast
+back over the corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+#: documents kept by the weighted sample (global top-k)
+SAMPLE_K = 200
+
+
+def _md5_uniform(col, salt: str):
+    """Uniform in (0,1) from the first 8 md5 hex chars of ``salt||col``.
+
+    (v + 0.5) / 2^32 — the +0.5 keeps u strictly positive (log-safe) and
+    both the addition and the power-of-two division are exact in
+    float64, so Spark and DuckDB produce bit-identical uniforms and
+    every downstream comparison agrees across engines.
+    """
+    h = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CEIL(LENGTH(text) / 4.0)::BIGINT AS n_tokens,
+               LN((('0x' || SUBSTRING(MD5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+                  / 4294967296.0)
+               / CEIL(LENGTH(text) / 4.0) AS key
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens, ROUND(key, 9) AS sample_key
+    FROM keyed
+    ORDER BY key DESC, doc_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sampling without replacement (Efraimidis–Spirakis,
+    public algorithm): each doc draws a deterministic uniform u and is
+    ranked by ln(u)/w with w = its token count — order-equivalent to
+    the classic u^(1/w) key but numerically better spread — and the
+    top-k ranked docs form the sample. Inclusion probability is
+    proportional to token count, which is exactly how an epoch budget
+    should weight long vs short documents.
+
+    Scale shape: one narrow map computes the key from the row alone
+    (no shuffle), then `ORDER BY key DESC LIMIT k` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, merging only
+    k rows per partition at the driver. No global sort at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.ceil(F.length("text") / 4.0)
+    key = F.log(_md5_uniform(F.col("doc_id"), "wsample")) / w
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            w.cast("long").alias("n_tokens"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), "doc_id")
+        .limit(SAMPLE_K)
+        .select(
+            "doc_id", "source", "n_tokens", F.round("_key", 9).alias("sample_key")
+        )
+    )
+
+
+@register(
+    "q_mix_sources",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               (SELECT MIN(n_docs) FROM counts) * 1.0 / n_docs AS accept_rate
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.source, COUNT(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE (('0x' || SUBSTRING(MD5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+              / 4294967296.0 < r.accept_rate
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, ROUND(r.accept_rate, 6) AS accept_rate,
+           COALESCE(k.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: down-sample every source to the size
+    of the smallest one (equal-share target mixture) with a
+    deterministic per-doc acceptance test u < min_count/count(source).
+    The audit returned per source — corpus size, acceptance rate, and
+    rows actually kept — is the mixture report a dataset build logs.
+
+    Scale shape: per-source counts are a map-side-combinable aggregate
+    over a column-pruned scan; the tiny rate table is broadcast back
+    onto the corpus scan, so the accept/reject pass is shuffle-free.
+    Acceptance compares exact-float64 uniforms against an
+    integer-ratio rate, so Spark and the oracle keep identical rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.withColumn(
+        "accept_rate",
+        F.min("n_docs").over(Window.partitionBy()) / F.col("n_docs"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(_md5_uniform(F.col("doc_id"), "mix") < F.col("accept_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("accept_rate", 6).alias("accept_rate"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -611,3 +611,58 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    agg AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               COUNT(*) AS n_unique,
+               LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c) AS h
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_unique, ROUND(h, 6) AS entropy,
+           (h < 0.6 * LOG2(n_words)) AS low_entropy
+    FROM agg
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-unigram Shannon entropy — the information-
+    density quality signal (degenerate/boilerplate/spam docs score far
+    below natural text; the flag marks docs under 60% of their own
+    maximum possible entropy log2(n_words), a length-normalized gate).
+
+    Uses the count-only identity H = log2(N) - Σ c·log2(c) / N so the
+    whole metric is two hash aggregates over the exploded token stream
+    — both map-side combinable, no windows, no per-doc collect. At
+    100 TB the token explode is the dominant cost and it is a narrow
+    per-row generator feeding partial aggregation in the same stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("h"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        F.round("h", 6).alias("entropy"),
+        (F.col("h") < 0.6 * F.log2("n_words")).alias("low_entropy"),
+    )

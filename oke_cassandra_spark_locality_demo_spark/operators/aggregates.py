@@ -695,3 +695,88 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT corr(l_quantity, l_extendedprice) AS c01,
+               corr(l_quantity, l_discount)      AS c02,
+               corr(l_quantity, l_tax)           AS c03,
+               corr(l_extendedprice, l_discount) AS c12,
+               corr(l_extendedprice, l_tax)      AS c13,
+               corr(l_discount, l_tax)           AS c23
+        FROM lineitem
+    )
+    SELECT * FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(c01, 6) AS corr FROM m
+        UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(c02, 6) FROM m
+        UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(c03, 6) FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(c12, 6) FROM m
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(c13, 6) FROM m
+        UNION ALL SELECT 'l_discount', 'l_tax', ROUND(c23, 6) FROM m
+    ) ORDER BY col_a, col_b
+    """,
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures, computed in ONE aggregation pass: all C(4,2)=6 `corr`
+    co-moment accumulators run inside a single partial+final hash
+    aggregate over a 4-column pruned scan (verify: one Scan + one
+    Aggregate in the plan — not 6 scans). The wide 1-row result is then
+    melted to (col_a, col_b, corr) long form with `stack`, a driver-size
+    operation. This is the feature-correlation audit a dataset build
+    runs before training; at 100 TB it is scan-bound and embarrassingly
+    partial-aggregable, with 6 fixed-size accumulators per task.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    wide = li.agg(
+        *[F.corr(a, b).alias(f"c_{a}_{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return (
+        wide.selectExpr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+        .select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+        .orderBy("col_a", "col_b")
+    )
+
+
+@register("q_agg_sketch_hll")  # rows-only: sketch estimates are engine-specific
+def q_agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via Apache DataSketches HLL:
+    per-day user sketches (`hll_sketch_agg`) are unioned into monthly
+    sketches (`hll_union_agg`) and only then estimated — the
+    incremental pattern that makes 100 TB distinct-counts cheap:
+    daily partials are built once (map-side combinable, fixed-size
+    state), persisted, and ANY rollup window (month, quarter, trailing
+    28d) is a re-merge of kilobyte sketches instead of a re-scan of
+    the raw events. `q_agg_incremental` is the exact-decimal analog
+    for algebraic aggregates; this covers the non-algebraic one
+    (COUNT DISTINCT) that cannot be partially aggregated exactly.
+    Accuracy is bounded by test_hll_sketch_rollup_close_to_exact
+    (estimate within 5% of exact per month).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("month")
+    )

@@ -81,7 +81,7 @@ def _load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
-    from .llm import dedup, similarity, text, multimodal, pipeline, ivf  # noqa: F401
+    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, sampling  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

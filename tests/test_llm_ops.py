@@ -81,3 +81,23 @@ def test_multimodal_stub_plumbing(spark, sf_dir):
     feats = get("q_multimodal_binary").fn(spark, sf_dir)
     assert feats.count() == media.count()
     assert feats.filter(F.col("feat_mean").isNull()).count() == 0
+
+
+def test_hll_sketch_rollup_close_to_exact(spark, sf_dir):
+    """Daily-sketch → monthly-union estimates must land within 5% of the
+    exact per-month distinct user count (lgK default 12 ⇒ rsd ≈ 1.6%)."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    rows = get("q_agg_sketch_hll").fn(spark, sf_dir).collect()
+    assert rows, "no monthly sketches produced"
+    exact = {
+        r["month"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["month"] for r in rows} == set(exact)
+    for r in rows:
+        err = abs(r["approx_users"] - exact[r["month"]]) / max(exact[r["month"]], 1)
+        assert err <= 0.05, f"{r['month']}: err={err}"
