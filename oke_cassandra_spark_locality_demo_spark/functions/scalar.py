@@ -467,3 +467,51 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(substring(CAST(l_shipdate AS STRING), 1, 10) AS DATE)"
         ).alias("ship_day"),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           o_orderstatus AS status,
+           ROUND(o_totalprice, 2) AS total,
+           LENGTH(CONCAT('<order><cust>', CAST(o_custkey AS VARCHAR),
+                         '</cust><status>', o_orderstatus,
+                         '</status><total>', CAST(ROUND(o_totalprice, 2) AS VARCHAR),
+                         '</total></order>')) AS xml_len
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 `from_xml`): rows are serialized to
+    an XML payload and parsed back through the schema'd XML reader,
+    extracting typed fields — the round-trip proves the parse path,
+    and the oracle recomputes the same typed values relationally.
+    XML parsing is JVM-side (StaxXmlParser) with a declared schema, so
+    at 100 TB it behaves like from_json: a narrow per-row map inside
+    whole-stage pipelines, no Python, no shuffle. The doubled total
+    column is cast through string exactly as a feed would deliver it.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    total = F.round("o_totalprice", 2)
+    xml = F.concat(
+        F.lit("<order><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        total.cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<cust: BIGINT, status: STRING, total: DOUBLE>"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("cust").alias("cust"),
+        parsed.getField("status").alias("status"),
+        parsed.getField("total").alias("total"),
+        F.length(xml).alias("xml_len"),
+    )

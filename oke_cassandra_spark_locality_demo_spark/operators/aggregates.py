@@ -780,3 +780,44 @@ def q_agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 9) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit in ONE aggregation pass via
+    the SQL-standard regr_* family (slope/intercept/R²/means): the
+    streaming co-moment accumulators make trend-fitting an algebraic
+    aggregate — partial states merge associatively, so at 100 TB this
+    is exactly as cheap as a grouped SUM (map-side combine, fixed-size
+    state, no second pass over the data and no collect-to-driver
+    regression). The model-per-group output shape (a fit per return
+    flag) is the scalable alternative to fitting models driver-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 9).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )
