@@ -698,3 +698,45 @@ def q_dedup_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT b.doc_id, b.lang, b.source
+    FROM documents b
+    WHERE b.doc_id % 10 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents h
+        WHERE h.doc_id % 10 <> 0
+          AND MD5(TRIM(LOWER(h.text))) = MD5(TRIM(LOWER(b.text)))
+      )
+    ORDER BY b.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a newly-arrived batch (here: every
+    10th doc, standing in for today's crawl) is admitted only where its
+    normalized-text hash does NOT appear in the accumulated history —
+    a LEFT ANTI join on a 16-byte digest. This is how dedup actually
+    runs at 100 TB: the corpus is deduped once, and each ingest batch
+    anti-joins against the history's hash index instead of re-running
+    global dedup over everything ever crawled.
+
+    Scale shape: the anti join shuffles fixed-width digests, never
+    text; the (small) batch side is the stream side of the hash join.
+    With AQE the batch side broadcasts when it fits, making the pass
+    history-scan-bound — and the history scan itself reads only the
+    digest column when the index is materialized as its own table.
+    """
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(F.trim(F.lower(F.col("text"))))
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(digest.alias("h"))
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", "source", digest.alias("h")
+    )
+    return (
+        batch.join(hist, "h", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -155,3 +155,49 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: docs kept per language stratum by the exact stratified sample
+STRATUM_K = 25
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5('strat' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, source, rn FROM ranked
+    WHERE rn <= {STRATUM_K}
+    ORDER BY lang, rn
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly k docs per language stratum,
+    chosen by ranking each stratum on a portable md5 draw — the
+    balanced-eval-set builder. Unlike the Bernoulli hash samplers
+    (`q_sample_hash`, rate-exact only in expectation), the window rank
+    guarantees the per-stratum count exactly, which eval sets need.
+
+    Scale shape: one shuffle on the stratum key, and the rank window
+    is top-k-bounded — Catalyst's WindowGroupLimit pushes the rn <= k
+    predicate into a per-partition group limit before the full sort
+    materializes (same physical shape as q_topk_per_group). Strata
+    counts are bounded by language cardinality, not corpus size, and a
+    skewed stratum (one dominant language) splits under AQE.
+    """
+    d = load(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(draw, F.col("doc_id"))
+    )
+    return (
+        d.select("lang", "doc_id", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= STRATUM_K)
+        .orderBy("lang", "rn")
+    )

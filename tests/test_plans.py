@@ -210,3 +210,67 @@ def test_observe_single_pass_metrics(spark, sf_dir):
     metrics = obs.get
     assert metrics["rows_seen"] == li.count()
     assert metrics["rows_seen"] - metrics["oversized"] == kept
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """The 100 TB skew story is AQE's OptimizeSkewedJoin: a hash
+    partition that dwarfs the median is split into sub-partitions at
+    runtime. Forced observable at fixture scale by collapsing half of
+    lineitem onto one join key and lowering the skew thresholds; the
+    executed plan must mark the sort-merge join skew-handled."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # payload: high-entropy md5 text so compressed shuffle-block sizes
+        # track row counts (an all-zeros key column alone compresses away).
+        # repartition(16) first: a skewed reduce partition is split by
+        # MAPPER ranges, so the join shuffle needs >1 map task for
+        # OptimizeSkewedJoin to have anything to split (the tiny fixture
+        # is a single parquet split otherwise).
+        l = (
+            load(spark, sf_dir, "lineitem")
+            .repartition(16)
+            .withColumn(
+                "k",
+                F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(
+                    F.col("l_orderkey")
+                ),
+            )
+            .withColumn(
+                "payload",
+                F.concat(
+                    F.md5(F.col("l_orderkey").cast("string")),
+                    F.md5(F.col("l_linenumber").cast("string")),
+                ),
+            )
+        )
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        # aggregate over the payload so column pruning can't drop it
+        # from the shuffled join input
+        joined = l.join(o, "k").agg(F.sum(F.length("payload")).alias("b"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
