@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import load, register_views
 from ..registry import EVENTS_US, register
 
 
@@ -275,3 +275,58 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = input splits."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(_arrow_norms, "vec_id long, dim int, norm double")
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) + 1)) AS pos
+        FROM documents
+        WHERE doc_id % 10 = 3
+    )
+    SELECT doc_id, word, CAST(pos AS INTEGER) AS pos,
+           CAST(COALESCE(SUM(LENGTH(word) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS INTEGER) AS start_offset
+    FROM w
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF (Spark 3.5+/4 `@udtf`): one input row →
+    N output rows with imperative per-row state (a running character
+    cursor emitting each word's start offset — the tokenizer-alignment
+    shape). Invoked through SQL LATERAL correlation against the scan,
+    which is the UDTF's native join form. The oracle recovers the same
+    offsets relationally with a prefix-sum window.
+
+    Scale note: the UDTF is the *generality* rung of the UDF ladder —
+    per-row Python with arbitrary fan-out. It parallelizes per
+    partition like any map, but rows cross into Python one at a time;
+    when the logic IS SQL-expressible (as the oracle proves here) the
+    built-in form wins, and the engine's hot paths reserve UDTFs for
+    logic that isn't. The subset filter is pushed below the lateral
+    join into the parquet scan.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, word: string, pos: int, start_offset: int")
+    class WordOffsets:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            off = 0
+            for i, w in enumerate(text.strip().lower().split(" ")):
+                yield doc_id, w, i + 1, off
+                off += len(w) + 1
+
+    spark.udtf.register("word_offsets", WordOffsets)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.word, f.pos, f.start_offset
+        FROM documents d, LATERAL word_offsets(d.doc_id, d.text) f
+        WHERE d.doc_id % 10 = 3
+        """
+    )
