@@ -291,3 +291,107 @@ def q_split_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@register(
+    "q_feature_bucketize",
+    oracle="""
+    WITH c AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS c1,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS c2,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS c3
+        FROM orders
+    )
+    SELECT (1 + (o_totalprice > c1)::INT + (o_totalprice > c2)::INT
+              + (o_totalprice > c3)::INT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders, c
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q_feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature discretization (quartile bucketizer): exact
+    interpolated quartile cutpoints are computed in one aggregation,
+    broadcast back over the scan as a 1-row table (never collected to
+    a driver loop), and each order is assigned its bucket by three
+    codegen'd comparisons. Quantile binning is the standard numeric →
+    categorical feature transform for training data.
+
+    Scale shape: cutpoints are a fixed-size aggregate; assignment is a
+    narrow map under broadcast — two scans total and no shuffle wider
+    than the final 4-row audit. (At 100 TB the exact percentile would
+    swap for approx_percentile's mergeable KLL sketch; the plan shape
+    is unchanged.) Cutpoints are rounded identically on both sides so
+    boundary comparisons agree bit-for-bit with the oracle.
+    """
+    o = load(spark, sf_dir, "orders")
+    cuts = o.agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(f"c{i}")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("o_totalprice") > F.col("c1")).cast("int")
+        + (F.col("o_totalprice") > F.col("c2")).cast("int")
+        + (F.col("o_totalprice") > F.col("c3")).cast("int")
+    )
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_ordinal_assign",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS ordinal
+    FROM orders
+    """,
+)
+def q_ordinal_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global ordinal assignment (the scalable zipWithIndex):
+    rows get a dense 1..N ordinal in key order WITHOUT the naive
+    single-partition `row_number() OVER (ORDER BY key)` window, which
+    funnels the whole table through one task. Two-phase instead:
+    (1) rows map to key-range buckets (bounds from a broadcast max, so
+    bucketing is order-preserving); (2) per-bucket counts — an 8-row
+    table — prefix-sum into bucket offsets, broadcast back, and each
+    bucket independently ranks its own rows. ordinal = offset + local
+    rank. The only ordered window over the full data is per-bucket,
+    i.e. parallel; the global sort the oracle runs is exactly what
+    this shape avoids at 100 TB (same decomposition TeraSort uses:
+    range partition, then sort within partitions).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    mx = o.agg(F.max("o_orderkey").alias("mx"))
+    b = o.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("o_orderkey") * 8 / (F.col("mx") + 1))
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    rn = F.row_number().over(W.partitionBy("bucket").orderBy("o_orderkey"))
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select("o_orderkey", (F.col("offset") + rn).alias("ordinal"))
+    )

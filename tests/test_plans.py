@@ -274,3 +274,24 @@ def test_aqe_skew_join_split(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cached_view_reuses_inmemory_scan(spark, sf_dir):
+    """Cache = the engine's materialized-view tier: a cached aggregate
+    must serve downstream queries from InMemoryTableScan (columnar
+    cached batches) instead of re-reading parquet."""
+    base = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .cache()
+    )
+    try:
+        base.count()  # materialize
+        downstream = base.filter(F.col("qty") > 0).select("l_returnflag")
+        plan = downstream._jdf.queryExecution().executedPlan().toString()
+        # the InMemoryRelation node prints its (unused) FileScan child,
+        # so assert the serving node, not FileScan's absence
+        assert "InMemoryTableScan" in plan, plan[:1500]
+    finally:
+        base.unpersist()
