@@ -477,3 +477,64 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "months_since")
     )
+
+
+@register(
+    "q_win_time_weighted",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS t_us,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS t_next_us
+        FROM {EVENTS_US}
+    ),
+    agg AS (
+        SELECT user_id,
+               SUM(value * (t_next_us - t_us)) AS wsum,
+               SUM(t_next_us - t_us) AS dur_us
+        FROM seq WHERE t_next_us IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, ROUND(wsum / dur_us, 6) AS twa, dur_us
+    FROM agg WHERE dur_us > 0
+    """,
+)
+def q_win_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the time-series aggregate that
+    treats each observation as holding until the next one (step
+    interpolation), so irregular sampling doesn't bias the mean the way
+    a plain AVG does. One lead() window per user supplies each
+    interval's length in exact integer microseconds; the weighted sum
+    is then an ordinary map-side-combinable aggregate on the same
+    partitioning, which Catalyst reuses (window shuffle = agg shuffle
+    key). This is the continuous-aggregate shape TSDBs special-case,
+    expressed as window + groupBy with no self-join and exact-integer
+    durations (float noise only enters at the final division).
+    """
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is exact
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t_next = F.lead(t_us).over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        t_next.alias("t_next_us"),
+    ).filter(F.col("t_next_us").isNotNull())
+    dur = F.col("t_next_us") - F.col("t_us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value") * dur).alias("wsum"),
+            F.sum(dur).alias("dur_us"),
+        )
+        .filter(F.col("dur_us") > 0)
+        .select(
+            "user_id",
+            F.round(F.col("wsum") / F.col("dur_us"), 6).alias("twa"),
+            "dur_us",
+        )
+    )

@@ -295,3 +295,30 @@ def test_cached_view_reuses_inmemory_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan, plan[:1500]
     finally:
         base.unpersist()
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """ANALYZE TABLE statistics must reach the optimizer: with CBO on,
+    the catalog row count surfaces in the logical plan's Statistics —
+    the input join-reordering and broadcast decisions consume at scale."""
+    prev = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.sql("DROP TABLE IF EXISTS stats_demo")
+    try:
+        load(spark, sf_dir, "nation").write.saveAsTable("stats_demo")
+        spark.sql("ANALYZE TABLE stats_demo COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        n = load(spark, sf_dir, "nation").count()
+        stats = (
+            spark.table("stats_demo")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined(), stats.toString()
+        assert int(str(stats.rowCount().get())) == n, stats.toString()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS stats_demo")
