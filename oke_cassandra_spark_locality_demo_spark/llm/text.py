@@ -410,6 +410,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N as a broadcast 1-row join, not a driver-side count(): keeps the
     # whole query one job and N out of the driver
     n_docs_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # tf feeds both the df aggregate and the scoring join; no cache
+    # needed — Spark's ReusedExchange serves the second consumer from
+    # the first shuffle's output (verified: caching changes nothing)
     tf = (
         d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")

@@ -821,3 +821,58 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity AS DECIMAL(28,8)))::DOUBLE AS sw,
+               SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))::DOUBLE AS swx,
+               SUM(CAST(l_quantity * l_extendedprice * l_extendedprice
+                        AS DECIMAL(38,4)))::DOUBLE AS swx2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(swx / sw, 6) AS wavg_price,
+           ROUND(swx2 / sw - (swx / sw) * (swx / sw), 4) AS wvar_price,
+           ROUND(sw, 2) AS total_weight
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted mean and variance per group (quantity-weighted
+    unit price) in ONE pass using the algebraic identity
+    Var_w = E_w[x²] − E_w[x]² — no second scan to subtract the mean.
+    All three moments (Σw, Σwx, Σwx²) are map-side-combinable partial
+    aggregates, so the operator costs exactly one grouped SUM at any
+    scale. The moments are summed as exact decimals because the
+    identity is cancellation-prone: with double sums the (swx2, mean²)
+    subtraction disagreed with the oracle in the 4th decimal already at
+    sf0.01 — the decimal quantization makes both engines subtract the
+    same two numbers. Weighted stats are the right mean whenever rows
+    carry different mass (tokens per doc, quantity per line, duration
+    per event) — the unweighted AVG silently over-counts light rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w, x = F.col("l_quantity"), F.col("l_extendedprice")
+    # decimal sums: each product is double-rounded identically in both
+    # engines, quantized to a fixed scale, then summed EXACTLY — the
+    # aggregate is order-independent, so retries/partitioning/engine
+    # can't perturb it; only then does one double conversion happen and
+    # all remaining arithmetic is identical IEEE ops on both sides
+    # (see module docstring on the decimal→double discipline)
+    sw = F.sum(w.cast("decimal(28,8)")).cast("double")
+    swx = F.sum((w * x).cast("decimal(38,6)")).cast("double")
+    swx2 = F.sum((w * x * x).cast("decimal(38,4)")).cast("double")
+    mean = swx / sw
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(mean, 6).alias("wavg_price"),
+            F.round(swx2 / sw - mean * mean, 4).alias("wvar_price"),
+            F.round(sw, 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

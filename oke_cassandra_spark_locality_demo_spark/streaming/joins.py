@@ -118,3 +118,64 @@ def streaming_join(e: DataFrame) -> DataFrame:
         p.withWatermark("p_ts", "30 minutes"),
         c.withWatermark("e_ts", "30 minutes"),
     )
+
+
+def _outer_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id", "p_ts", "event_id", "event_type"
+    )
+
+
+@register(
+    "q_stream_join_outer",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM {EVENTS_US} ev WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts AS e_ts, event_type
+               FROM {EVENTS_US} ev WHERE event_type <> 'purchase'),
+         cutoff AS (SELECT MAX(ts) - INTERVAL 45 MINUTE AS cut FROM {EVENTS_US} ev)
+    SELECT p.purchase_id, p.p_ts, c.event_id, c.event_type
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.e_ts >= p.p_ts - INTERVAL 10 MINUTE
+     AND c.e_ts < p.p_ts
+    WHERE p.p_ts <= (SELECT cut FROM cutoff)
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits,
+    null-padded when no event preceded it within 10 minutes — the
+    semantics that make outer streaming joins hard, because a
+    null-match can only be declared once the watermark proves no
+    matching row can still arrive. Output is restricted to purchases
+    older than max(ts) − (watermark 30m + interval 10m + slack), the
+    region where the streaming form has provably finalized its
+    null-padding — the same cutoff the streaming-equality test applies
+    (an unbounded stream finalizes everything eventually; a finite
+    replay leaves the tail pending by design, not by bug).
+    """
+    p, c = _sides(load(spark, sf_dir, "events"))
+    cut = load(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 45 MINUTES")).alias("cut")
+    )
+    return (
+        _outer_join(p, c)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("p_ts") <= F.col("cut"))
+        .drop("cut")
+    )
+
+
+def streaming_outer_join(e: DataFrame) -> DataFrame:
+    """Streaming form of the left-outer interval join (both sides
+    watermarked; null-padded results emit as the watermark passes)."""
+    p, c = _sides(e.withColumn("ts", F.col("ts").cast("timestamp")))
+    return _outer_join(
+        p.withWatermark("p_ts", "30 minutes"),
+        c.withWatermark("e_ts", "30 minutes"),
+    )

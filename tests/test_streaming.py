@@ -188,3 +188,24 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert _rowset(rocks) == _rowset(baseline)
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream join: null-padded rows are only final
+    once the watermark passes p_ts + interval; inside the finalized
+    region (the batch key's cutoff) streaming and batch must agree
+    exactly — including which purchases got NULL matches."""
+    from oke_cassandra_spark_locality_demo_spark.streaming.joins import (
+        streaming_outer_join,
+    )
+
+    batch = get("q_stream_join_outer").fn(spark, sf_dir)
+    cut = (
+        load(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 45 MINUTES")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    stream = run_streaming_query(
+        spark, sf_dir, streaming_outer_join, "append"
+    ).filter(F.col("p_ts") <= F.lit(cut))
+    assert _rowset(stream) == _rowset(batch)
