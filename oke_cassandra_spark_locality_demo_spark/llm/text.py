@@ -669,3 +669,55 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 6).alias("entropy"),
         (F.col("h") < 0.6 * F.log2("n_words")).alias("low_entropy"),
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+        FROM documents
+    ),
+    lm AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM lm)
+    SELECT t.doc_id,
+           COUNT(*) AS n_words,
+           ROUND(AVG(-LOG2((lm.c + 1.0) / (tot.n + tot.v))), 6) AS cross_entropy
+    FROM tok t JOIN lm ON t.w = lm.w CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram language
+    model (add-one smoothed) — the model-free stand-in for the
+    perplexity filter LLM pipelines run: documents whose vocabulary is
+    atypical for the corpus score high and get routed to review.
+    Complements `q_text_entropy` (within-doc diversity) by measuring
+    *typicality* instead.
+
+    Scale shape: the LM is a word-count aggregate; the scoring join is
+    token-stream ⨝ dictionary on the word key — the dictionary is
+    bounded by vocabulary (not corpus) size, so at 100 TB it broadcasts
+    (AQE decides; the same join q_text_pmi pins broadcast for). One
+    explode feeds both the LM build and the scoring pass, and Spark
+    serves the second consumer from the first shuffle's output
+    (ReusedExchange, as in q_text_tfidf).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("c") + 1.0) / (F.col("n") + F.col("v")))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+    )

@@ -92,3 +92,69 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics): BUILDING customers who are not big
     spenders (`subtract` = EXCEPT DISTINCT)."""
     return _building_segment(spark, sf_dir).subtract(_big_spenders(spark, sf_dir))
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice + 1000 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.o_totalprice AS old_total,
+           v2.o_totalprice AS new_total
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the dataset-versioning primitive: two table
+    versions (derived deterministically from the fixture: v2 drops some
+    keys, adds the keys v1 lacked, and reprices every 5th order) full-
+    outer join on the primary key and classify each key as added /
+    removed / changed, with old and new values side by side. This is
+    how a 100 TB pipeline audits what an ingest actually did, and the
+    derivation half of CDC (`q_cdc_apply` consumes such a feed).
+
+    Scale shape: one key-partitioned full outer join; unchanged rows —
+    the overwhelming majority — are filtered out by a codegen'd value
+    comparison (at width, a row-hash comparison) immediately after the
+    join, so only the delta survives to downstream. With both snapshots
+    bucketed on the key (q_join_bucketed's layout) the diff is
+    exchange-free.
+    """
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_total")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        # +1000, not *1.1-and-round: ROUND on a double diverges between
+        # engines at half-cent boundaries (Spark rounds the shortest
+        # decimal rendering, DuckDB the binary value); addition is one
+        # identical IEEE op on both sides
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1000)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_total"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_total").isNull(), "added")
+        .when(F.col("new_total").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("old_total").isNull()
+        | F.col("new_total").isNull()
+        | (F.col("old_total") != F.col("new_total"))
+    ).select("o_orderkey", change.alias("change"), "old_total", "new_total")
