@@ -538,3 +538,68 @@ def q_win_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_us",
         )
     )
+
+
+@register(
+    "q_gapfill_locf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        FROM {EVENTS_US} ev GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT b.user_id, CAST(UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds b
+    )
+    SELECT s.user_id, s.day,
+           ROUND(LAST_VALUE(d.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS v_filled,
+           d.v IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series gap filling with LOCF (last observation
+    carried forward): each user's daily series is densified over their
+    own [first, last] day spine and missing days inherit the most
+    recent observed value — the TSDB interpolation primitive, and the
+    per-entity complement to `q_recursive_cte`'s global zero-filled
+    spine. `was_gap` marks imputed rows for downstream audits.
+
+    Scale shape: the spine is *generated* per user from a 2-column
+    bounds aggregate (sequence+explode — no calendar table scan, and
+    spine size is bounded by span, not event count); the fill is one
+    `last(ignorenulls)` running window on the same user_id
+    partitioning the join already established. No self-joins, no
+    global spine materialization.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.max("value").alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    fill = F.last("v", ignorenulls=True).over(
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.round(fill, 4).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
