@@ -876,3 +876,39 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS d_orders,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT x) over DIFFERENT columns in one query —
+    the shape Catalyst compiles through the Expand operator: each input
+    row fans out once per distinct-aggregate with a grouping id, so all
+    three distinct sets deduplicate in a single shuffle round instead
+    of one scan per distinct column. At 100 TB the trade is explicit:
+    Expand multiplies shuffled rows by the number of distinct aggs —
+    when that bites, the mergeable-sketch path (`q_agg_sketch_hll`)
+    replaces exact distinct counts. Plain COUNT(*) rides along free.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d_orders"),
+            F.countDistinct("l_partkey").alias("d_parts"),
+            F.countDistinct("l_suppkey").alias("d_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

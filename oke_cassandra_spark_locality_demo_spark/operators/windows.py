@@ -603,3 +603,73 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fill, 4).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "q_win_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+               CASE WHEN event_type <> 'purchase'
+                    THEN printf('%020d|%09d', epoch_us(ts), event_id) END AS touch
+        FROM {EVENTS_US} ev
+    ),
+    scored AS (
+        SELECT event_id, user_id, event_type,
+               MIN(touch) OVER w AS first_touch,
+               MAX(touch) OVER w AS last_touch,
+               COUNT(touch) OVER w AS n_touches
+        FROM e
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY t_us
+            RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id AS purchase_id,
+           -- TRY_CAST: DuckDB's split_part(NULL) is '' (not NULL), and
+           -- CAST('' AS BIGINT) throws; TRY_CAST aligns with Spark's NULL
+           TRY_CAST(SPLIT_PART(first_touch, '|', 2) AS BIGINT) AS first_touch_id,
+           TRY_CAST(SPLIT_PART(last_touch, '|', 2) AS BIGINT) AS last_touch_id,
+           n_touches
+    FROM scored WHERE event_type = 'purchase'
+    """,
+)
+def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: each purchase credits the
+    earliest and latest non-purchase event by the same user in the
+    preceding 30 minutes — one conditional MIN/MAX over a RANGE frame
+    in event-time microseconds, no self-join (the naive formulation is
+    an interval self-join like q_stream_join_interval plus two argmin
+    passes). The candidate key is packed as a zero-padded
+    '(t_us)|(event_id)' string so MIN/MAX order by time with the id as
+    a deterministic tiebreak — window first()/last() over RANGE peers
+    has no defined tie order, packed MIN/MAX does.
+
+    Scale shape: one shuffle on user_id; the RANGE frame holds ≤30 min
+    of one user's events. Every purchase is attributed in a single
+    pass over the event stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.format_string("%020d|%09d", t_us, F.col("event_id")),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(t_us)
+        .rangeBetween(-1800 * 1_000_000, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        F.min(touch).over(w).alias("first_touch"),
+        F.max(touch).over(w).alias("last_touch"),
+        F.count(touch).over(w).alias("n_touches"),
+    )
+    return scored.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.split("first_touch", "\\|").getItem(1).cast("bigint").alias("first_touch_id"),
+        F.split("last_touch", "\\|").getItem(1).cast("bigint").alias("last_touch_id"),
+        "n_touches",
+    )
