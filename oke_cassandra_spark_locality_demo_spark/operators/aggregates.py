@@ -912,3 +912,34 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered string aggregation (Spark 4 `listagg` WITHIN
+    GROUP): nations per region as one comma-joined, explicitly ordered
+    string — the report-friendly sibling of `q_agg_collect_sorted`'s
+    array form. The ORDER BY inside the aggregate is what makes the
+    result deterministic under any partitioning; an unordered listagg
+    would be partition-order-dependent and could never hash-match."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -533,3 +533,54 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f, vd, key="user_id", left_ts="ts", right_ts="valid_from",
         payload_cols=["dim_version", "attr_value"],
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS uid,
+               event_type
+        FROM events
+    ),
+    c AS (
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS uid,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT e.event_type, c.c_mktsegment, COUNT(*) AS n
+    FROM e JOIN c ON e.uid IS NOT DISTINCT FROM c.uid
+    GROUP BY e.event_type, c.c_mktsegment
+    ORDER BY e.event_type, c.c_mktsegment
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics an
+    entity-matching join needs when "unknown" is itself a join class
+    (every 10th key is nulled here to create that class). Crucially
+    Spark still plans `<=>` as a HASH join key (null-safe equality is
+    an equi predicate), not a nested loop — so the null-safe variant
+    costs the same shuffle as `=` at any scale, while `a = b OR (a IS
+    NULL AND b IS NULL)` written by hand would fall off the equi-join
+    path entirely.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_type",
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("uid"),
+        "c_mktsegment",
+    )
+    return (
+        e.join(c, e["uid"].eqNullSafe(c["uid"]))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "c_mktsegment")
+    )

@@ -322,3 +322,13 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS stats_demo")
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """`<=>` is an equi predicate: the null-safe join must plan as a
+    hash/sort-merge join, never BroadcastNestedLoop — the property that
+    keeps null-safe matching affordable at scale."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_join_null_safe").fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
