@@ -149,3 +149,38 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(bucket < threshold).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
+
+
+@register(
+    "q_scan_file_metadata",
+    oracle="""
+    -- the fixture is exactly one file per table, so the expected
+    -- provenance is its constant basename; the Spark side must derive
+    -- the same name from the _metadata hidden column
+    SELECT 'lineitem.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns: every file-source row carries its
+    physical provenance (file name/path/size) as a queryable struct —
+    the lineage surface a 100 TB pipeline uses to audit which files fed
+    a result, quarantine a bad delivery, or re-derive per-file row
+    counts without a separate manifest (`q_maintenance_compact` uses
+    the same signal via input_file_name()). The oracle reads the same
+    parquet with DuckDB's filename=true — both engines must attribute
+    every row to the same physical file.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select("l_orderkey", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("file_name")
+    )

@@ -159,3 +159,33 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "q_sql_params",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 100000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): named parameter markers for values
+    and the IDENTIFIER() clause for the table name — the
+    injection-safe way to template queries (string-concatenated SQL is
+    both unsafe and uncacheable as a parse tree; parameter markers keep
+    one plan shape across invocations). The oracle runs the fully
+    bound query — binding must not change semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :min_total
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "min_total": 100000.0},
+    )
