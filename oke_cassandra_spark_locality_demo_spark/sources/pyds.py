@@ -21,12 +21,15 @@ everything else stays declarative above it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..registry import register
@@ -188,3 +191,118 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+class _TokenRouteWriter(DataSourceWriter):
+    """Executor-side half of the writeback path (B7 analog): every task
+    routes its rows to per-token-bucket JSONL files, the write-side
+    mirror of the reader's token-range partitions (a Cassandra write
+    routes each row to its token's replica set the same way)."""
+
+    def __init__(self, path: str, n_ranges: int):
+        self.path = path
+        self.n_ranges = n_ranges
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        handles = {}
+        n = 0
+        try:
+            for row in iterator:
+                b = _token(row.id, self.n_ranges)
+                if b not in handles:
+                    handles[b] = open(
+                        _os.path.join(self.path, f"bucket={b}-task={pid}.jsonl"),
+                        "w",
+                    )
+                handles[b].write(
+                    _json.dumps(
+                        {"id": row.id, "name": row.name, "email": row.email, "bucket": b}
+                    )
+                    + "\n"
+                )
+                n += 1
+        finally:
+            for h in handles.values():
+                h.close()
+        return WriterCommitMessage()
+
+
+class TokenRouteSinkDataSource(DataSource):
+    """`df.write.format("tokenroute_sink").option("path", dir)` — the
+    writeback half of the custom-connector story. The driver-side
+    `writer()` prepares the target (overwrite semantics); executors
+    route rows to token buckets; `commit()` runs once with every task's
+    commit message — the standard two-phase sink contract."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tokenroute_sink"
+
+    def writer(self, schema, overwrite: bool) -> _TokenRouteWriter:
+        import os as _os
+        import shutil as _shutil
+
+        path = self.options["path"]
+        n_ranges = int(self.options.get("ranges", "4"))
+        if overwrite and _os.path.isdir(path):
+            _shutil.rmtree(path)
+        _os.makedirs(path, exist_ok=True)
+        return _TokenRouteWriter(path, n_ranges)
+
+
+@register(
+    "q_sink_pyds",
+    oracle="""
+    SELECT c_custkey % 4 AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(c_custkey) AS min_id,
+           MAX(c_custkey) AS max_id
+    FROM customer WHERE c_custkey < 200
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def q_sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the custom Python DataSource WRITER: a
+    users-shaped projection of customer is written with
+    `format("tokenroute_sink")` — each executor routes rows to
+    token-bucket files (the B7 writeback analog of the reader's
+    token-range scan) — then read back and audited per bucket. The
+    oracle recomputes the same audit relationally, so the sink must
+    deliver every row to exactly the bucket the token function names,
+    exactly once.
+    """
+    import os
+    import tempfile
+
+    from ..catalog import load
+
+    spark.dataSource.register(TokenRouteSinkDataSource)
+    path = os.path.join(tempfile.gettempdir(), "graft_tokenroute_sink")
+    users = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").cast("int").alias("id"),
+            F.col("c_name").alias("name"),
+            F.concat(F.col("c_name"), F.lit("@example.com")).alias("email"),
+        )
+    )
+    users.write.format("tokenroute_sink").mode("overwrite").option(
+        "path", path
+    ).option("ranges", "4").save()
+    back = spark.read.json(path)
+    return (
+        back.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )
