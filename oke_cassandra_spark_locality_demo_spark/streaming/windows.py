@@ -120,7 +120,7 @@ def _session(e: DataFrame) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL '5 minutes'
+                         > INTERVAL '5 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM {EVENTS_US}
@@ -141,9 +141,10 @@ def _session(e: DataFrame) -> DataFrame:
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (5-minute gap) per user. Spark's
-    `session_window` merges events whose interval [ts, ts+gap) overlaps
-    the open session; the oracle is the classic gaps-and-islands rewrite
-    with the same >= gap split condition and end = last_ts + gap."""
+    `session_window` is boundary-INCLUSIVE: an event at exactly
+    last_ts+gap still extends the session (verified by the hypothesis
+    property test), so the gaps-and-islands oracle splits only when the
+    gap is STRICTLY exceeded; end = last_ts + gap."""
     return _session(load(spark, sf_dir, "events"))
 
 

@@ -102,7 +102,10 @@ def test_session_window_matches_bruteforce(spark, rows):
         tss.sort()
         start, last, n = tss[0], tss[0], 1
         for t in tss[1:]:
-            if (t - last) >= timedelta(seconds=60):
+            # Spark's session window is boundary-INCLUSIVE: an event at
+            # exactly last+gap still extends the session; a new session
+            # starts only strictly past it (hypothesis found the edge)
+            if (t - last) > timedelta(seconds=60):
                 expect.append((u, start, last + timedelta(seconds=60), n))
                 start, n = t, 0
             last = t
