@@ -943,3 +943,44 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, flag, status
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() introspection over CUBE: super-aggregate rows carry
+    synthetic NULLs, and only grouping() can tell a rolled-up NULL from
+    a NULL that was in the data — the correctness detail every cube
+    consumer needs (here the flags also drive an explicit '<all>'
+    labeling, which is what report layers render). grouping_id-ordered
+    output makes the grouping-set lattice explicit. Same single-Expand
+    execution as q_agg_cube; the flags are free metadata, not an extra
+    pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            F.col("g_flag").cast("long").alias("g_flag"),
+            F.col("g_status").cast("long").alias("g_status"),
+            "n",
+        )
+        .orderBy("g_flag", "g_status", "flag", "status")
+    )

@@ -332,3 +332,36 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
 
     plan = simple_plan(get("q_join_null_safe").fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_nested_schema_pruning(spark, sf_dir):
+    """Nested-field pruning: selecting one subfield of a struct column
+    must shrink the parquet ReadSchema to that subfield — at 100 TB
+    reading profile.segment instead of the whole profile struct is the
+    difference between a column scan and a table scan."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "graft_nested_prune")
+    (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_acctbal").alias("acctbal"),
+            ).alias("profile"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import formatted_plan
+
+    df = spark.read.parquet(path).select("c_custkey", "profile.segment")
+    plan = formatted_plan(df)
+    read_schema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    assert "segment" in read_schema, read_schema
+    assert "acctbal" not in read_schema and "name" not in read_schema, read_schema
