@@ -395,3 +395,65 @@ def q_ordinal_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(F.broadcast(offsets), "bucket")
         .select("o_orderkey", (F.col("offset") + rn).alias("ordinal"))
     )
+
+
+@register(
+    "q_feature_rare_collapse",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    labeled AS (
+        SELECT CASE WHEN n * 1.0 / (SELECT SUM(n) FROM counts) < 0.145
+                    THEN '__other__' ELSE lang END AS label,
+               n, lang
+        FROM counts
+    ),
+    merged AS (
+        SELECT label, SUM(n) AS n_docs, COUNT(*) AS n_langs_merged
+        FROM labeled GROUP BY label
+    )
+    SELECT label, n_docs, n_langs_merged,
+           ROUND((SELECT SUM(n_docs) FROM merged) * 1.0
+                 / ((SELECT COUNT(*) FROM merged) * n_docs), 6) AS class_weight
+    FROM merged
+    ORDER BY label
+    """,
+)
+def q_feature_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse + inverse-frequency class weights — the
+    categorical-feature prep step before training: long-tail labels
+    (corpus share < 14.5%) merge into '__other__' so downstream
+    encoders don't learn one-hot columns for noise, and each surviving
+    class gets weight total/(k·count) so the loss re-balances the skew
+    the mixture audit (`q_mix_sources`) measures.
+
+    Scale shape: everything after the first per-label count — itself a
+    map-side-combinable aggregate over one pruned column — operates on
+    a label-cardinality-sized table (a few rows at any corpus size);
+    the thresholds compare exact integer counts and one double ratio,
+    identically on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    labeled = counts.select(
+        F.when(F.col("n") / total < 0.145, "__other__")
+        .otherwise(F.col("lang"))
+        .alias("label"),
+        "n",
+    )
+    merged = labeled.groupBy("label").agg(
+        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_langs_merged")
+    )
+    g_total = F.sum("n_docs").over(W.partitionBy())
+    k = F.count(F.lit(1)).over(W.partitionBy())
+    return (
+        merged.select(
+            "label",
+            "n_docs",
+            "n_langs_merged",
+            F.round(g_total / (k * F.col("n_docs")), 6).alias("class_weight"),
+        )
+        .orderBy("label")
+    )
