@@ -263,3 +263,41 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir):
         assert out.select("event_id").distinct().count() == n_a + n_b
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark — the bounded-state streaming dedup:
+    unlike plain dropDuplicates (whose key state grows forever), state
+    is evicted once the watermark passes, which is the only dedup that
+    survives an unbounded 100 TB stream; duplicates here arrive within
+    the watermark window, so the result is still exact."""
+    src = os.path.join(tempfile.gettempdir(), "graft_dedupww_src")
+    ckpt = os.path.join(tempfile.gettempdir(), "graft_dedupww_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n_unique = e.count()
+    e.write.mode("overwrite").parquet(src)
+    e.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "graft_dedupww_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
