@@ -475,10 +475,11 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_custkey AS cust,
            o_orderstatus AS status,
-           ROUND(o_totalprice, 2) AS total,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total,
            LENGTH(CONCAT('<order><cust>', CAST(o_custkey AS VARCHAR),
                          '</cust><status>', o_orderstatus,
-                         '</status><total>', CAST(ROUND(o_totalprice, 2) AS VARCHAR),
+                         '</status><total>',
+                         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
                          '</total></order>')) AS xml_len
     FROM orders
     WHERE o_orderkey % 100 = 0
@@ -495,7 +496,10 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is cast through string exactly as a feed would deliver it.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    total = F.round("o_totalprice", 2)
+    # DECIMAL(12,2) before stringifying: decimal→varchar renders the
+    # same '123.45' in both engines, while double→varchar is at the
+    # mercy of each engine's float formatter
+    total = F.col("o_totalprice").cast("decimal(12,2)")
     xml = F.concat(
         F.lit("<order><cust>"),
         F.col("o_custkey").cast("string"),

@@ -662,6 +662,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than adjacency."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
+    # items feeds four consumers; no cache — its subtree ends in the
+    # distinct's exchange, which ReusedExchange serves to all of them
+    # (verified: caching changes nothing at sf0.1)
     items = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
