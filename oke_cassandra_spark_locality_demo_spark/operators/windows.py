@@ -252,8 +252,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           -- no ROUND: (rank-1)/(n-1) and rank/n are single IEEE
+           -- divisions of identical ints, so the raw doubles are
+           -- bit-identical across engines, while ROUND(x, 6) diverges
+           -- when the true ratio lands exactly on a half (333/640 did)
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
                                          ORDER BY c_acctbal DESC, c_custkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING
@@ -276,8 +280,8 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
     )
 
