@@ -987,3 +987,62 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_flag", "g_status", "flag", "status")
     )
+
+
+@register(
+    "q_agg_higher_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*)::DOUBLE AS n,
+               SUM(CAST(l_quantity AS DECIMAL(28,8)))::DOUBLE AS s1,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))::DOUBLE AS s2,
+               SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,4)))::DOUBLE AS s3,
+               SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                        AS DECIMAL(38,2)))::DOUBLE AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * SQRT(s2/n - (s1/n)*(s1/n))), 6) AS skewness,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6) AS excess_kurtosis
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from exact raw moments —
+    NOT the engines' own skewness()/kurtosis() accumulators, whose
+    population-vs-sample conventions and partition-order float paths
+    differ between engines and could never hash-match. Σx..Σx⁴ are
+    summed as exact decimals (order-independent), converted once, and
+    the central-moment identities run as identical IEEE arithmetic on
+    both sides. One grouped aggregate pass, four fixed-size
+    accumulators — distribution-shape profiling at corpus scale costs
+    the same as a SUM, which is how a 100 TB feature audit can afford
+    per-column shape stats (`q_profile_columns`'s natural extension).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(q.cast("decimal(28,8)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(38,6)")).cast("double")
+    s3 = F.sum((q * q * q).cast("decimal(38,4)")).cast("double")
+    s4 = F.sum((q * q * q * q).cast("decimal(38,2)")).cast("double")
+    mu, m2, m3, m4 = s1 / n, s2 / n, s3 / n, s4 / n
+    var = m2 - mu * mu
+    # var*sqrt(var) / var*var, not pow(): sqrt and multiply are
+    # IEEE-correctly-rounded in both engines; pow's last ulp is libm's
+    skew = (m3 - 3 * mu * m2 + 2 * mu * mu * mu) / (var * F.sqrt(var))
+    kurt = (
+        m4 - 4 * mu * m3 + 6 * mu * mu * m2 - 3 * mu * mu * mu * mu
+    ) / (var * var) - 3
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(skew, 6).alias("skewness"),
+            F.round(kurt, 6).alias("excess_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )
