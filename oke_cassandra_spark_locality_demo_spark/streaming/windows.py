@@ -154,3 +154,61 @@ STREAMING_FORMS = {
     "q_stream_sliding": _sliding,
     "q_stream_session": _session,
 }
+
+
+def _multires(e: DataFrame) -> DataFrame:
+    """10-minute tumbling windows rolled up to hours by windowing on the
+    inner window's time column — `window(window_time(w), '1 hour')` is
+    the chained-window API that keeps BOTH resolutions incremental in
+    one streaming query (the inner aggregate shrinks state before the
+    outer one; counts/sums merge because they are algebraic)."""
+    fine = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("v"),
+        )
+    )
+    return (
+        fine.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            F.col("h.start").alias("hstart"),
+            "n_events",
+            "total_value",
+            "n_buckets",
+        )
+    )
+
+
+@register(
+    "q_stream_multires",
+    oracle=f"""
+    WITH fine AS (
+        SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(28,4))) AS v
+        FROM {EVENTS_US}
+        GROUP BY 1
+    )
+    SELECT TIME_BUCKET(INTERVAL '1 hour', wstart) AS hstart,
+           SUM(n) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_buckets
+    FROM fine GROUP BY 1
+    """,
+)
+def q_stream_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup via chained time windows: minute-grain
+    tumbling aggregates re-window into hours inside ONE query — the
+    continuous-aggregate cascade TSDBs build materialized hierarchies
+    for. Streamed, the inner window's partial state collapses volume
+    before the outer window sees it; batch and oracle compute the same
+    two-level TIME_BUCKET rollup. Decimal sums keep the two-level
+    merge bit-equal to a direct hourly aggregation.
+    """
+    return _multires(load(spark, sf_dir, "events"))

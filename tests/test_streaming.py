@@ -301,3 +301,32 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     got = spark.table(name)
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_multires_stream_matches_batch(spark, sf_dir):
+    """Chained windowed aggregations stream incrementally (Spark 3.5+):
+    10-min tumbling → hourly rollup with a watermark, append mode. The
+    streaming form must equal the batch rollup on every hour the
+    watermark finalized before the replay ended."""
+    from oke_cassandra_spark_locality_demo_spark.streaming.windows import _multires
+
+    batch = get("q_stream_multires").fn(spark, sf_dir)
+    cut = (
+        load(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+
+    def xf(stream):
+        return _multires(
+            stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+                "ts", "30 minutes"
+            )
+        )
+
+    stream = run_streaming_query(spark, sf_dir, xf, "append").filter(
+        F.col("hstart") <= F.lit(cut)
+    )
+    batch_cut = batch.filter(F.col("hstart") <= F.lit(cut))
+    assert _rowset(stream) == _rowset(batch_cut)
+    assert stream.count() > 0, "cutoff left nothing to compare"
