@@ -677,3 +677,57 @@ def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("last_touch", "\\|").getItem(1).cast("bigint").alias("last_touch_id"),
         "n_touches",
     )
+
+
+@register(
+    "q_win_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM {EVENTS_US}
+    ),
+    counts AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    lag() pairs each event with its predecessor (one shuffle on
+    user_id, deterministic (ts, event_id) order), counts collapse to a
+    |types|² table, and row-normalization runs on that tiny table —
+    the behavioral-model estimate funnel/attribution analyses start
+    from. At 100 TB the only corpus-sized stages are the keyed window
+    and a map-side-combinable count; normalization is driver-scale.
+    The probability is one double division of exact ints, identical on
+    both engines unrounded (the ROUND only stabilizes display).
+    """
+    ev = load(spark, sf_dir, "events")
+    prev = F.lag("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    counts = (
+        ev.select("user_id", "event_type", prev.alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(W.partitionBy("prev_type")), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
