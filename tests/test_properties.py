@@ -125,3 +125,28 @@ def test_pagerank_mass_conserved(spark, sf_dir):
     total = sum(r["pagerank"] for r in rows)
     assert abs(total - 1.0) < 1e-3, total
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    """The exact-decimal discipline's point: results must be IDENTICAL
+    (hash-equal, not approximately equal) under different shuffle
+    partitioning — the property that makes retries, speculative
+    execution, and cluster resizes safe at 100 TB. Run float-heavy
+    queries under 5 and 32 shuffle partitions and require equality."""
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names = ["q_agg_hash", "q_agg_weighted", "q_agg_higher_moments", "q_win_time_weighted"]
+    try:
+        results = {}
+        for n_part in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = sorted(
+                    tuple(r) for r in get(name).fn(spark, sf_dir).collect()
+                )
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across partitionings"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
