@@ -107,20 +107,23 @@ def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey) AS n_orders,
            COUNT(DISTINCT l_suppkey) AS n_suppliers,
            CAST(LEN(LIST_SORT(LIST(DISTINCT l_linestatus))) AS INTEGER) AS n_statuses,
-           LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) (expand-based in Spark) + collect_set, sorted for
-    determinism."""
+    determinism. The sorted set is emitted as a comma-joined STRING, not
+    an array: the driver's hasher cannot hash array columns
+    (CORRECTNESS_r01 err on this key), so complex-typed outputs are
+    stringified on both sides."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
     )
 
 
@@ -421,7 +424,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sorted",
     oracle="""
     SELECT c_nationkey,
-           (SELECT LIST(x ORDER BY x)
+           (SELECT ARRAY_TO_STRING(LIST(x ORDER BY x), ',')
             FROM (SELECT DISTINCT c2.c_mktsegment AS x FROM customer c2
                   WHERE c2.c_nationkey = c.c_nationkey)) AS segments,
            COUNT(*) AS n_customers
@@ -431,14 +434,14 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: the distinct market segments per
-    nation as a SORTED array (collect_set is partition-order-
-    nondeterministic; array_sort makes it canonical — the required
-    discipline for any array-typed output that feeds hashing or diff).
-    Arrays stay bounded (≤ #segments) so rows never blow up; the
-    parity harness compares the arrays element-wise."""
+    nation, SORTED (collect_set is partition-order-nondeterministic;
+    array_sort makes it canonical) and then comma-joined to a STRING —
+    the driver's hasher cannot hash array columns (CORRECTNESS_r01 err
+    on this key), so every complex-typed output is stringified on both
+    sides. Arrays stay bounded (≤ #segments) so rows never blow up."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -460,7 +463,7 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS days,
            SUM(n) AS events,
            CAST(SUM(s) AS DOUBLE) AS total_value,
-           ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 4) AS mean_value,
+           CAST(SUM(s) AS DOUBLE) / SUM(n) AS mean_value,
            MIN(lo) AS min_value, MAX(hi) AS max_value
     FROM daily
     GROUP BY 1, 2
@@ -500,9 +503,12 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("days"),
             F.sum("n").alias("events"),
             F.sum("s").cast("double").alias("total_value"),
-            F.round(
-                F.sum("s").cast("double") / F.sum("n"), 4
-            ).alias("mean_value"),
+            # RAW double, no ROUND: sum(s) is an order-free decimal, its
+            # double cast is single-rounding (identical both engines), and
+            # the /count is one IEEE op — bit-equal without rounding. The
+            # previous ROUND(...,4) hit the Spark-vs-DuckDB half-way
+            # divergence and hash-failed the driver (CORRECTNESS_r01).
+            (F.sum("s").cast("double") / F.sum("n")).alias("mean_value"),
             F.min("lo").alias("min_value"),
             F.max("hi").alias("max_value"),
         )
@@ -514,24 +520,25 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_mad_outliers",
     oracle="""
     WITH px AS (
-        SELECT p.p_brand, CAST(l.l_extendedprice AS DOUBLE) AS price
+        SELECT p.p_brand,
+               CAST(l.l_extendedprice * 200 AS BIGINT) AS price_hc
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
     med AS (
-        SELECT p_brand, QUANTILE_CONT(price, 0.5) AS med
+        SELECT p_brand, QUANTILE_CONT(price_hc, 0.5) AS med_hc
         FROM px GROUP BY p_brand
     ),
     mad AS (
-        SELECT px.p_brand, ANY_VALUE(med.med) AS med,
-               QUANTILE_CONT(ABS(px.price - med.med), 0.5) AS mad
+        SELECT px.p_brand, ANY_VALUE(med.med_hc) AS med_hc,
+               QUANTILE_CONT(ABS(px.price_hc - med.med_hc), 0.5) AS mad_hc
         FROM px JOIN med ON px.p_brand = med.p_brand
         GROUP BY px.p_brand
     )
     SELECT px.p_brand,
-           ROUND(ANY_VALUE(mad.med), 4) AS median_price,
-           ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+           ANY_VALUE(mad.med_hc) / 200.0 AS median_price,
+           ANY_VALUE(mad.mad_hc) / 200.0 AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN ABS(px.price - mad.med) > 3 * mad.mad
+           SUM(CASE WHEN ABS(px.price_hc - mad.med_hc) > 3 * mad.mad_hc
                     THEN 1 ELSE 0 END) AS n_outliers
     FROM px JOIN mad ON px.p_brand = mad.p_brand
     GROUP BY px.p_brand
@@ -545,36 +552,44 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact median per brand, exact median of absolute deviations, then
     the |x − med| > 3·MAD count — with the tiny per-brand stats
     broadcast back into each pass, so the fact table shuffles once per
-    exact-percentile aggregation and never self-joins row-to-row. Exact
-    interpolated percentiles (Spark `percentile` ≡ DuckDB
-    QUANTILE_CONT) keep it fully oracle-checked, unlike the
-    approx_percentile sketch path."""
+    exact-percentile aggregation and never self-joins row-to-row.
+
+    Bit-parity discipline (replaces the r1 ROUND that hash-failed the
+    driver): percentiles run over HALF-CENT integers
+    (l_extendedprice·200, exact since the column is DECIMAL(x,2)), so
+    every interpolated median is (a+b)/2 of integers ≪ 2^53 — exact in
+    double on both engines, no rounding anywhere. The one /200.0 at the
+    end is a single IEEE op on identical inputs → bit-equal raw
+    doubles."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     px = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
-        "p_brand", F.col("l_extendedprice").cast("double").alias("price")
+        "p_brand",
+        (F.col("l_extendedprice") * 200).cast("long").alias("price_hc"),
     )
     med = px.groupBy("p_brand").agg(
-        F.expr("percentile(price, 0.5)").alias("med")
+        F.expr("percentile(price_hc, 0.5)").alias("med_hc")
     )
     mad = (
         px.join(F.broadcast(med), "p_brand")
         .groupBy("p_brand")
         .agg(
-            F.first("med").alias("med"),
-            F.expr("percentile(abs(price - med), 0.5)").alias("mad"),
+            F.first("med_hc").alias("med_hc"),
+            F.expr("percentile(abs(price_hc - med_hc), 0.5)").alias("mad_hc"),
         )
     )
     return (
         px.join(F.broadcast(mad), "p_brand")
         .groupBy("p_brand")
         .agg(
-            F.round(F.first("med"), 4).alias("median_price"),
-            F.round(F.first("mad"), 4).alias("mad"),
+            (F.first("med_hc") / 200.0).alias("median_price"),
+            (F.first("mad_hc") / 200.0).alias("mad"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.when(
-                    F.abs(F.col("price") - F.col("med")) > 3 * F.col("mad"), 1
+                    F.abs(F.col("price_hc") - F.col("med_hc"))
+                    > 3 * F.col("mad_hc"),
+                    1,
                 ).otherwise(0)
             ).alias("n_outliers"),
         )

@@ -1,9 +1,17 @@
 """Local mirror of the driver's DuckDB-oracle comparison.
 
 Runs a registered Spark query and its oracle SQL on the same fixtures,
-then compares row count, column names, and order-insensitive values
-(floats to a tight tolerance — the engine aims for bit-equality; the
-tolerance only forgives sub-ulp formatting noise).
+then compares row count, column names, and order-insensitive values.
+
+Faithfulness contract (round-2 hardening, per VERDICT r1 §What's-wrong 3):
+the driver hashes EXACT values with a pandas-based canonicalizer that
+(a) does NOT round floats — bit-equality or bust — and (b) CRASHES with
+``TypeError: unhashable type`` on array/map-typed output columns
+(pandas ``factorize`` during ``sort_values``). This mirror reproduces
+both behaviors: floats compare bit-exact, and any list/dict value in an
+oracle-backed result raises ``ComplexTypeHazard`` so the local suite
+fails loudly *before* the driver does. Queries with array outputs must
+stringify them (``array_join``/``to_json``) on both sides.
 """
 
 from __future__ import annotations
@@ -29,6 +37,14 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class ComplexTypeHazard(TypeError):
+    """An array/map-typed output column reached the compare layer.
+
+    The driver's pandas hasher dies with ``unhashable type: 'list'`` on
+    these (CORRECTNESS_r01: q_agg_distinct, q_agg_collect_sorted), so
+    the mirror refuses them instead of silently tuple-izing."""
+
+
 def _canon(v):
     if v is None:
         return None
@@ -37,7 +53,9 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
-        return ("f", round(v, 9))
+        # Exact: the driver hashes raw values. A query whose floats only
+        # agree to N decimal places WILL fail the driver's hash.
+        return ("f", v)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, int):
@@ -46,8 +64,12 @@ def _canon(v):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
         return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(_canon(x) for x in v))
+    if isinstance(v, (list, tuple, dict, set)):
+        raise ComplexTypeHazard(
+            f"complex-typed value {v!r} would crash the driver's pandas "
+            "hasher (unhashable type) — stringify with array_join/to_json "
+            "in BOTH the Spark query and the oracle SQL"
+        )
     if isinstance(v, bytearray):
         return ("by", bytes(v))
     return (type(v).__name__, v)
