@@ -20,7 +20,7 @@ partition-order-dependent summation would never hash-match.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
@@ -521,26 +521,42 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
         SELECT p.p_brand,
-               CAST(l.l_extendedprice * 200 AS BIGINT) AS price_hc
+               CAST(ROUND(l.l_extendedprice * 200) AS BIGINT) AS price_hc
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
+    r1 AS (
+        SELECT p_brand, price_hc,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY price_hc) AS rn,
+               COUNT(*) OVER (PARTITION BY p_brand) AS n
+        FROM px
+    ),
     med AS (
-        SELECT p_brand, QUANTILE_CONT(price_hc, 0.5) AS med_hc
-        FROM px GROUP BY p_brand
+        SELECT p_brand, AVG(price_hc) AS med_hc
+        FROM r1 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY p_brand
+    ),
+    r2 AS (
+        SELECT px.p_brand,
+               ABS(px.price_hc - med.med_hc) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY px.p_brand
+                                  ORDER BY ABS(px.price_hc - med.med_hc)) AS rn,
+               COUNT(*) OVER (PARTITION BY px.p_brand) AS n
+        FROM px JOIN med ON px.p_brand = med.p_brand
     ),
     mad AS (
-        SELECT px.p_brand, ANY_VALUE(med.med_hc) AS med_hc,
-               QUANTILE_CONT(ABS(px.price_hc - med.med_hc), 0.5) AS mad_hc
-        FROM px JOIN med ON px.p_brand = med.p_brand
-        GROUP BY px.p_brand
+        SELECT p_brand, AVG(dev) AS mad_hc
+        FROM r2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY p_brand
     )
     SELECT px.p_brand,
-           ANY_VALUE(mad.med_hc) / 200.0 AS median_price,
+           ANY_VALUE(med.med_hc) / 200.0 AS median_price,
            ANY_VALUE(mad.mad_hc) / 200.0 AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN ABS(px.price_hc - mad.med_hc) > 3 * mad.mad_hc
+           SUM(CASE WHEN ABS(px.price_hc - med.med_hc) > 3 * mad.mad_hc
                     THEN 1 ELSE 0 END) AS n_outliers
-    FROM px JOIN mad ON px.p_brand = mad.p_brand
+    FROM px
+    JOIN med ON px.p_brand = med.p_brand
+    JOIN mad ON px.p_brand = mad.p_brand
     GROUP BY px.p_brand
     ORDER BY px.p_brand
     """,
@@ -548,38 +564,68 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier audit: median absolute deviation, the
     std-dev substitute that survives the heavy-tailed value columns
-    real corpora have. Three passes over the same brand partitioning —
-    exact median per brand, exact median of absolute deviations, then
-    the |x − med| > 3·MAD count — with the tiny per-brand stats
-    broadcast back into each pass, so the fact table shuffles once per
-    exact-percentile aggregation and never self-joins row-to-row.
+    real corpora have. Two rank-selection medians over the same brand
+    partitioning — exact median per brand, exact median of absolute
+    deviations — then the |x − med| > 3·MAD count, with the tiny
+    per-brand stats broadcast back into each pass, so the fact table
+    never self-joins row-to-row.
 
-    Bit-parity discipline (replaces the r1 ROUND that hash-failed the
-    driver): percentiles run over HALF-CENT integers
-    (l_extendedprice·200, exact since the column is DECIMAL(x,2)), so
-    every interpolated median is (a+b)/2 of integers ≪ 2^53 — exact in
-    double on both engines, no rounding anywhere. The one /200.0 at the
-    end is a single IEEE op on identical inputs → bit-equal raw
-    doubles."""
+    Bit-parity discipline: the medians are computed by EXPLICIT RANK
+    SELECTION (row_number over the sorted values; average the middle
+    one or two elements), not by interpolated percentile — Spark's
+    `percentile()` and DuckDB's `QUANTILE_CONT` provably diverge at
+    value ties. Values are HALF-CENT integers
+    (round(l_extendedprice·200) — the explicit ROUND matters: the
+    column is a parquet DOUBLE, so v·200 sits an epsilon off the true
+    integer and Spark's double→long cast truncates where DuckDB's
+    rounds); each median is AVG of ≤2 integers ≪ 2^53 — an exact
+    integer sum then one IEEE division, bit-equal on both engines. The
+    /200.0 at the end is a single IEEE op on identical inputs →
+    bit-equal raw doubles.
+
+    Scale: each rank-selection pass is one shuffle on p_brand + an
+    in-partition sort (the same cost exact percentile pays); the
+    per-brand medians are rows ≈ #brands, broadcast back into the
+    outlier count pass."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     px = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
         "p_brand",
-        (F.col("l_extendedprice") * 200).cast("long").alias("price_hc"),
+        # ROUND before the cast: l_extendedprice is a parquet DOUBLE, so
+        # v*200 lands an epsilon off the true half-cent integer — Spark's
+        # double→long cast TRUNCATES while DuckDB's ROUNDS, so without the
+        # explicit round the two engines disagree on the integer itself
+        # (r2 driver fail: 4959139 vs 4959140 was THIS, not percentile
+        # tie semantics). round() is nearest-integer on both engines.
+        F.round(F.col("l_extendedprice") * 200, 0).cast("long").alias("price_hc"),
     )
-    med = px.groupBy("p_brand").agg(
-        F.expr("percentile(price_hc, 0.5)").alias("med_hc")
-    )
-    mad = (
-        px.join(F.broadcast(med), "p_brand")
-        .groupBy("p_brand")
-        .agg(
-            F.first("med_hc").alias("med_hc"),
-            F.expr("percentile(abs(price_hc - med_hc), 0.5)").alias("mad_hc"),
+
+    def _rank_median(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+        wr = Window.partitionBy("p_brand").orderBy(value_col)
+        wn = Window.partitionBy("p_brand")
+        ranked = df.select(
+            "p_brand",
+            value_col,
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
         )
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        return mid.groupBy("p_brand").agg(F.avg(value_col).alias(out_col))
+
+    med = _rank_median(px, "price_hc", "med_hc")
+    mad = _rank_median(
+        px.join(F.broadcast(med), "p_brand").select(
+            "p_brand", F.abs(F.col("price_hc") - F.col("med_hc")).alias("dev")
+        ),
+        "dev",
+        "mad_hc",
     )
     return (
-        px.join(F.broadcast(mad), "p_brand")
+        px.join(F.broadcast(med), "p_brand")
+        .join(F.broadcast(mad), "p_brand")
         .groupBy("p_brand")
         .agg(
             (F.first("med_hc") / 200.0).alias("median_price"),
