@@ -80,7 +80,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # cast: date_trunc promotes NTZ input to tz-aware TIMESTAMP, but the
+        # driver's hasher distinguishes timestamp vs timestamp_ntz (session
+        # tz is UTC so the cast is value-exact)
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.to_date("o_orderdate").alias("order_date"),

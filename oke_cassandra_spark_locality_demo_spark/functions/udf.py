@@ -220,7 +220,9 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupby("user_id"))
         .applyInPandas(
             _signup_purchase_merge,
-            "user_id long, first_signup timestamp, "
+            # first_signup is timestamp_ntz: the input ts is NTZ and the
+            # driver's hasher distinguishes ntz from tz-aware timestamp
+            "user_id long, first_signup timestamp_ntz, "
             "n_purchases long, avg_delay_s double",
         )
     )

@@ -485,7 +485,9 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy(
             "event_type",
-            F.date_trunc("day", F.col("ts")).alias("day"),
+            # cast: date_trunc promotes NTZ to tz-aware TIMESTAMP; the driver
+            # hasher distinguishes the two (UTC session → value-exact cast)
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -497,7 +499,7 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.groupBy(
             "event_type",
-            F.date_trunc("month", F.col("day")).alias("month"),
+            F.date_trunc("month", F.col("day")).cast("timestamp_ntz").alias("month"),
         )
         .agg(
             F.count(F.lit(1)).alias("days"),
@@ -833,7 +835,7 @@ def q_agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
-        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("month", "ts").cast("timestamp_ntz").alias("month"),
         F.to_date("ts").alias("day"),
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     return (

@@ -454,10 +454,12 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.date_trunc("month", F.min("ts")).alias("cohort"))
+        # cast: date_trunc promotes NTZ to tz-aware TIMESTAMP; driver hasher
+        # distinguishes the two (UTC session → value-exact cast)
+        .agg(F.date_trunc("month", F.min("ts")).cast("timestamp_ntz").alias("cohort"))
     )
     size = s.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
-    month = F.date_trunc("month", F.col("ts"))
+    month = F.date_trunc("month", F.col("ts")).cast("timestamp_ntz")
     act = (
         e.join(F.broadcast(s), "user_id")
         .filter(month >= F.col("cohort"))

@@ -63,7 +63,9 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "10 minutes").alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col("w.start").alias("wstart"), "n")
+            # window bounds are tz-aware (watermark required the LTZ cast);
+            # cast back to NTZ for output parity (UTC session → value-exact)
+            .select(F.col("w.start").cast("timestamp_ntz").alias("wstart"), "n")
         )
 
     return run_streaming_query(spark, sf_dir, xf, output_mode="complete")

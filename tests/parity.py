@@ -45,6 +45,41 @@ class ComplexTypeHazard(TypeError):
     the mirror refuses them instead of silently tuple-izing."""
 
 
+class TzAwareHazard(TypeError):
+    """A tz-aware ``timestamp`` output column reached the compare layer.
+
+    Every driver-green timestamp-emitting query outputs ``timestamp_ntz``
+    and the driver's hasher distinguishes the two (CORRECTNESS_r02:
+    q_agg_incremental matched value-for-value locally yet hash-failed the
+    driver because ``date_trunc`` had promoted its month column to
+    tz-aware). The mirror refuses tz-aware outputs instead of stripping
+    tzinfo — cast to ``timestamp_ntz`` (UTC session → value-exact)."""
+
+
+def assert_no_tz_aware(spark_df) -> None:
+    """Fail on any tz-aware TimestampType in the output schema."""
+    from pyspark.sql import types as T
+
+    def walk(dt, path):
+        if isinstance(dt, T.TimestampType):
+            raise TzAwareHazard(
+                f"output column {path!r} is tz-aware timestamp — the driver "
+                "hasher distinguishes it from timestamp_ntz; cast with "
+                ".cast('timestamp_ntz') (session tz is UTC, value-exact)"
+            )
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType, path + ".key")
+            walk(dt.valueType, path + ".value")
+
+    for f in spark_df.schema.fields:
+        walk(f.dataType, f.name)
+
+
 def _canon(v):
     if v is None:
         return None
@@ -61,7 +96,13 @@ def _canon(v):
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
+        if v.tzinfo is not None:
+            raise TzAwareHazard(
+                f"tz-aware datetime {v!r} would hash-mismatch the driver "
+                "(it distinguishes timestamp from timestamp_ntz) — cast "
+                "the column to timestamp_ntz on the Spark side"
+            )
+        return ("ts", v.isoformat())
     if isinstance(v, date):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple, dict, set)):
@@ -84,6 +125,7 @@ def _rowset(cols, rows):
 
 
 def compare(spark_df, con, oracle: str, limit: int | None = None) -> tuple[bool, str]:
+    assert_no_tz_aware(spark_df)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = [c.lower() for c in spark_df.columns]
     o = con.execute(oracle)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from oke_cassandra_spark_locality_demo_spark import registry
-from .parity import compare, duckdb_conn
+from .parity import assert_no_tz_aware, compare, duckdb_conn
 
 _ALL = sorted(registry.all_oracles())
 
@@ -29,4 +29,7 @@ def test_rows_only_queries_run(spark, sf_dir):
     rows_only = sorted(set(registry.all_queries()) - set(registry.all_oracles()))
     for name in rows_only:
         df = registry.get(name).fn(spark, sf_dir)
+        # rows-only queries still go through the driver's schema record:
+        # tz-aware timestamps are a hazard there exactly as in parity
+        assert_no_tz_aware(df)
         assert df.count() >= 0, name
