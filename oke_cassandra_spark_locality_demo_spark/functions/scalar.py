@@ -133,18 +133,24 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words,
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS mentions_spark,
-           STRING_SPLIT(text, ' ')[1:5] AS first5,
-           LIST_SORT(STRING_SPLIT(SUBSTRING(text, 1, 40), ' ')) AS sorted_head,
-           LIST_TRANSFORM(STRING_SPLIT(SUBSTRING(text, 1, 40), ' '), w -> UPPER(w))
-               AS upper_head,
-           LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) > 5) AS long_words
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:5], ',') AS first5,
+           ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(SUBSTRING(text, 1, 40), ' ')), ',')
+               AS sorted_head,
+           ARRAY_TO_STRING(
+               LIST_TRANSFORM(STRING_SPLIT(SUBSTRING(text, 1, 40), ' '),
+                              w -> UPPER(w)), ',') AS upper_head,
+           COALESCE(ARRAY_TO_STRING(
+               LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) > 5), ','), '')
+               AS long_words
     FROM documents
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family incl. higher-order transform/filter. Spark `slice`
     takes (start, length); DuckDB list slicing is [begin:end] inclusive —
-    slice(1,5) ≡ [1:5]."""
+    slice(1,5) ≡ [1:5]. Array outputs are comma-joined on both sides:
+    complex-typed outputs crash the correctness hasher, and the fixture
+    text is bare lowercase words so ',' cannot collide."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     head_words = F.split(F.substring("text", 1, 40), " ")
@@ -152,10 +158,14 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words).alias("n_words"),
         F.array_contains(words, "spark").alias("mentions_spark"),
-        F.slice(words, 1, 5).alias("first5"),
-        F.sort_array(head_words).alias("sorted_head"),
-        F.transform(head_words, lambda w: F.upper(w)).alias("upper_head"),
-        F.filter(words, lambda w: F.length(w) > 5).alias("long_words"),
+        F.array_join(F.slice(words, 1, 5), ",").alias("first5"),
+        F.array_join(F.sort_array(head_words), ",").alias("sorted_head"),
+        F.array_join(
+            F.transform(head_words, lambda w: F.upper(w)), ","
+        ).alias("upper_head"),
+        F.array_join(
+            F.filter(words, lambda w: F.length(w) > 5), ","
+        ).alias("long_words"),
     )
 
 
@@ -188,14 +198,15 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_quantity AS qty_from_map,
            l_extendedprice AS price_from_map,
            2 AS map_size,
-           ['price', 'qty'] AS map_keys_sorted
+           'price,qty' AS map_keys_sorted
     FROM lineitem
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: create_map / element_at / map_keys / size. The oracle
     states the expected *values* directly (DuckDB's MAP dialect differs;
-    the point is verifying Spark's map semantics, not DuckDB's)."""
+    the point is verifying Spark's map semantics, not DuckDB's). The
+    key list is comma-joined — complex outputs crash the hasher."""
     li = load(spark, sf_dir, "lineitem")
     m = F.create_map(
         F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
@@ -206,7 +217,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "qty").alias("qty_from_map"),
         F.element_at(m, "price").alias("price_from_map"),
         F.size(m).alias("map_size"),
-        F.sort_array(F.map_keys(m)).alias("map_keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("map_keys_sorted"),
     )
 
 

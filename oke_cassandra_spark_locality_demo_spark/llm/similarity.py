@@ -272,45 +272,46 @@ def q_sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
              UNNEST(CAST(embedding AS DOUBLE[])) AS x
       FROM embeddings
-    ), m AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m,
-             COUNT(*) AS cnt
-      FROM ex GROUP BY label, pos
     )
-    SELECT label, LIST(m ORDER BY pos) AS centroid, MAX(cnt) AS n_vectors
-    FROM m GROUP BY label
+    SELECT label, pos,
+           CAST(SUM(CAST(ROUND(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS m,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, pos
     """,
 )
 def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (class prototype): posexplode the
-    vector to (label, pos, x) rows, aggregate the exact per-dimension
-    mean, and reassemble the array ordered by position. Sums run over
-    DECIMAL(28,12) so the result is addition-order-independent — the
-    same value on any partitioning and bit-equal to the DuckDB oracle.
+    vector to (label, pos, x) rows and aggregate the per-dimension mean
+    at nano precision: each x is rounded to an integer number of 1e-9
+    units (round() is half-away-from-zero on BOTH engines, unlike the
+    double→decimal cast, whose tie mode differs: Spark HALF_UP vs DuckDB
+    half-even — float32-derived inputs do hit exact ties), the integer
+    sum is exact and addition-order-independent, and the two trailing
+    IEEE divisions are written identically on both sides — bit-equal to
+    the DuckDB oracle. Output is the LONG format (label, pos, m): one
+    row per dimension, 1-based pos matching the oracle's
+    GENERATE_SUBSCRIPTS. An array output would crash the correctness
+    hasher, and stringified doubles are format-hazardous; callers that
+    want the array shape reassemble with
+    transform(array_sort(collect_list(struct(pos, m))), s -> s.m).
 
     Scale: the exploded relation is rows × dim tiny tuples that partial-
     aggregate map-side before one shuffle on (label, pos) — no vector is
     ever collected to one task, so this survives arbitrarily many
     vectors per label (the k-means update step in ivf.py uses the same
-    shape). collect_list here gathers only the dim per-dimension means
-    per label, not the input vectors."""
+    shape)."""
     emb = load(spark, sf_dir, "embeddings")
     ex = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
-    )
-    m = ex.groupBy("label", "pos").agg(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "x")
+    return ex.groupBy("label", "pos").agg(
         (
-            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            F.sum(F.round(F.col("x") * 1000000000.0, 0).cast("long")).cast("double")
+            / 1000000000.0
             / F.count(F.lit(1))
         ).alias("m"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    return m.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("centroid"),
-        F.max("cnt").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
@@ -323,15 +324,20 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                LIST_MAX(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> ABS(x)))
                    AS max_abs
         FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, v, max_abs,
+               LIST_TRANSFORM(v, x -> CAST(ROUND(x * 127.0 / max_abs) AS INTEGER))
+                   AS q8l
+        FROM scaled
     )
     SELECT vec_id, label,
            ROUND(max_abs, 6) AS scale,
-           LIST_TRANSFORM(v, x -> CAST(ROUND(x * 127.0 / max_abs) AS INTEGER)) AS q8,
+           ARRAY_TO_STRING(q8l, ',') AS q8,
            ROUND(LIST_MAX(LIST_TRANSFORM(
                RANGE(1, LEN(v) + 1),
-               i -> ABS(v[i] - LIST_TRANSFORM(v, x -> CAST(ROUND(x * 127.0 / max_abs) AS INTEGER))[i]
-                              * max_abs / 127.0))), 6) AS max_err
-    FROM scaled
+               i -> ABS(v[i] - q8l[i] * max_abs / 127.0))), 6) AS max_err
+    FROM q
     """,
 )
 def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +368,8 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round("max_abs", 6).alias("scale"),
-        "q8",
+        # int8 codes comma-joined: integer→string is format-stable on both
+        # engines, unlike doubles; array outputs crash the hasher
+        F.array_join(F.col("q8").cast("array<string>"), ",").alias("q8"),
         F.round(deq_err, 6).alias("max_err"),
     )
