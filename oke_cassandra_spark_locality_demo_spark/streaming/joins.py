@@ -138,7 +138,12 @@ def _outer_join(p: DataFrame, c: DataFrame) -> DataFrame:
                FROM {EVENTS_US} ev WHERE event_type = 'purchase'),
          c AS (SELECT event_id, user_id, ts AS e_ts, event_type
                FROM {EVENTS_US} ev WHERE event_type <> 'purchase'),
-         cutoff AS (SELECT MAX(ts) - INTERVAL 45 MINUTE AS cut FROM {EVENTS_US} ev)
+         cutoff AS (SELECT LEAST(
+                        (SELECT MAX(ts) FROM {EVENTS_US} ev
+                          WHERE event_type = 'purchase'),
+                        (SELECT MAX(ts) FROM {EVENTS_US} ev
+                          WHERE event_type <> 'purchase'))
+                    - INTERVAL 35 MINUTE AS cut)
     SELECT p.purchase_id, p.p_ts, c.event_id, c.event_type
     FROM p LEFT JOIN c
       ON p.user_id = c.user_id
@@ -152,22 +157,40 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-padded when no event preceded it within 10 minutes — the
     semantics that make outer streaming joins hard, because a
     null-match can only be declared once the watermark proves no
-    matching row can still arrive. Output is restricted to purchases
-    older than max(ts) − (watermark 30m + interval 10m + slack), the
-    region where the streaming form has provably finalized its
-    null-padding — the same cutoff the streaming-equality test applies
-    (an unbounded stream finalizes everything eventually; a finite
-    replay leaves the tail pending by design, not by bug).
+    matching row can still arrive. Output is restricted to the region
+    the streaming form has provably finalized: the global watermark is
+    the MIN over both sides' watermark nodes, and each side only sees
+    its own filtered rows — so the finalized boundary is
+    least(max purchase ts, max non-purchase ts) − 30m delay, minus 5m
+    slack. (The r2 cutoff used max(all ts) − 45m; at sf0.01 the last
+    purchase trails the last event by 32m, so that cutoff overshot the
+    watermark and the batch side kept one null-padded row the stream
+    had not yet finalized.) The same cutoff helper drives the
+    streaming-equality test — an unbounded stream finalizes everything
+    eventually; a finite replay leaves the tail pending by design.
     """
     p, c = _sides(load(spark, sf_dir, "events"))
-    cut = load(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 45 MINUTES")).alias("cut")
-    )
     return (
         _outer_join(p, c)
-        .crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(finalized_cutoff(load(spark, sf_dir, "events"))))
         .filter(F.col("p_ts") <= F.col("cut"))
         .drop("cut")
+    )
+
+
+def finalized_cutoff(events: DataFrame) -> DataFrame:
+    """One-row DataFrame with the provably-finalized cutoff for the
+    left-outer stream-stream join: global watermark = min over both
+    sides' per-node watermarks (each node sees only its filtered rows),
+    minus 5 minutes slack for boundary strictness."""
+    return events.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") != "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 35 MINUTES")
+        ).alias("cut")
     )
 
 

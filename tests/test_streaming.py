@@ -196,15 +196,12 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
     region (the batch key's cutoff) streaming and batch must agree
     exactly — including which purchases got NULL matches."""
     from oke_cassandra_spark_locality_demo_spark.streaming.joins import (
+        finalized_cutoff,
         streaming_outer_join,
     )
 
     batch = get("q_stream_join_outer").fn(spark, sf_dir)
-    cut = (
-        load(spark, sf_dir, "events")
-        .agg((F.max("ts") - F.expr("INTERVAL 45 MINUTES")).alias("cut"))
-        .collect()[0]["cut"]
-    )
+    cut = finalized_cutoff(load(spark, sf_dir, "events")).collect()[0]["cut"]
     stream = run_streaming_query(
         spark, sf_dir, streaming_outer_join, "append"
     ).filter(F.col("p_ts") <= F.lit(cut))
