@@ -130,49 +130,106 @@ NGRAM_JACCARD_ORACLE = """
 
 @register("q_dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard near-dup pairs (≥ 0.6) via shingle
-    inverted index: docs are only compared if they share a shingle, so
-    the pair space is bounded by shingle co-occurrence, not N²."""
+    """Exact 3-word-shingle Jaccard near-dup pairs (≥ 0.6): df-ordered
+    PREFIX candidate generation + hashed-key verification — the
+    production formulation.
+
+    Candidate generation indexes, per doc, only its (n − ⌈t·n⌉ + 1)
+    globally-RAREST shingles (order: df asc, key asc). The prefix-filter
+    theorem (SSJoin/PPJoin, public literature) guarantees any pair with
+    jaccard ≥ t shares a prefix element, so this is exact — and because
+    prefixes hold the rarest shingles, a corpus-scale stop-shingle never
+    becomes a join key unless it is some doc's rarest content, bounding
+    hot-key fanout by construction (the r1/r2 formulation joined the
+    FULL inverted index, where one stop-shingle made a single join key
+    quadratic). Verification then computes the full intersection count
+    for candidates only, so the output equals the naive all-pairs
+    definition (same oracle as q_dedup_ngram_prefix, the raw-shingle
+    reference implementation).
+
+    Shingles are collapsed to 64-bit xxhash64 keys before any shuffle:
+    df-count, prefix join, and verification all move 8-byte longs
+    instead of ~20-byte strings (collision odds over ~10^6 distinct
+    shingles are ~10^-7 — and a collision would have to land inside one
+    doc pair's intersection to perturb a count)."""
     d = load(spark, sf_dir, "documents")
-    # cache the shingle table (reused by the sizes agg and both join
-    # sides); sh2 itself is NOT cached — it's a cheap broadcast-join map
-    # over cached sh, and materializing it costs more than recomputing.
-    # Shingles are collapsed to 64-bit xxhash64 keys before the self-join:
-    # the shuffle moves 8-byte longs instead of ~20-byte strings and the
-    # join compares longs (collision odds over ~10^6 distinct shingles are
-    # ~10^-7 — and a collision would have to land inside one doc pair's
-    # intersection to perturb a count).
-    sh = _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh")).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # attach each doc's shingle count to its inverted-index rows
-    # (broadcast — one row per doc), so the self-join can size-prune
-    sh2 = sh.join(F.broadcast(sizes), "doc_id")
-    a = sh2.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("na"))
-    b = sh2.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("nb"))
+    t = 0.6
+    sh = _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+
+    # One per-doc aggregation produces BOTH the verification set and the
+    # prefix: collect (df, sh) structs, array_sort (rarest first), slice
+    # the first n − ⌈t·n⌉ + 1 as the prefix — all in codegen, no per-doc
+    # window pass over the shingle table.
+    docs = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ranked"))
+        .select(
+            "doc_id",
+            F.transform("ranked", lambda s: s.sh).alias("shset"),
+            F.size("ranked").alias("n_sh"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("shset"),
+                1,
+                (F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1).cast("int"),
+            ),
+        )
+        .cache()
+    )
+
+    pa = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode("prefix").alias("sh"),
+        F.col("n_sh").alias("na"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.explode("prefix").alias("sh"),
+        F.col("n_sh").alias("nb"),
+    )
     # size-compatibility prune INSIDE the join: jaccard ≥ t implies
-    # |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min ≤ sizes), so
-    # incompatible pairs are provably below threshold — dropping them
-    # pre-aggregation loses nothing and cuts the pair space sharply
-    common = (
-        a.join(
-            b,
-            (a.sh == b.sh)
+    # |A| ≥ t·|B| and |B| ≥ t·|A|, so incompatible pairs are provably
+    # below threshold and never reach verification
+    cand = (
+        pa.join(
+            pb,
+            (pa.sh == pb.sh)
             & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= 0.6 * F.col("nb"))
-            & (F.col("nb") >= 0.6 * F.col("na")),
+            & (F.col("na") >= t * F.col("nb"))
+            & (F.col("nb") >= t * F.col("na")),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # exact verification: candidates (small — prefix-filtered) broadcast
+    # against the per-doc sets; the intersection count runs as
+    # array_intersect in codegen, never re-shuffling the shingle table
+    av = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sa"),
+        F.col("n_sh").alias("na"),
+    )
+    bv = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    common = (
+        F.broadcast(cand)
+        .join(av, "doc_a")
+        .join(bv, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.filter(jac >= 0.6)
+        common.filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -194,12 +251,11 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are then verified with a full intersection count, so
     the result is exact (same oracle as the plain formulation).
 
-    Measured trade-off: at fixture scale (5k docs / 260k shingles) the
-    extra df-rank stages cost more than the candidate reduction saves
-    (~6.3s vs ~4.1s warm at sf0.1), so the bench suite keeps the plain
-    inverted-index join; at corpus scale (billions of shingles, heavy
-    hot-shingle fan-out) prefix filtering is the formulation that
-    survives — that regime is exactly what it was invented for.
+    This is the raw-shingle REFERENCE implementation of the algorithm;
+    q_dedup_ngram_jaccard runs the production form of the same prefix
+    filter over 64-bit hashed keys (8-byte shuffles), which is what the
+    bench suite times. Two independent formulations sharing one oracle
+    cross-check each other.
     """
     d = load(spark, sf_dir, "documents")
     t = 0.6

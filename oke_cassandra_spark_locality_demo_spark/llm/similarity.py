@@ -130,26 +130,31 @@ def _bucket_of(v: Column) -> Column:
 def q_sim_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k, BLAS path: the query block (1% of the corpus
     by construction — the realistic shape for 'find neighbors of these
-    probes in 100 TB') is collected once and shipped in the task closure
-    as a normalized NumPy matrix; candidates stream through mapInPandas
-    in Arrow batches and each batch is one (batch × dim)·(dim × nq)
-    matmul. Each batch emits only its local top-k per query (ties at the
-    boundary resolved exactly by (cosine desc, cand_id asc)), so the
-    final global window ranks |batches|·nq·k rows, not |corpus|·nq.
-    Same result set as q_sim_knn_exact ~10× faster — the matmul runs in
-    vectorized native code instead of an interpreted per-element fold."""
+    probes in 100 TB') is fetched once over Arrow and shipped to
+    executors as a TORRENT BROADCAST of the normalized NumPy matrix —
+    one copy per executor, not one per task closure, and never
+    re-serialized into every task like the r1/r2 closure-capture did.
+    Candidates stream through mapInPandas in Arrow batches and each
+    batch is one (batch × dim)·(dim × nq) matmul. Each batch emits only
+    its local top-k per query (ties at the boundary resolved exactly by
+    (cosine desc, cand_id asc)), so the final global window ranks
+    |batches|·nq·k rows, not |corpus|·nq. Same result set as
+    q_sim_knn_exact ~10× faster — the matmul runs in vectorized native
+    code instead of an interpreted per-element fold."""
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q_rows = emb.filter(F.col("vec_id") % 100 == 0).collect()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+    q_pdf = emb.filter(F.col("vec_id") % 100 == 0).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(q_pdf["v"].to_numpy())
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, Qn))
     k = TOP_K
 
     def topk_batches(it):
+        q_ids, Qn = bq.value
         for pdf in it:
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.vstack(pdf["v"].to_numpy())

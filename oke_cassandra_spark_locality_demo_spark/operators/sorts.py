@@ -145,10 +145,17 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH dimensions — the audit that shows why z-ordering enables data
     skipping on either column (each file covers a narrow rectangle, so a
     predicate on partkey OR suppkey prunes most files from min/max
-    stats). Pure bit arithmetic in codegen; the sort is Spark's range
-    exchange — at 100 TB this is the OPTIMIZE ZORDER layout pass run
-    before writing, and the min/max audit is what the parquet footers
-    will contain."""
+    stats). Pure bit arithmetic in codegen; at 100 TB this is the
+    OPTIMIZE ZORDER layout pass run before writing, and the min/max
+    audit is what the parquet footers will contain.
+
+    The global rank uses the bucket+offset decomposition (same shape as
+    q_ordinal_assign / TeraSort), NOT `row_number() OVER (ORDER BY
+    zval)` — an unpartitioned window funnels the whole table through
+    one task. Rows map order-preservingly to zval-range buckets
+    (bounds from a broadcast max), the tiny per-bucket counts
+    prefix-sum into offsets, and each bucket ranks its own rows in
+    parallel: rank = offset + local row_number."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
@@ -157,12 +164,27 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    rn = F.row_number().over(
-        W.orderBy("zval", "l_orderkey", "l_linenumber")
+    zt = li.withColumn("zval", z)
+    mx = zt.agg(F.max("zval").alias("mx"))
+    b = zt.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("zval") * 32 / (F.col("mx") + 1))
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("nb").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    local_rn = F.row_number().over(
+        W.partitionBy("bucket").orderBy("zval", "l_orderkey", "l_linenumber")
     )
     return (
-        li.withColumn("zval", z)
-        .withColumn("rn", rn)
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn("rn", F.col("offset") + local_rn)
         .groupBy(((F.col("rn") - 1) / _Z_BUCKET).cast("long").alias("file_id"))
         .agg(
             F.count(F.lit(1)).alias("n"),
