@@ -365,3 +365,23 @@ def test_nested_schema_pruning(spark, sf_dir):
     )
     assert "segment" in read_schema, read_schema
     assert "acctbal" not in read_schema and "name" not in read_schema, read_schema
+
+
+def test_zorder_has_no_unpartitioned_window(spark, sf_dir):
+    """q_sort_zorder's global rank must be the bucket+offset
+    decomposition: every Window over the lineitem-sized input is
+    partitioned (by bucket). An unpartitioned `row_number() OVER
+    (ORDER BY zval)` funnels the whole table through one task — the
+    exact shape this operator exists to avoid at 100 TB. The only
+    permissible unpartitioned window is the prefix-sum over the tiny
+    per-bucket counts (bounded by the bucket count, not the data)."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_sort_zorder").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    # row_number windows must carry a non-empty partition spec
+    for m in re.finditer(r"row_number\(\)[^\n]*windowspecdefinition\(([^\n]*)", plan):
+        spec = m.group(1)
+        assert "bucket" in spec, f"unpartitioned row_number window: {spec[:200]}"
