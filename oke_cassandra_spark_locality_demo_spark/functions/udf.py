@@ -170,7 +170,16 @@ def _signup_purchase_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFr
         r_us = right["ts"].astype("datetime64[us]").astype("int64")
         delta = r_us[r_us > fs_us] - fs_us
         n = int(delta.size)
-        avg = round(int(delta.sum()) / n / 1e6, 4) if n else None
+        if n:
+            # exact half-up rounding to 4 dp in integer µs arithmetic:
+            # Python's round() is banker's, the oracle's ROUND is half
+            # away from zero — they disagree exactly at ties, and the
+            # µs-integer ratio CAN land on one
+            den = n * 100  # seconds·1e4 = sum_us / (n·100)
+            q, r = divmod(int(delta.sum()), den)
+            avg = (q + (1 if 2 * r >= den else 0)) / 1e4
+        else:
+            avg = None
     return pd.DataFrame(
         {"user_id": [int(left["user_id"].iloc[0])],
          "first_signup": [pd.Timestamp(fs_us, unit="us")],

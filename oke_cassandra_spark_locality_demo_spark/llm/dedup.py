@@ -663,6 +663,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop bound is a diameter assumption, not a semantic cap:
+        # silently returning unconverged labels would split components
+        raise RuntimeError(
+            "q_dedup_clusters: min-label propagation did not converge "
+            "within 20 rounds — component diameter exceeds the bound"
+        )
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

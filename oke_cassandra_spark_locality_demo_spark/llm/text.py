@@ -246,7 +246,6 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     starts = F.sequence(F.lit(0), (n_chunks - 1) * _STRIDE, F.lit(_STRIDE))
-    chunk_words = F.slice(words, F.col("start") + 1, _CHUNK)
     return (
         d.select("doc_id", words.alias("ws"), F.posexplode(starts).alias("chunk_id", "start"))
         .withColumn("ws", F.slice(F.col("ws"), F.col("start") + 1, _CHUNK))
