@@ -70,11 +70,28 @@ def _probe_udf(centroids: list[list[float]], n_probe: int):
     return probes
 
 
+TRAIN_CAP = 50_000  # quantizer training vectors (k ≪ this ≪ corpus)
+
+
 def kmeans_centroids(
     emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations; returns k centroids as plain
-    lists. Only k·dim doubles ever reach the driver per iteration."""
+    lists. Only k·dim doubles ever reach the driver per iteration.
+
+    Training runs on a BOUNDED deterministic sample (~TRAIN_CAP vectors,
+    hash-thresholded on vec_id): a coarse quantizer's quality depends on
+    k and the data distribution, not on seeing every vector, so at
+    100 TB the Lloyd loop scans a fixed-size subset instead of the full
+    corpus per iteration (FAISS trains IVF the same way). At fixture
+    scale the threshold keeps everything, so results are unchanged.
+    Assignment of the full corpus still happens once, outside training."""
+    n = emb.count()
+    if n > TRAIN_CAP:
+        thresh = int(1_000_000 * TRAIN_CAP / n)
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < thresh
+        )
     first = emb.orderBy("vec_id").limit(k).select("v").collect()
     centroids = [list(r["v"]) for r in first]
     dim = len(centroids[0])
