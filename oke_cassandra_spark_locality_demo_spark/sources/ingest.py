@@ -188,6 +188,72 @@ def q_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_source_text",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           SUM(LENGTH(text)) AS total_chars,
+           CAST(MIN(LENGTH(text)) AS INTEGER) AS min_len,
+           CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len
+    FROM documents
+    """,
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text round-trip — the rawest LLM-corpus ingest
+    format (one document per line, no schema, no footer): the documents
+    table is written with the text sink and read back with the text
+    source, and the oracle checks the content survived byte-for-byte
+    via count + per-line length stats (line order is not preserved by a
+    distributed write, so the audit is order-insensitive). At 100 TB
+    the text source is the entry point for crawl dumps: splittable,
+    trivially parallel, schema applied downstream."""
+    path = _out("documents_text")
+    d = load(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@register(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           MD5(text) AS digest
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the opaque-blob entry point a multimodal
+    pipeline starts from (images/audio land as files; Spark lists the
+    directory, splits by file, and each row carries path + bytes).
+    Twenty fixture documents are materialized as .txt blobs, read back
+    through the binaryFile source, and verified content-exactly: the id
+    parses from the file path, the size from the source's length
+    column, and md5(content) must equal the oracle's md5 of the
+    original text (ASCII fixture ⇒ chars == bytes). At scale the same
+    read feeds mapInPandas decoders (pkg/llm/multimodal.py); this
+    verifies the listing/split/content plumbing under it."""
+    blob_dir = _out("doc_blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    d = load(spark, sf_dir, "documents")
+    for r in d.filter(F.col("doc_id") < 20).select("doc_id", "text").collect():
+        with open(os.path.join(blob_dir, f"{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(blob_dir)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@register(
     "q_source_orc",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n,
