@@ -136,7 +136,18 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
     from oke_cassandra_spark_locality_demo_spark.registry import get
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    names = ["q_agg_hash", "q_agg_weighted", "q_agg_higher_moments", "q_win_time_weighted"]
+    names = [
+        "q_agg_hash",
+        "q_agg_weighted",
+        "q_agg_higher_moments",
+        "q_win_time_weighted",
+        # round-3 rewrites: rank-selection medians, merged rollup,
+        # nano-unit integer centroid means, iterative float pagerank
+        "q_agg_mad_outliers",
+        "q_agg_incremental",
+        "q_vec_centroid",
+        "q_graph_pagerank",
+    ]
     try:
         results = {}
         for n_part in ("5", "32"):
