@@ -251,24 +251,41 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))), 1) AS DOUBLE) AS sxx,
                CAST(ROUND(SUM(CAST(l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS sy,
                CAST(ROUND(SUM(CAST(l_linenumber * l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS syy,
-               CAST(ROUND(SUM(CAST(l_quantity * l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS sxy,
-               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+               CAST(ROUND(SUM(CAST(l_quantity * l_linenumber AS DECIMAL(28,8))), 1) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
+    ),
+    r AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 200) AS BIGINT) AS price_hc,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY CAST(ROUND(l_extendedprice * 200) AS BIGINT)) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, AVG(price_hc) / 200.0 AS median_price
+        FROM r WHERE rn IN ((nn + 1) // 2, (nn + 2) // 2)
+        GROUP BY l_returnflag
     )
-    SELECT l_returnflag,
+    SELECT s.l_returnflag,
            ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_qty,
            ROUND(SQRT((sxx - sx*sx/n) / (n - 1)), 4) AS stddev_qty,
            ROUND((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 4)
                AS corr_qty_line,
-           median_price
-    FROM s
+           med.median_price
+    FROM s JOIN med ON s.l_returnflag = med.l_returnflag
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates — variance, stddev, correlation, exact
     median — computed from exact decimal moment sums (see module doc:
     the engines' native float accumulators are summation-order-dependent
-    and would not reproduce across engines or even across runs)."""
+    and would not reproduce across engines or even across runs). The
+    median is an explicit rank selection over half-cent integers (the
+    q_agg_mad_outliers discipline): Spark's interpolated `percentile()`
+    and DuckDB's QUANTILE_CONT diverge at value ties, and the double→
+    long cast truncates vs rounds — both hazards bypassed by
+    round-then-rank on both sides."""
     li = load(spark, sf_dir, "lineitem")
     q, ln = F.col("l_quantity"), F.col("l_linenumber")
     agg = li.groupBy("l_returnflag").agg(
@@ -278,11 +295,30 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_dec(ln)), 1).cast("double").alias("sy"),
         F.round(F.sum(_dec(ln * ln)), 1).cast("double").alias("syy"),
         F.round(F.sum(_dec(q * ln)), 1).cast("double").alias("sxy"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+    )
+    px = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 200, 0).cast("long").alias("price_hc"),
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy("price_hc")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = px.select(
+        "l_returnflag",
+        "price_hc",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(nn + 1) div 2"))
+            | (F.col("rn") == F.expr("(nn + 2) div 2"))
+        )
+        .groupBy("l_returnflag")
+        .agg((F.avg("price_hc") / 200.0).alias("median_price"))
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    return agg.select(
+    return agg.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"),
         F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("stddev_qty"),
