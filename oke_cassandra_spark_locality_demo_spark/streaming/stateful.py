@@ -47,13 +47,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark_late")  # rows-only: watermark semantics aren't SQL
+@register(
+    "q_stream_watermark_late",
+    oracle=f"""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS TIMESTAMP)
+               AS wstart,
+           COUNT(*) AS n
+    FROM {EVENTS_US}
+    GROUP BY 1
+    """,
+)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming run: 10-minute watermark + tumbling count, executed
     incrementally with availableNow into a memory sink. In a single
-    replay nothing is late, so totals equal the batch form; the
+    replay nothing is late, so totals equal the batch tumbling counts —
+    which IS the oracle (epoch-bucketed 10-minute windows in SQL); the
     dedicated test drives a two-batch replay where a late row is
-    actually dropped."""
+    actually dropped, the part an oracle can't express."""
 
     def xf(stream: DataFrame) -> DataFrame:
         return (
