@@ -803,3 +803,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dedup_minhash_audit",
+    oracle=f"""
+    SELECT COUNT(*) AS n_truth, TRUE AS recall_ok
+    FROM ({NGRAM_JACCARD_ORACLE}) exact_pairs
+    WHERE jaccard >= 0.8
+    """,
+)
+def q_dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicable audit for the rows-only MinHash LSH path: the
+    banded candidates + exact verification must recover ≥ 90% of the
+    true Jaccard-≥0.8 pairs (16 bands × 4 rows ⇒ expected ≥ 99.9%).
+    The LSH output itself has no SQL oracle (recall < 1), but its recall
+    against the exact prefix-filtered pairs is deterministic for fixed
+    data and seeds — emitted as the exact-truth count (oracle-able) plus
+    a boolean the oracle states as TRUE; a recall regression flips it
+    and hash-fails."""
+    from .similarity import _recall_audit
+
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    found = q_dedup_minhash(spark, sf_dir)
+    return _recall_audit(truth, found, ["doc_a", "doc_b"], 0.9)

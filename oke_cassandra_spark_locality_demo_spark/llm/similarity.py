@@ -378,3 +378,56 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("q8").cast("array<string>"), ",").alias("q8"),
         F.round(deq_err, 6).alias("max_err"),
     )
+
+
+def _recall_audit(truth: DataFrame, found: DataFrame, keys: list, bound: float) -> DataFrame:
+    """One-row derived verdict: |truth ∩ found| / |truth| ≥ bound.
+
+    The approximate structure's own output is engine-specific (recall
+    < 1 has no SQL oracle), but its RECALL against the exact result is
+    deterministic for fixed data and seeds — so the audit emits the
+    exact-truth count (oracle-able) plus a boolean the oracle states as
+    TRUE. A recall regression flips the boolean and hash-fails."""
+    hit = found.select(*keys).withColumn("f", F.lit(1)).distinct()
+    return truth.select(*keys).join(hit, keys, "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("f"), F.lit(0))) >= bound * F.count(F.lit(1)),
+            F.lit(True),
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "q_sim_lsh_audit",
+    oracle=f"""
+    SELECT COUNT(*) AS n_truth, TRUE AS recall_ok
+    FROM ({_KNN_ORACLE}) exact_topk
+    """,
+)
+def q_sim_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicable audit for the rows-only LSH ANN path: exact
+    top-k (oracle-able) joined against the LSH results; recall ≥ 0.25
+    (the property bound on worst-case uniform vectors) as a derived
+    verdict. See _recall_audit."""
+    truth = q_sim_knn_exact(spark, sf_dir)
+    found = q_sim_lsh(spark, sf_dir)
+    return _recall_audit(truth, found, ["query_id", "cand_id"], 0.25)
+
+
+@register(
+    "q_sim_ivf_audit",
+    oracle=f"""
+    SELECT COUNT(*) AS n_truth, TRUE AS recall_ok
+    FROM ({_KNN_ORACLE}) exact_topk
+    """,
+)
+def q_sim_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-adjudicable audit for the rows-only IVF ANN path: recall
+    of cell-probed search vs exact top-k ≥ 0.3 (probing 4 of 16 cells)
+    as a derived verdict. See _recall_audit."""
+    from .ivf import q_sim_ivf
+
+    truth = q_sim_knn_exact(spark, sf_dir)
+    found = q_sim_ivf(spark, sf_dir)
+    return _recall_audit(truth, found, ["query_id", "cand_id"], 0.3)
