@@ -629,9 +629,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same components via a recursive CTE,
     checking the fixpoint, not the iteration count."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        # materialize once: every propagation round joins edges, and
+        # without the checkpoint each round lazily re-evaluates the whole
+        # jaccard pipeline behind it
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
