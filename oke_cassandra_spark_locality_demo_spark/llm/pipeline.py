@@ -76,16 +76,22 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.between(20, 1000)
         & (uniq_ratio >= 0.3)
         & F.col("lang").isin(*_KEEP_LANGS)
-    ).select(
+    )
+    norm = F.trim(F.lower(F.col("text")))
+    gated = gated.select(
         "doc_id",
         "lang",
-        F.trim(F.lower(F.col("text"))).alias("_norm"),
+        # 128-bit hash of the normalized text as the dedup shuffle key —
+        # 16 bytes instead of ~text-length (the q_dedup_exact trick,
+        # measured 3x faster cold at sf0.1 there)
+        F.xxhash64(norm).alias("_h1"),
+        F.xxhash64(norm, F.lit(7)).alias("_h2"),
         n_words.alias("n_words"),
         F.ceil(F.length("text") / 4.0).alias("bpe_tokens"),
     )
 
     deduped = (
-        gated.groupBy("_norm")
+        gated.groupBy("_h1", "_h2")
         .agg(
             F.min_by(
                 F.struct("doc_id", "lang", "n_words", "bpe_tokens"), F.col("doc_id")
