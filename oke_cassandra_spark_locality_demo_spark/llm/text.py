@@ -432,11 +432,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    # top-1 per doc as a hash aggregate, not a window rank: min_by over
+    # the ordering key (-tfidf, word) ≡ highest tfidf then smallest word,
+    # with map-side partial combine — the shuffle moves one row per doc
+    # instead of the whole scored relation into a sort
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("word").alias("top_word"), F.col("tfidf").alias("top_tfidf"))
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("word", "tfidf"),
+                F.struct((-F.col("tfidf")).alias("nt"), F.col("word").alias("w")),
+            ).alias("r")
+        )
+        .select("doc_id", F.col("r.word").alias("top_word"), F.col("r.tfidf").alias("top_tfidf"))
     )
 
 
