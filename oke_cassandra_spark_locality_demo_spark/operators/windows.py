@@ -319,15 +319,23 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
     )
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    # latest row per key as a hash aggregate (max_by over (ts, event_id)),
+    # not a sort window: map-side partial combine moves one row per key
+    # per partition through the shuffle — the shape a 100 TB CDC feed needs
     return (
-        feed.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        feed.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "value", "op"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .filter(F.col("r.op") != "D")
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
-            F.col("value").alias("last_value"),
+            F.col("r.event_id").alias("last_event_id"),
+            F.col("r.ts").alias("last_ts"),
+            F.col("r.value").alias("last_value"),
         )
     )
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,11 +38,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dropDuplicates` keeps an arbitrary first — exercised as such in the
     streaming tests, where any kept row is valid)."""
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # first row per key as a hash aggregate (min_by over (ts, event_id)),
+    # not a sort window — map-side combinable, one row per key shuffles
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.min_by(
+                F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+            ).alias("r")
+        )
+        .select("r.event_id", "user_id", "event_type", "r.ts", "r.value")
     )
 
 
