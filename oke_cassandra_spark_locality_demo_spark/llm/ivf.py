@@ -88,11 +88,20 @@ def kmeans_centroids(
     Assignment of the full corpus still happens once, outside training."""
     n = emb.count()
     if n > TRAIN_CAP:
-        thresh = int(1_000_000 * TRAIN_CAP / n)
+        # max(1, ...): at n > 5e10 the integer ratio truncates to 0,
+        # which would select an EMPTY training sample (ADVICE r3); one
+        # part-per-million is still ≥ TRAIN_CAP vectors at that scale
+        thresh = max(1, int(1_000_000 * TRAIN_CAP / n))
         emb = emb.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000)) < thresh
         )
     first = emb.orderBy("vec_id").limit(k).select("v").collect()
+    if len(first) < k:
+        raise ValueError(
+            f"IVF training sample has {len(first)} vectors < k={k} cells; "
+            "raise TRAIN_CAP or lower k — a silently shrunken quantizer "
+            "would skew every downstream cell assignment"
+        )
     centroids = [list(r["v"]) for r in first]
     dim = len(centroids[0])
     for _ in range(iters):

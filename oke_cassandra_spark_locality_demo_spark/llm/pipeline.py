@@ -58,8 +58,8 @@ _KEEP_LANGS = ("en", "es", "de", "fr")
            COUNT(*) AS docs_kept,
            CAST(SUM(n_words) AS BIGINT) AS total_words,
            CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           ROUND(CAST(ROUND(SUM(CAST(l2 AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*), 4)
-               AS mean_l2
+           CAST(SUM(CAST(ROUND(l2 * 1000000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000000.0 / COUNT(*) AS mean_l2
     FROM joined
     GROUP BY lang
     """,
@@ -113,10 +113,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum("n_words").cast("long").alias("total_words"),
         F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
-        F.round(
-            F.round(F.sum(F.col("l2").cast("decimal(28,8)")), 4).cast("double")
-            / F.count(F.lit(1)),
-            4,
+        # nano-unit integer sum (q_vec_centroid's driver-green shape):
+        # l2 is a full-noise computed double, and both decimal casts and
+        # raw double sums of such values have hash-failed the driver
+        (
+            F.sum(F.round(F.col("l2") * 1000000000.0, 0).cast("long"))
+            / 1000000000.0
+            / F.count(F.lit(1))
         ).alias("mean_l2"),
     )
 

