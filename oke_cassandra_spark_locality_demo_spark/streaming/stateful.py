@@ -304,7 +304,7 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_foreach_batch",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT) AS total_value_tt
     FROM events WHERE event_type <> 'error'
     GROUP BY event_type
     """,
@@ -343,5 +343,9 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("basePath", data_dir).parquet(data_dir)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        # tt-units, not SUM(decimal-cast) — the events.value decimal path
+        # is the q_agg_incremental driver hash-fail shape (FIXTURES.md)
+        F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+            "total_value_tt"
+        ),
     )

@@ -25,14 +25,19 @@ def _tumbling(e: DataFrame) -> DataFrame:
         e.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+            # tt-units, not SUM(decimal-cast): the double→decimal cast path
+            # on full-noise events.value hash-failed q_agg_incremental on
+            # the driver three rounds running (FIXTURES.md parity rules)
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+                "total_value_tt"
+            ),
         )
         .select(
             F.col("w.start").alias("wstart"),
             F.col("w.end").alias("wend"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_tt",
         )
     )
 
@@ -44,7 +49,7 @@ def _tumbling(e: DataFrame) -> DataFrame:
            TIME_BUCKET(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS wend,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT) AS total_value_tt
     FROM {EVENTS_US}
     GROUP BY 1, 2, 3
     """,
@@ -62,13 +67,18 @@ def _sliding(e: DataFrame) -> DataFrame:
         e.groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+            # tt-units, not SUM(decimal-cast): the double→decimal cast path
+            # on full-noise events.value hash-failed q_agg_incremental on
+            # the driver three rounds running (FIXTURES.md parity rules)
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+                "total_value_tt"
+            ),
         )
         .select(
             F.col("w.start").alias("wstart"),
             F.col("w.end").alias("wend"),
             "n",
-            "total_value",
+            "total_value_tt",
         )
     )
 
@@ -84,7 +94,7 @@ def _sliding(e: DataFrame) -> DataFrame:
     )
     SELECT wstart, wstart + INTERVAL '10 minutes' AS wend,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT) AS total_value_tt
     FROM expanded
     GROUP BY 1, 2
     """,
@@ -102,14 +112,16 @@ def _session(e: DataFrame) -> DataFrame:
         e.groupBy(w.alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("session_value"),
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+                "session_value_tt"
+            ),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "session_value",
+            "session_value_tt",
         )
     )
 
@@ -134,7 +146,7 @@ def _session(e: DataFrame) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '5 minutes' AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT) AS session_value_tt
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -166,20 +178,20 @@ def _multires(e: DataFrame) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,4)")).alias("v"),
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias("v_tt"),
         )
     )
     return (
         fine.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"))
         .agg(
             F.sum("n").alias("n_events"),
-            F.sum("v").cast("double").alias("total_value"),
+            F.sum("v_tt").alias("total_value_tt"),
             F.count(F.lit(1)).alias("n_buckets"),
         )
         .select(
             F.col("h.start").alias("hstart"),
             "n_events",
-            "total_value",
+            "total_value_tt",
             "n_buckets",
         )
     )
@@ -191,13 +203,13 @@ def _multires(e: DataFrame) -> DataFrame:
     WITH fine AS (
         SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart,
                COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(28,4))) AS v
+               CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT) AS v_tt
         FROM {EVENTS_US}
         GROUP BY 1
     )
     SELECT TIME_BUCKET(INTERVAL '1 hour', wstart) AS hstart,
-           SUM(n) AS n_events,
-           CAST(SUM(v) AS DOUBLE) AS total_value,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v_tt) AS BIGINT) AS total_value_tt,
            COUNT(*) AS n_buckets
     FROM fine GROUP BY 1
     """,
@@ -208,7 +220,7 @@ def q_stream_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate cascade TSDBs build materialized hierarchies
     for. Streamed, the inner window's partial state collapses volume
     before the outer window sees it; batch and oracle compute the same
-    two-level TIME_BUCKET rollup. Decimal sums keep the two-level
-    merge bit-equal to a direct hourly aggregation.
+    two-level TIME_BUCKET rollup. Integer ten-thousandth-unit sums keep
+    the two-level merge bit-equal to a direct hourly aggregation.
     """
     return _multires(load(spark, sf_dir, "events"))
