@@ -175,3 +175,50 @@ def test_driver_sample_prefix_is_oracle_backed():
     assert all(k in o for k in q[:50]), [k for k in q[:50] if k not in o]
     for k in registry._MODIFIED_THIS_ROUND:
         assert k in q[:50], f"{k} fell out of the adjudicated prefix"
+
+
+def test_oracle_float_parity_lint():
+    """Enforce the FIXTURES.md cross-engine float rules over every
+    registered oracle (measured r1-r4 driver postmortems):
+
+    - no `LOG2(` — Spark's log2 is ln(x)/ln(2) while DuckDB's LOG2 is
+      correctly rounded; they differ on 76 of the first 200 integers.
+      Write the LN ratio explicitly on both sides.
+    - no `value AS DECIMAL` — the double→decimal cast path on the
+      full-noise events.value column hash-failed the driver three
+      rounds running (q_agg_incremental); use ROUND(value*10^k)→BIGINT
+      units. The two r3-adjudicated-GREEN small-window exceptions are
+      allowlisted verbatim rather than churned.
+    - no interpolated `QUANTILE_CONT`/`PERCENTILE` — diverges from any
+      Spark formulation at value ties; use rank selection. One
+      documented exception where the Spark side hand-implements the
+      identical interpolation.
+    """
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark import registry
+
+    registry._load_all()
+    allow = {
+        "LOG2": set(),
+        "value-decimal": {"q_win_frame_rows", "q_win_frame_range"},
+        "quantile": {"q_feature_bucketize"},
+    }
+    violations = []
+    for name, spec in registry._REGISTRY.items():
+        if not spec.oracle:
+            continue
+        up = spec.oracle.upper()
+        if "LOG2(" in up and name not in allow["LOG2"]:
+            violations.append((name, "LOG2"))
+        if (
+            re.search(r"VALUE\s+AS\s+DECIMAL", up)
+            and name not in allow["value-decimal"]
+        ):
+            violations.append((name, "value-decimal"))
+        if (
+            ("QUANTILE_CONT" in up or "PERCENTILE" in up)
+            and name not in allow["quantile"]
+        ):
+            violations.append((name, "quantile"))
+    assert not violations, violations
