@@ -88,14 +88,24 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _per_segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map UDAF body: per-segment aggregate in pandas."""
+    import numpy as np
+
     return pd.DataFrame(
         {
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
             "n_customers": [len(pdf)],
-            # sort before summing: float sums are order-dependent, and
-            # Arrow batch order isn't deterministic across partitionings
-            "total_acctbal": [
-                round(float(pdf["c_acctbal"].sort_values().sum()), 4)
+            # half-cent integer units (FIXTURES parity rules): a float
+            # sum — even a sorted one — is only equal to the oracle's
+            # exact sum by luck of magnitude; np.rint(x*100)→int64 is
+            # exact, order-free, and matches ROUND(x*100)::BIGINT
+            # (money doubles sit ~1e-13 off the true half-cent, never
+            # near the .5 knife edge)
+            "total_acctbal_hc": [
+                int(
+                    np.rint(pdf["c_acctbal"].to_numpy() * 100.0)
+                    .astype(np.int64)
+                    .sum()
+                )
             ],
         }
     )
@@ -106,22 +116,24 @@ def _per_segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,8))), 4) AS DOUBLE) AS total_acctbal
+           CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+               AS total_acctbal_hc
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDAF via applyInPandas: whole group in, one
-    aggregate row out. The float sum runs over *sorted* values so it is
-    deterministic and — acctbal being 2-dp values — exactly equals the
-    decimal-sum oracle."""
+    aggregate row out. The money sum is computed in exact half-cent
+    int64 units inside the UDF (order-free, batch-order-independent)
+    and emitted as BIGINT — the same integer-units discipline the
+    JVM-side aggregates use (FIXTURES.md parity rules)."""
     c = load(spark, sf_dir, "customer")
     schema = T.StructType(
         [
             T.StructField("c_mktsegment", T.StringType()),
             T.StructField("n_customers", T.LongType()),
-            T.StructField("total_acctbal", T.DoubleType()),
+            T.StructField("total_acctbal_hc", T.LongType()),
         ]
     )
     return c.groupBy("c_mktsegment").applyInPandas(_per_segment_stats, schema)

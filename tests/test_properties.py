@@ -147,6 +147,14 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         "q_agg_incremental",
         "q_vec_centroid",
         "q_graph_pagerank",
+        # round-4 integer-unit conversions: micro-unit log terms,
+        # nano-unit dot/l2 sums, tt-unit money sums
+        "q_text_entropy",
+        "q_text_perplexity",
+        "q_sim_pairwise_label",
+        "q_pipeline_e2e",
+        "q_stream_tumbling",
+        "q_agg_stats",
     ]
     try:
         results = {}
