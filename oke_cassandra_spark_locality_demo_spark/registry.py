@@ -12,6 +12,9 @@ Determinism/parity conventions (FIXTURES.md §"Oracle-parity"):
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -39,6 +42,44 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Spark application ids that already had the package zip shipped to
+#: their executors (one addPyFile per app; a second add of the same
+#: filename is rejected by Spark, so the guard is correctness, not just
+#: cost).
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Pandas UDFs, UDTFs, and Python data sources registered by query
+    functions are pickled with references to this package's modules by
+    NAME; the executor-side Python worker must therefore be able to
+    ``import oke_cassandra_spark_locality_demo_spark``. That resolves today only
+    because workers inherit the driver process's cwd and the driver
+    happens to be launched from the repo root — a caller running from
+    any other directory gets ``ModuleNotFoundError`` inside tasks
+    (measured: every UDF/pyds key fails when the harness cwd is /tmp).
+    Shipping a zip of the package through Spark's file channel removes
+    the cwd dependence entirely: SparkFiles roots are appended to the
+    worker's sys.path on every node, which is also exactly what a real
+    1000-executor cluster needs (the repo is not installed on worker
+    images there either).
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent, pkg_name = os.path.split(pkg_dir)
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", root_dir=parent, base_dir=pkg_name)
+    sc.addPyFile(zip_base + ".zip")
+    _PYFILES_SHIPPED.add(app_id)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name`` with optional oracle SQL."""
@@ -51,6 +92,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # Oracle parity requires UTC regardless of how the caller
             # (driver harness) configured its session (FIXTURES.md).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _ensure_worker_imports(spark)
             return fn(spark, sf_dir)
 
         wrapped.__doc__ = fn.__doc__
