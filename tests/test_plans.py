@@ -385,3 +385,50 @@ def test_zorder_has_no_unpartitioned_window(spark, sf_dir):
     for m in re.finditer(r"row_number\(\)[^\n]*windowspecdefinition\(([^\n]*)", plan):
         spec = m.group(1)
         assert "bucket" in spec, f"unpartitioned row_number window: {spec[:200]}"
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """q_contamination's 100 TB shape (dedup.py docstring): the tiny
+    eval shingle set is broadcast and the training corpus is probed
+    map-side — the train side must NOT shuffle for the hit join. The
+    only hash exchanges allowed are the two per-doc aggregations
+    (sizes, hits) and the final left join's key alignment."""
+    df = get("q_contamination").fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_top1_is_hash_aggregate_not_window(spark, sf_dir):
+    """q_text_tfidf's top-term selection must stay a min_by hash
+    aggregate (one row per doc moves in the shuffle). A window-rank
+    formulation sorts the full scored relation per doc — the shape the
+    r3 rewrite removed (4.27s → 0.53s) — so any Window over the scored
+    data is a regression."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_text_tfidf").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Window" not in plan, plan[:500]
+    # the min_by top-1 must keep a partial (map-side) aggregation so the
+    # shuffle moves one candidate row per (doc, partition), not the
+    # whole scored relation
+    assert plan.count("HashAggregate") >= 2, plan[:500]
+
+
+def test_knn_exact_pushes_window_group_limit(spark, sf_dir):
+    """q_sim_knn_exact's per-query top-k must compile to
+    WindowGroupLimit (rank pushed into the per-partition sort) so each
+    partition retains k rows instead of sorting the full candidate
+    relation — the claim in similarity.py:91."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_sim_knn_exact").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in simple_plan(df)
+
+
+def test_topk_per_group_pushes_window_group_limit(spark, sf_dir):
+    """Same WindowGroupLimit contract for the relational
+    q_topk_per_group (windows.py:233)."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_topk_per_group").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in simple_plan(df)
