@@ -231,10 +231,24 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, mirroring the oracle's EPOCH_US expression shape; the
     logic is deliberately SQL-expressible (min + filtered left join +
     avg) so DuckDB verifies the cogroup machinery itself."""
-    e = load(spark, sf_dir, "events")
-    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+    # The two sides MUST come from separate relation instances. Deriving
+    # both from one `load()` builds a self-cogroup whose analyzer
+    # dedup re-aliases the right child but leaves the pandas UDF's
+    # right-side argument expressions pointing at LEFT expr-ids; any
+    # action that applies column pruning (count(), narrow projections)
+    # then drops the right child's unreferenced ts column and the UDF
+    # receives a one-column frame (measured on this PySpark: KeyError
+    # 'ts' under count(), while collect-style actions work — which is
+    # why the hazard stayed invisible to the row-comparing harness).
+    signups = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+    )
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
     )
     return (
         signups.groupby("user_id")

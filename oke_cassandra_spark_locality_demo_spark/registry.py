@@ -196,6 +196,18 @@ _MODIFIED_THIS_ROUND = [
 #: 48), then the UDF table. Streaming and the remaining
 #: sampling/feature keys rotate in next round. Keys not listed fall
 #: back to registration order behind these.
+#:
+#: ROUND-5 PLAYBOOK (for the next session, after CORRECTNESS_r04
+#: lands): (1) append r4's 50 sampled keys to _DRIVER_ADJUDICATED;
+#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r5;
+#: (3) replace this list with the r5 rotation — the full streaming
+#: table (q_stream_tumbling/sliding/session/watermark_late/dedup/
+#: stateful/stateful_tws/sink/join_static/join_interval/join_outer/
+#: multires/foreach_batch), the sampling/split/pack/mix/feature keys,
+#: the source tail (text/binaryfile/json_corrupt/orc/
+#: schema_evolution/pyds_scan/pyds_lookup), insert_upsert, export,
+#: maintenance, ordinal, meta_engine_info — that exhausts every
+#: never-adjudicated key, so r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [
     # SURVEY-core untested floor
     "q_fn_string", "q_fn_math", "q_fn_json", "q_fn_cast_decimal",

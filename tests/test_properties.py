@@ -230,3 +230,19 @@ def test_oracle_float_parity_lint():
         ):
             violations.append((name, "quantile"))
     assert not violations, violations
+
+
+def test_cogroup_survives_column_pruning(spark, sf_dir):
+    """Regression: q_udf_cogroup must work under a count() action, not
+    just collect-style ones. When both cogroup sides derive from ONE
+    relation instance, the analyzer's self-cogroup dedup re-aliases the
+    right child but leaves the pandas UDF's right-side argument
+    expressions pointing at left expr-ids; column pruning (triggered by
+    count(), never by collect()) then drops the right child's ts column
+    and the UDF crashes with KeyError inside the worker. The fix loads
+    the events relation once per side. The oracle harness collects rows
+    and therefore cannot see this class — this test counts."""
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    df = get("q_udf_cogroup").fn(spark, sf_dir)
+    assert df.count() == len(df.collect()) > 0
