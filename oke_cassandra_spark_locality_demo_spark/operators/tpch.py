@@ -1,0 +1,683 @@
+"""TPC-H suite over the driver fixtures (SURVEY §6: the fixtures are
+"TPC-H-ish", so the industry-standard query set is the natural
+completeness statement for the relational engine — every query the
+fixture schema supports, end-to-end, oracle-checked).
+
+The fixture schema is a REDUCED TPC-H (no partsupp table; lineitem has
+no commitdate/receiptdate/shipmode/shipinstruct/comment; orders has no
+comment/clerk/shippriority; customer has no phone/address; part has no
+container/mfgr). Queries whose core join/aggregate structure survives
+are implemented — faithfully where every referenced column exists,
+otherwise with the predicate ADAPTED to an available column and the
+adaptation documented in the docstring. Q2/Q4/Q9/Q11/Q12/Q13/Q16/Q20/
+Q21 need partsupp or the missing lineitem/orders columns and are out of
+fixture scope.
+
+Float parity follows the house rule (see aggregates.py module doc):
+every money aggregate is an exact DECIMAL(28,8) sum, ROUNDed to 4 dp
+before one decimal→double conversion; ratios divide the two
+already-rounded doubles in one identically-written expression; ordering
+for LIMIT queries sorts the EXACT decimal (plus explicit key
+tiebreaks), never the rounded double.
+
+Scale notes: these are the classic warehouse plans — one fact shuffle
+per aggregation grain, partial+final hash aggregation throughout.
+Broadcast hints are placed ONLY on sides whose size does not grow with
+the scale factor: nation (25 rows), region (5), and 1-row scalar
+aggregates (Q15's max, Q22's average). supplier/part/customer and the
+decorrelated per-part aggregates grow ∝ SF, so their join strategy is
+left to AQE — it broadcasts them at fixture scale and switches to
+shuffle joins when runtime stats say they no longer fit, which is the
+correct behavior at 100 TB (a forced broadcast there would OOM the
+driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+def _dec(c: Column | str, scale: int = 8) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal(28,{scale})")
+
+
+def _money(c: Column, alias: str) -> Column:
+    """Exact decimal sum → one ROUND(4) → one decimal→double cast."""
+    return F.round(F.sum(_dec(c)), 4).cast("double").alias(alias)
+
+
+def _disc_price() -> Column:
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module imports at registry load time, before any session
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,8))), 4) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report), faithful. The full 8-aggregate
+    set; avgs derived from the exact decimal sums (never the engines'
+    float accumulators). Date constant shifted to the fixture's
+    1995-2001 calendar (shipdate horizon − ~90 days)."""
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity"), "sum_qty"),
+            _money(F.col("l_extendedprice"), "sum_base_price"),
+            _money(_disc_price(), "sum_disc_price"),
+            _money(_disc_price() * (1 + F.col("l_tax")), "sum_charge"),
+            (F.round(F.sum(_dec("l_quantity")), 4).cast("double") / n).alias("avg_qty"),
+            (F.round(F.sum(_dec("l_extendedprice")), 4).cast("double") / n).alias("avg_price"),
+            (F.round(F.sum(_dec("l_discount")), 4).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) DESC,
+             o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority). Adapted: fixture orders has no
+    o_shippriority, so that passthrough column is omitted; l_orderkey
+    added as the final tiebreak for a deterministic LIMIT. Ordering
+    sorts the EXACT decimal revenue; the rounded double is only
+    emitted."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_dec(_disc_price())).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("rev_dec", 4).cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume), faithful. The classic
+    star-plus-locality join: customer and supplier must share a nation.
+    nation/region are hinted broadcasts (fixed 25/5 rows at any SF);
+    supplier's strategy is AQE's call (∝ SF). The fact side shuffles
+    once for the final n_name aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec(_disc_price())).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "n_name")
+        .select("n_name", F.round("rev_dec", 4).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), faithful. Pure
+    scan+filter+global-agg — the whole query pushes to one codegen
+    stage over the parquet scan. The 0.05/0.07 literals compare
+    identically on both engines (same IEEE doubles both sides)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS volume
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, CAST(YEAR(l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), faithful (nation names from the
+    fixture vocabulary). The nation dimension joins twice under
+    different roles — supplier side and customer side — each a
+    broadcast."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_dec(_disc_price())).alias("vol_dec"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round("vol_dec", 4).cast("double").alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    WITH all_nations AS (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)) AS volume,
+               sn.n_name AS supp_nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+                  JOIN region   ON cn.n_regionkey = r_regionkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(28,8)) END), 4) AS DOUBLE)
+             / CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share). Adapted: fixture p_type has a
+    flat 6-word vocabulary, so the part filter is `p_type = 'STANDARD'`
+    instead of the spec's three-word type. The share is the division of
+    the two independently-rounded decimal sums — one identically-written
+    double op on both engines."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    vol = _dec(_disc_price())
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).alias("nat_dec"),
+            F.sum(vol).alias("all_dec"),
+        )
+        .orderBy("o_year")
+        .select(
+            "o_year",
+            (
+                F.round("nat_dec", 4).cast("double")
+                / F.round("all_dec", 4).cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting). Adapted: fixture customer
+    has no address/phone/comment, so those passthrough columns are
+    omitted; c_custkey is the deterministic tiebreak. c_acctbal is a
+    raw parquet double passthrough (identical bits both sides)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec(_disc_price())).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("rev_dec", 4).cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    SELECT 100.00
+           * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                                 ELSE CAST(0 AS DECIMAL(28,8)) END), 4) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), faithful — the fixture's p_type
+    vocabulary includes a literal 'PROMO' class (spec uses a LIKE
+    'PROMO%' prefix; the fixture flattens types to one word). Part is a
+    broadcast; the month of lineitem aggregates map-side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(28,8)")
+    vol = _dec(_disc_price())
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).alias("promo_dec"),
+            F.sum(vol).alias("all_dec"),
+        )
+        .select(
+            (
+                F.lit(100.00)
+                * F.round("promo_dec", 4).cast("double")
+                / F.round("all_dec", 4).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS total_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_dec, 4) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier), faithful. The max-revenue scalar joins
+    back as a broadcast 1-row aggregate — equality on the EXACT decimal,
+    so ties surface every top supplier deterministically (the spec's
+    view + scalar subquery shape, decorrelated Spark-side)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec(_disc_price())).alias("total_dec")
+    )
+    top = revenue.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_dec") == F.col("max_dec"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_dec", 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_size < 15),
+    stats AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_li,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty_i
+        FROM lineitem JOIN pt ON l_partkey = p_partkey
+        GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN stats ON lineitem.l_partkey = stats.l_partkey
+    WHERE 5 * n_li * CAST(ROUND(l_quantity) AS BIGINT) < sum_qty_i
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue). Adapted: fixture part
+    has no p_container, so the part filter is brand + `p_size < 15`.
+    The correlated `l_quantity < 0.2 * avg(l_quantity)` subquery is
+    decorrelated into per-part (count, integer quantity sum) aggregates
+    joined back (strategy left to AQE: one row per brand part — small
+    at fixture scale, ∝ SF at 100 TB), and the
+    comparison is cross-multiplied to pure integers:
+    qty < sum/(5·n) ⟺ 5·n·qty < sum (fixture quantities are whole
+    numbers; ROUND→BIGINT makes that exact on both engines)."""
+    pt = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    stats = (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("sp_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(qty_i).alias("sum_qty_i"),
+        )
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("sp_key"))
+        .filter(5 * F.col("n_li") * qty_i < F.col("sum_qty_i"))
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice")), 4).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey AS bk,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty_i
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty_i
+    FROM big JOIN orders   ON o_orderkey = bk
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer), faithful structure with the
+    300-quantity threshold kept (fixture orders reach ~458). Quantity
+    sums are exact integers (whole-number fixture quantities);
+    o_orderkey is the added deterministic tiebreak. The HAVING
+    pre-aggregation shrinks the fact side before the customer join —
+    the spec's IN-subquery shape decorrelated."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum(qty_i).alias("sum_qty_i"))
+        .filter(F.col("sum_qty_i") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("bk"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty_i",
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicate). Adapted:
+    fixture lineitem has no shipmode/shipinstruct and part no container,
+    so each disjunct keeps the spec's (brand, quantity band, size band)
+    core. The three-way OR stays one join + one residual filter — the
+    planner must not expand it into a union of three scans."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(_money(_disc_price(), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT COUNT(*) AS n_pos,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    candidates AS (
+        SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer, pos
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+    FROM candidates
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity). Adapted twice for the
+    fixture: the country code comes from `c_nationkey % 10` (no c_phone
+    column to substring), and "customers without orders" becomes
+    "without orders since 1999" (every fixture customer has SOME order;
+    the spec's intent is dormant accounts). The above-average-balance
+    test is the integer cross-multiplication bal·n > sum over exact
+    cents — no decimal division anywhere — and the scalar (n, sum)
+    enters as a broadcast 1-row join, not a driver round-trip. Output
+    balance stays integer cents (the r1-r3 hasher discipline)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(bal_c).alias("sum_c"),
+        )
+    )
+    return (
+        c.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+        .orderBy("cntrycode")
+    )

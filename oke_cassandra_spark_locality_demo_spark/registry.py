@@ -117,6 +117,7 @@ def _load_all() -> None:
         meta,
         sql_features,
         graph,
+        tpch,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest, pyds  # noqa: F401
