@@ -432,3 +432,31 @@ def test_topk_per_group_pushes_window_group_limit(spark, sf_dir):
 
     df = get("q_topk_per_group").fn(spark, sf_dir)
     assert "WindowGroupLimit" in simple_plan(df)
+
+
+def test_tpch_q1_pushes_shipdate_filter(spark, sf_dir):
+    """Q1's date predicate must reach the parquet scan (PushedFilters),
+    not evaluate post-scan — at 100 TB the row-group statistics skip is
+    the difference between scanning the horizon and scanning history."""
+    df = get("q_tpch_q1").fn(spark, sf_dir)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_tpch_q6_is_scan_filter_agg_only(spark, sf_dir):
+    """Q6 must stay a single scan→filter→global-agg pipeline: no join,
+    and only the final single-row aggregation exchange."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_tpch_q6").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:400]
+    assert count_exchanges(df) <= 1
+
+
+def test_tpch_q5_broadcasts_fixed_dims(spark, sf_dir):
+    """Q5 must broadcast at least the fixed-cardinality dimensions
+    (nation/region are hinted; AQE may add more at fixture scale) —
+    a shuffle of the fact side per dimension join would be the
+    classic star-join anti-pattern."""
+    df = get("q_tpch_q5").fn(spark, sf_dir)
+    assert has_broadcast_join(df)
