@@ -155,6 +155,9 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         "q_pipeline_e2e",
         "q_stream_tumbling",
         "q_agg_stats",
+        # round-4: the TPC-H module's decimal-sum discipline (Q1 is the
+        # 8-aggregate float-heaviest of the suite)
+        "q_tpch_q1",
     ]
     try:
         results = {}
