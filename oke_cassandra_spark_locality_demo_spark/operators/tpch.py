@@ -681,3 +681,315 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 4) AS DOUBLE)
+                 / CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,8))), 4) AS DOUBLE) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT pk, sk, unit_price,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY unit_price, sk) AS rn
+        FROM ps JOIN supplier ON sk = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ROUND(unit_price, 4) AS unit_price
+    FROM ranked JOIN part     ON pk = p_partkey
+                JOIN supplier ON sk = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+    WHERE rn = 1 AND p_size = 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), structural analog. The fixture
+    has no partsupp, so the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs observed in lineitem and "supply cost"
+    is the realized unit price sum(extendedprice)/sum(quantity) — the
+    correlated MIN subquery of the spec becomes an arg-min per part
+    (row_number over (price, suppkey): the suppkey tiebreak makes the
+    selection deterministic at price ties). p_mfgr/s_address/s_phone/
+    s_comment passthroughs don't exist and are omitted; the mfgr-less
+    part filter keeps p_size = 15 only.
+
+    Parity: unit_price is the division of the two independently-rounded
+    decimal sums — one identically-written double op per (pk, sk) row on
+    both engines, compared (not re-aggregated) thereafter; ROUND(x, 4)
+    on it is display-only and data-checked by the sf0.01+sf0.1 mirror
+    sweeps."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    from pyspark.sql import Window
+
+    ps = (
+        li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            (
+                F.round(F.sum(_dec("l_extendedprice")), 4).cast("double")
+                / F.round(F.sum(_dec("l_quantity")), 4).cast("double")
+            ).alias("unit_price")
+        )
+    )
+    ranked = (
+        ps.join(s, F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pk").orderBy("unit_price", "sk")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(p, F.col("pk") == F.col("p_partkey"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), structural analog. The spec's
+    lateness test (l_commitdate < l_receiptdate) uses columns the
+    fixture lacks; the analog keeps the identical EXISTS-semi-join
+    shape with "shipped more than 90 days after the order date" as the
+    lateness predicate. The semi join carries the cross-side condition,
+    so each order is counted once no matter how many late lines it
+    has."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH nat_value AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS val_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(val_dec) AS tot_dec FROM nat_value)
+    SELECT pk AS p_partkey,
+           CAST(ROUND(val_dec, 4) AS DOUBLE) AS value
+    FROM nat_value, total
+    WHERE val_dec * 1000 > tot_dec
+    ORDER BY val_dec DESC, pk
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), structural analog.
+    partsupp value (ps_supplycost·ps_availqty) becomes realized revenue
+    per part from the target nation's suppliers; the spec's
+    HAVING-greater-than-scalar-subquery shape is kept with threshold
+    0.001 of the national total. The scalar total enters as a broadcast
+    1-row join, and the comparison is the decimal cross-multiplication
+    val·1000 > total — exact, no float fraction anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_value = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val_dec"))
+    )
+    total = nat_value.agg(F.sum("val_dec").alias("tot_dec"))
+    return (
+        nat_value.crossJoin(F.broadcast(total))
+        .filter(F.col("val_dec") * 1000 > F.col("tot_dec"))
+        .orderBy(F.col("val_dec").desc(), "pk")
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.round("val_dec", 4).cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), faithful structure. The spec's
+    `o_comment NOT LIKE '%special%requests%'` exclusion is dropped —
+    the fixture has no o_comment — leaving the two-level aggregation
+    over a LEFT join that the query exists to exercise (COUNT of a
+    nullable column so order-less customers land in the 0 bucket)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), structural analog. The
+    part↔supplier relation comes from lineitem pairs (no partsupp), the
+    p_type NOT-LIKE filter collapses into the brand exclusion (flat
+    one-word fixture types), and the supplier-complaint NOT IN subquery
+    is dropped (no s_comment). The grouped COUNT(DISTINCT) over an
+    8-value size IN-list — the query's point — is unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_orderkey AS ok, l_suppkey AS sk, MAX(l_shipdate) AS supp_max
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT ok, COUNT(*) AS n_supp, MAX(supp_max) AS order_max,
+               COUNT(*) FILTER (WHERE supp_max = m) AS n_at_max
+        FROM (SELECT *, MAX(supp_max) OVER (PARTITION BY ok) AS m FROM per_supp)
+        GROUP BY ok
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_supp JOIN per_order USING (ok)
+                  JOIN supplier ON sk = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND n_supp > 1 AND n_at_max = 1 AND supp_max = order_max
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), structural analog.
+    The spec's "only supplier whose lineitems were late" (receipt vs
+    commit dates) becomes "the STRICTLY LAST supplier to ship a
+    multi-supplier 'F' order": the EXISTS (another supplier) /
+    NOT EXISTS (another supplier shipping later-or-equal) pair is
+    decorrelated into per-(order, supplier) max-shipdate aggregates and
+    a per-order (supplier count, max, attainer count) rollup — two hash
+    aggregations and a join instead of two correlated self-joins of the
+    fact table, the shape that survives 100 TB. Counting per (order,
+    supplier) — per_supp rows — makes numwait order-distinct by
+    construction."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    per_supp = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max("l_shipdate").alias("supp_max"))
+    )
+    per_order = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("supp_max").alias("order_max"),
+    )
+    at_max = per_supp.groupBy(
+        F.col("ok").alias("am_ok"), F.col("supp_max").alias("am_ship")
+    ).agg(F.count(F.lit(1)).alias("n_at"))
+    return (
+        per_supp.join(per_order, "ok")
+        .join(
+            at_max,
+            (F.col("ok") == F.col("am_ok"))
+            & (F.col("order_max") == F.col("am_ship")),
+        )
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_at") == 1)
+            & (F.col("supp_max") == F.col("order_max"))
+        )
+        .join(s, F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
