@@ -9,9 +9,13 @@ comment/clerk/shippriority; customer has no phone/address; part has no
 container/mfgr). Queries whose core join/aggregate structure survives
 are implemented — faithfully where every referenced column exists,
 otherwise with the predicate ADAPTED to an available column and the
-adaptation documented in the docstring. Q2/Q4/Q9/Q11/Q12/Q13/Q16/Q20/
-Q21 need partsupp or the missing lineitem/orders columns and are out of
-fixture scope.
+adaptation documented in the docstring. All 22 queries are covered:
+Q1/Q3/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22 keep the spec's
+structure on existing columns; Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 (which
+reference partsupp or dropped lineitem/orders columns) are STRUCTURAL
+ANALOGS — the join/aggregate/subquery shape the query exists to
+exercise is preserved, with the missing relation or column replaced by
+a fixture-derivable equivalent documented per-query.
 
 Float parity follows the house rule (see aggregates.py module doc):
 every money aggregate is an exact DECIMAL(28,8) sum, ROUNDed to 4 dp
@@ -992,4 +996,158 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_profit
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit measure), structural analog. The
+    spec's profit subtracts ps_supplycost·l_quantity; with no partsupp
+    table the amount reduces to realized revenue, keeping the query's
+    point — a 4-way fact join grouped by (supplier nation, order year)
+    with a part-name LIKE filter. nation broadcasts (25 rows); the
+    LIKE-filtered part side is left to AQE (∝ SF at 100 TB)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_money(_disc_price(), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAYS
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY ship_class
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), structural analog.
+    The fixture has no l_shipmode/l_commitdate/l_receiptdate, so the
+    "mode" axis becomes l_returnflag and "received late" becomes
+    "shipped >60 days after order date" (the Q4 analog's lateness
+    proxy). The query's point — priority-conditional counts over a
+    year-windowed fact/order join, grouped by a line attribute — is
+    unchanged. The lateness predicate is a join-time theta condition;
+    both counts come from one hash aggregation (no double scan)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey AS pk, SUM(qty) AS tot_qty
+        FROM shipped GROUP BY l_partkey
+    ),
+    qual AS (
+        SELECT DISTINCT l_suppkey
+        FROM shipped JOIN tot  ON l_partkey = pk
+                     JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%bolt%' AND 2 * qty > tot_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), structural analog. The
+    spec asks for suppliers holding excess stock (ps_availqty > half
+    the year's shipped quantity); with no partsupp, "excess" becomes
+    "dominant shipper": suppliers who shipped MORE THAN HALF of a
+    bolt-named part's total 1996 quantity. The nested IN(IN()) subquery
+    chain is kept and decorrelated into two stacked integer hash
+    aggregations (per part×supplier, then per part — the second shuffle
+    moves only already-aggregated rows, orders of magnitude smaller
+    than the fact table) and a LEFT SEMI join into the
+    nation-filtered supplier table; 2·qty > tot is an exact integer
+    comparison. s_acctbal is a raw parquet double passthrough
+    (identical bits both sides, Q10 precedent)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    qual = (
+        shipped.join(tot, F.col("l_partkey") == F.col("pk"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(2 * F.col("qty") > F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_name")
+        .select("s_name", "s_acctbal")
     )

@@ -460,3 +460,22 @@ def test_tpch_q5_broadcasts_fixed_dims(spark, sf_dir):
     classic star-join anti-pattern."""
     df = get("q_tpch_q5").fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_tpch_q12_pushes_shipdate_window(spark, sf_dir):
+    """Q12's year window on l_shipdate must reach the parquet scan; the
+    lateness theta predicate (vs o_orderdate) is join-time and cannot
+    push, but the static window prunes the fact scan to one year."""
+    df = get("q_tpch_q12").fn(spark, sf_dir)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_tpch_q20_semi_join_and_pushdown(spark, sf_dir):
+    """Q20 must keep the supplier filter as a LEFT SEMI join (no
+    qualifying-set materialization on the driver) and push the
+    shipdate year window into the lineitem scan."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_tpch_q20").fn(spark, sf_dir)
+    assert "LeftSemi" in simple_plan(df)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
