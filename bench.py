@@ -124,6 +124,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # Secondary suite: all 22 TPC-H queries (min-of-2 — a coarser probe
+    # than the headline's min-of-3; this is the classic-warehouse-shape
+    # throughput statement, reported alongside but never mixed into the
+    # anchored headline metric).
+    tpch_names = sorted(
+        (q for q in queries if q.startswith("q_tpch_q")),
+        key=lambda s: int(s[len("q_tpch_q"):]),
+    )
+    tpch_timings: dict[str, float] = {}
+    for name in tpch_names:
+        fn = queries[name]
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                assert n >= 0
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            tpch_timings[name] = round(best, 3)
+        except Exception as exc:
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            tpch_timings[name] = -1.0
+    tpch_total = round(sum(t for t in tpch_timings.values() if t >= 0), 3)
+
     # Per-query ratio vs the r1 anchor (sf0.1 only — the anchor was taken
     # there). Median ratio >> 1 across ALL queries = host contention, not a
     # code regression (that's how the r2 artifact was diagnosed).
@@ -154,6 +179,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch": {"total_sec": tpch_total, "queries": tpch_timings},
                 "ratio_vs_anchor": ratios,
                 "load_check": load_check,
                 "repeats": REPEATS,
