@@ -737,8 +737,20 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     from pyspark.sql import Window
 
+    # The size-15 part filter prunes the fact side BEFORE the wide
+    # (pk, sk) aggregation: unit prices are per-(part, supplier), so
+    # restricting to qualifying parts up front is semantics-preserving
+    # and cuts the aggregation input by the filter's selectivity —
+    # at 100 TB this is the difference between aggregating the whole
+    # fact table and ~2% of it. Semi-join strategy left to AQE (part
+    # grows ∝ SF; module-doc broadcast rule).
     ps = (
-        li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        li.join(
+            p.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(
             (
                 F.round(F.sum(_dec("l_extendedprice")), 4).cast("double")
@@ -1132,15 +1144,24 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty")
+    # The bolt-name filter is per-part, and both aggregations are keyed
+    # by part — pushing the part semi-join ahead of them is
+    # semantics-preserving and shrinks the aggregated fact rows to the
+    # qualifying parts' share (strategy left to AQE; part grows ∝ SF).
+    shipped = (
+        li.join(
+            p.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty"))
     )
     tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty").alias("tot_qty")
     )
     qual = (
         shipped.join(tot, F.col("l_partkey") == F.col("pk"))
-        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(2 * F.col("qty") > F.col("tot_qty"))
         .select("l_suppkey")
         .distinct()
