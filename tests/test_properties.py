@@ -156,8 +156,10 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         "q_stream_tumbling",
         "q_agg_stats",
         # round-4: the TPC-H module's decimal-sum discipline (Q1 is the
-        # 8-aggregate float-heaviest of the suite)
+        # 8-aggregate float-heaviest of the suite; Q9 exercises the
+        # same _money discipline through a 4-way join)
         "q_tpch_q1",
+        "q_tpch_q9",
     ]
     try:
         results = {}
