@@ -119,8 +119,8 @@ NGRAM_JACCARD_ORACLE = """
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(c.n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+           CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
     FROM common c
     JOIN sizes sa ON c.doc_a = sa.doc_id
     JOIN sizes sb ON c.doc_b = sb.doc_id
@@ -284,9 +284,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # RAW double jaccard: n/(na+nb−n) is one identically-written IEEE
+    # division of exact ints on both engines — bit-equal. ROUND(x, 6)
+    # would ADD the rendering-vs-binary divergence for clean ratios
+    # whose decimal expansion terminates just past 6 digits in a 5
+    # (the measured 333/640 class), so the un-rounded value is the
+    # hash-safe emission.
     return (
         common.filter(jac >= t)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -369,8 +375,9 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # RAW jaccard — same hash-safety reasoning as q_dedup_ngram_jaccard
     return common.filter(jac >= t).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
@@ -402,7 +409,7 @@ _CONTAM_ORACLE = f"""
     SELECT s.doc_id,
            CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
            s.n_shingles,
-           ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles, 6)
+           CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles
                AS contam_score,
            (CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles >= 0.05)
                AS contaminated
@@ -443,7 +450,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shared",
             "n_shingles",
-            F.round(score, 6).alias("contam_score"),
+            # RAW int-ratio double (hash-safe identical bits; ROUND
+            # would add the 333/640 rendering divergence)
+            score.alias("contam_score"),
             (score >= 0.05).alias("contaminated"),
         )
     )

@@ -195,7 +195,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split, lang,
            COUNT(*) AS docs,
            COUNT(DISTINCT source) AS sources,
-           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS share
+           COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS share
     FROM assigned
     GROUP BY split, lang
     ORDER BY split, lang
@@ -226,8 +226,12 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("sources"),
         )
         .withColumn(
+            # RAW double: docs/total is one identically-written IEEE
+            # division of exact longs — bit-equal on both engines.
+            # ROUND(double, 4) would ADD the rendering-vs-binary
+            # rounding divergence (verify-skill gotcha), so no round.
             "share",
-            F.round(F.col("docs") / F.sum("docs").over(W.partitionBy()), 4),
+            F.col("docs") / F.sum("docs").over(W.partitionBy()),
         )
         .orderBy("split", "lang")
     )
@@ -249,15 +253,18 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang, split
     )
     SELECT lang, split, n,
-           ROUND(SUM(n) OVER (PARTITION BY lang)
-                 * SUM(n) OVER (PARTITION BY split)
-                 * 1.0 / SUM(n) OVER (), 4) AS expected,
-           ROUND(POW(n - SUM(n) OVER (PARTITION BY lang)
-                         * SUM(n) OVER (PARTITION BY split)
-                         * 1.0 / SUM(n) OVER (), 2)
-                 / (SUM(n) OVER (PARTITION BY lang)
+           SUM(n) OVER (PARTITION BY lang)
+             * SUM(n) OVER (PARTITION BY split)
+             * 1.0 / SUM(n) OVER () AS expected,
+           (n - SUM(n) OVER (PARTITION BY lang)
+                  * SUM(n) OVER (PARTITION BY split)
+                  * 1.0 / SUM(n) OVER ())
+           * (n - SUM(n) OVER (PARTITION BY lang)
                     * SUM(n) OVER (PARTITION BY split)
-                    * 1.0 / SUM(n) OVER ()), 4) AS chisq_contrib
+                    * 1.0 / SUM(n) OVER ())
+           / (SUM(n) OVER (PARTITION BY lang)
+              * SUM(n) OVER (PARTITION BY split)
+              * 1.0 / SUM(n) OVER ()) AS chisq_contrib
     FROM cells
     ORDER BY lang, split
     """,
@@ -290,13 +297,20 @@ def q_split_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sum("n").over(W.partitionBy("split"))
         / F.sum("n").over(W.partitionBy())
     )
+    # RAW doubles, identical expression shape on both engines: the
+    # exact integer product rowsum·colsum converts once to double and
+    # divides once; the square is written as an explicit product
+    # ((n−e)·(n−e)) because POW/Math.pow is not guaranteed correctly
+    # rounded cross-engine while x·x is one IEEE op. ROUND(double, 4)
+    # would ADD the rendering-vs-binary divergence, so no round.
+    dev = F.col("n") - exp
     return (
         cells.select(
             "lang",
             "split",
             "n",
-            F.round(exp, 4).alias("expected"),
-            F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias("chisq_contrib"),
+            exp.alias("expected"),
+            (dev * dev / exp).alias("chisq_contrib"),
         )
         .orderBy("lang", "split")
     )
@@ -423,8 +437,8 @@ def q_ordinal_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labeled GROUP BY label
     )
     SELECT label, n_docs, n_langs_merged,
-           ROUND((SELECT SUM(n_docs) FROM merged) * 1.0
-                 / ((SELECT COUNT(*) FROM merged) * n_docs), 6) AS class_weight
+           (SELECT SUM(n_docs) FROM merged) * 1.0
+             / ((SELECT COUNT(*) FROM merged) * n_docs) AS class_weight
     FROM merged
     ORDER BY label
     """,
@@ -462,7 +476,11 @@ def q_feature_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "n_docs",
             "n_langs_merged",
-            F.round(g_total / (k * F.col("n_docs")), 6).alias("class_weight"),
+            # RAW double: total/(k·count) is one IEEE division of an
+            # exact integer numerator and denominator, identically
+            # written on both engines; ROUND(double, 6) would add the
+            # rendering-vs-binary rounding divergence (verify gotcha).
+            (g_total / (k * F.col("n_docs"))).alias("class_weight"),
         )
         .orderBy("label")
     )

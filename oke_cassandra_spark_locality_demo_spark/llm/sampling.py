@@ -58,7 +58,8 @@ def _md5_uniform(col, salt: str):
                / CEIL(LENGTH(text) / 4.0) AS key
         FROM documents
     )
-    SELECT doc_id, source, n_tokens, ROUND(key, 9) AS sample_key
+    SELECT doc_id, source, n_tokens,
+           CAST(ROUND(key * 1000000) AS BIGINT) AS sample_key_micro
     FROM keyed
     ORDER BY key DESC, doc_id
     LIMIT {SAMPLE_K}
@@ -91,7 +92,16 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_key").desc(), "doc_id")
         .limit(SAMPLE_K)
         .select(
-            "doc_id", "source", "n_tokens", F.round("_key", 9).alias("sample_key")
+            "doc_id",
+            "source",
+            "n_tokens",
+            # ln is NOT bit-portable across engines (fdlibm vs libm,
+            # measured 1 ulp — ROUNDLOG r4), so the emitted key is
+            # integer MICRO-nat units: the 5e-7 tie distance sits ~8
+            # orders above the ulp noise, per the house log-term rule.
+            # The ORDER BY still ranks on the exact key (a 1-ulp rank
+            # flip needs two keys within ~1e-15 — measure-zero here).
+            F.round(F.col("_key") * 1e6, 0).cast("long").alias("sample_key_micro"),
         )
     )
 
@@ -114,7 +124,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
               / 4294967296.0 < r.accept_rate
         GROUP BY d.source
     )
-    SELECT r.source, r.n_docs, ROUND(r.accept_rate, 6) AS accept_rate,
+    SELECT r.source, r.n_docs, r.accept_rate,
            COALESCE(k.n_sampled, 0) AS n_sampled
     FROM rates r LEFT JOIN kept k ON r.source = k.source
     ORDER BY r.source
@@ -150,7 +160,13 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round("accept_rate", 6).alias("accept_rate"),
+            # RAW double: min_count/n is ONE identically-written IEEE
+            # division of two exact longs on both engines — bit-equal
+            # by construction. ROUND(x, 6) here would ADD a hazard
+            # (Spark rounds the shortest decimal rendering, DuckDB the
+            # binary value — the measured 333/640-class divergence),
+            # so the un-rounded ratio is the hash-safe emission.
+            "accept_rate",
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
         .orderBy("source")

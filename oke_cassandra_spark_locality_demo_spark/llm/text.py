@@ -37,12 +37,12 @@ def _words(c: Column) -> Column:
            CAST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS INTEGER) AS n_words,
            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS INTEGER)
                AS n_unique_words,
-           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                 / LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')), 4) AS avg_word_len,
-           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
-                                      w -> LIST_CONTAINS(['the','and','of','to','a','in','is'], w)))
-                      AS DOUBLE)
-                 / LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')), 4) AS stopword_ratio
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS avg_word_len,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+                                w -> LIST_CONTAINS(['the','and','of','to','a','in','is'], w)))
+                AS DOUBLE)
+             / LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS stopword_ratio
     FROM documents
     """,
 )
@@ -60,12 +60,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         n_words.alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_unique_words"),
-        F.round(
+        # RAW int-ratio doubles: chars/words and stops/words are one
+        # identically-written IEEE division of exact ints on both
+        # engines — bit-equal. ROUND(x, 4) would ADD the
+        # rendering-vs-binary divergence for word counts like 160
+        # (ratio decimal terminating in 5 just past 4 dp — the
+        # measured 333/640 class), so no round.
+        (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / n_words,
-            4,
+            / n_words
         ).alias("avg_word_len"),
-        F.round(n_stop.cast("double") / n_words, 4).alias("stopword_ratio"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
     )
 
 
@@ -270,8 +275,8 @@ _REDACT_PAT = "[a-z]*[0-9][a-z0-9]*"
     SELECT doc_id,
            REGEXP_REPLACE(text, '{_REDACT_PAT}', '<ID>', 'g') AS redacted_text,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_REDACT_PAT}')) AS INTEGER) AS n_redacted,
-           ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_REDACT_PAT}')) AS DOUBLE)
-                 / LEN(STRING_SPLIT(text, ' ')), 4) AS redact_ratio
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_REDACT_PAT}')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS redact_ratio
     FROM documents
     """,
 )
@@ -286,8 +291,10 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace(F.col("text"), _REDACT_PAT, "<ID>").alias("redacted_text"),
         n_hits.alias("n_redacted"),
-        F.round(
-            n_hits.cast("double") / F.size(F.split(F.col("text"), " ")), 4
+        # RAW int-ratio double (hash-safe identical bits; ROUND would
+        # add the 333/640 rendering divergence)
+        (
+            n_hits.cast("double") / F.size(F.split(F.col("text"), " "))
         ).alias("redact_ratio"),
     )
 
@@ -321,8 +328,8 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_bg FROM bg GROUP BY doc_id
     )
     SELECT u.doc_id,
-           ROUND(CAST(u.dup_words AS DOUBLE) / u.total_words, 4) AS dup_word_frac,
-           ROUND(CAST(b.top_cnt AS DOUBLE) / b.total_bg, 4) AS top_bigram_frac,
+           CAST(u.dup_words AS DOUBLE) / u.total_words AS dup_word_frac,
+           CAST(b.top_cnt AS DOUBLE) / b.total_bg AS top_bigram_frac,
            (CAST(u.dup_words AS DOUBLE) / u.total_words <= 0.5
             AND CAST(b.top_cnt AS DOUBLE) / b.total_bg <= 0.2) AS keep
     FROM uni_doc u JOIN bg_doc b ON u.doc_id = b.doc_id
@@ -373,8 +380,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_frac = F.col("top_cnt").cast("double") / F.col("total_bg")
     return uni.join(bg, "doc_id").select(
         "doc_id",
-        F.round(dup_frac, 4).alias("dup_word_frac"),
-        F.round(top_frac, 4).alias("top_bigram_frac"),
+        # RAW int-ratio doubles (hash-safe identical bits; ROUND would
+        # add the 333/640 rendering divergence)
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
         ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
     )
 

@@ -705,7 +705,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-           ROUND(unit_price, 4) AS unit_price
+           unit_price
     FROM ranked JOIN part     ON pk = p_partkey
                 JOIN supplier ON sk = s_suppkey
                 JOIN nation   ON s_nationkey = n_nationkey
@@ -727,9 +727,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: unit_price is the division of the two independently-rounded
     decimal sums — one identically-written double op per (pk, sk) row on
-    both engines, compared (not re-aggregated) thereafter; ROUND(x, 4)
-    on it is display-only and data-checked by the sf0.01+sf0.1 mirror
-    sweeps."""
+    both engines, compared (not re-aggregated) thereafter and emitted
+    RAW (a further ROUND(double, 4) would re-introduce the
+    rendering-vs-binary rounding divergence)."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -776,7 +776,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            F.round("unit_price", 4).alias("unit_price"),
+            # RAW double: the ratio of the two already-rounded decimal
+            # sums is one identically-written IEEE division on both
+            # engines — bit-equal. ROUND(double, 4) on it would add the
+            # rendering-vs-binary divergence for clean 2dp/int ratios
+            # (e.g. x.xx/8 terminates in 5 at the 5th decimal).
+            "unit_price",
         )
     )
 

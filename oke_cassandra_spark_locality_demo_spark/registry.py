@@ -188,6 +188,26 @@ _MODIFIED_THIS_ROUND = [
     "q_agg_stats",
     "q_sim_knn_blas",
     "q_dedup_ngram_jaccard",
+    # late-r4 float-surface fixes (raw identically-derived ratios /
+    # integer micro-unit log key) — fronted so the driver grades the
+    # changed emission, not the superseded one
+    "q_sample_weighted",
+    "q_mix_sources",
+    "q_split_train_test",
+    "q_split_drift_chisq",
+    "q_feature_rare_collapse",
+    # same fix wave: clean int-ratio emissions un-rounded (ROUND(double,
+    # k) diverges cross-engine for ratios whose decimal terminates in 5
+    # just past k — the measured 333/640 class); the two *_audit/cluster
+    # keys are listed because their oracles embed the changed
+    # NGRAM_JACCARD_ORACLE text
+    "q_dedup_ngram_prefix",
+    "q_contamination",
+    "q_text_stats",
+    "q_text_redact",
+    "q_text_repetition",
+    "q_dedup_minhash_audit",
+    "q_dedup_clusters",
 ]
 
 #: Round-4 sampling priority among never-adjudicated keys (VERDICT r3
@@ -207,7 +227,9 @@ _MODIFIED_THIS_ROUND = [
 #: multires/foreach_batch), the sampling/split/pack/mix/feature keys,
 #: the source tail (text/binaryfile/json_corrupt/orc/
 #: schema_evolution/pyds_scan/pyds_lookup), insert_upsert, export,
-#: maintenance, ordinal, meta_engine_info — that exhausts every
+#: maintenance, ordinal, meta_engine_info, the UDF tail displaced by
+#: the late-r4 float fixes (q_udf_pandas/grouped_agg/arrow, q_udtf,
+#: q_udtf_python), and the 22 q_tpch_* keys — that exhausts every
 #: never-adjudicated key, so r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [
     # SURVEY-core untested floor
