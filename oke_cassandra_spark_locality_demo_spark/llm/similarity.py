@@ -174,11 +174,29 @@ def q_sim_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
     Q = np.vstack(q_pdf["v"].to_numpy())
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    bq = spark.sparkContext.broadcast((q_ids, Qn))
+    bq = spark.sparkContext.broadcast((q_ids, Qn, Q))
     k = TOP_K
 
+    def _fold_cosine(qv, Cs):
+        """Cosines of one raw query row against the selected raw
+        candidate rows with dimension-SEQUENTIAL accumulation —
+        bit-identical to the oracle's left-fold LIST_DOT_PRODUCT /
+        (SQRT·SQRT) shape. BLAS matmul/np.linalg.norm use pairwise
+        summation, whose last bits differ from the fold; selection can
+        use the fast values, but the EMITTED value must be the
+        identical-derivation one (hash-parity discipline)."""
+        dim = Cs.shape[1]
+        dot = np.zeros(len(Cs))
+        cn2 = np.zeros(len(Cs))
+        qn2 = 0.0
+        for t in range(dim):
+            dot += Cs[:, t] * qv[t]
+            cn2 += Cs[:, t] * Cs[:, t]
+            qn2 += qv[t] * qv[t]
+        return dot / (np.sqrt(qn2) * np.sqrt(cn2))
+
     def topk_batches(it):
-        q_ids, Qn = bq.value
+        q_ids, Qn, Qraw = bq.value
         for pdf in it:
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.vstack(pdf["v"].to_numpy())
@@ -198,7 +216,7 @@ def q_sim_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel = sel[np.isfinite(col[sel])]
                 out_q.append(np.full(len(sel), q_ids[j]))
                 out_c.append(cids[sel])
-                out_s.append(col[sel])
+                out_s.append(_fold_cosine(Qraw[j], C[sel]))
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
