@@ -584,3 +584,61 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "c_mktsegment")
     )
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS urgent_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag, CAST(YEAR(o.o_orderdate) AS INTEGER)
+    ORDER BY l.l_returnflag, order_year
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join shaped for Spark's RUNTIME BLOOM FILTER
+    (semi-join reduction): the filtered orders side is small after the
+    `o_orderpriority = '1-URGENT'` predicate, so Catalyst's
+    InjectRuntimeFilter rule can build a bloom filter from the build
+    side's join keys DURING execution and push
+    `might_contain(xxhash64(l_orderkey))` into the lineitem SCAN —
+    ~80% of fact rows die before the shuffle, the distributed analog
+    of an index lookaside. The query itself is declared as a plain
+    join + aggregate: NO hints, because the injection thresholds
+    (`spark.sql.optimizer.runtime.bloomFilter.*`, on by default in
+    Spark 3.4+) exist precisely so the rewrite fires only when the
+    fact scan is big enough to pay for the filter (10 GB default —
+    i.e., at the 100 TB deployment, not the sf0.01 fixture, where the
+    dim simply broadcasts). tests/test_plans.py drops the thresholds
+    to force the rewrite and asserts the `might_contain` predicate
+    lands on the lineitem scan filter, so the shape is locked in even
+    though small fixtures never trigger it naturally.
+
+    Scale: one fact shuffle AFTER bloom reduction; the aggregate
+    reuses the decimal exact-sum discipline. Bloom false positives
+    only cost wasted shuffle rows — join correctness is unaffected,
+    which is why the filter can be probabilistic.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_returnflag",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("urgent_revenue"),
+        )
+        .orderBy("l_returnflag", "order_year")
+    )

@@ -761,3 +761,103 @@ def q_win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+#: sessionization inactivity gap: 30 minutes, in exact microseconds
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us FROM {EVENTS_US} ev
+    ),
+    flagged AS (
+        SELECT user_id, event_id, t_us,
+               CASE WHEN LAG(t_us) OVER w IS NULL
+                         OR t_us - LAG(t_us) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, t_us,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(t_us) AS start_us,
+           MAX(t_us) AS end_us,
+           MAX(t_us) - MIN(t_us) AS dur_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the BATCH complement to
+    `q_stream_session`'s streaming session window: per-user event
+    streams are cut wherever inactivity exceeds 30 minutes (lag() gap
+    test -> running SUM of session-start flags = session number), then
+    each session is collapsed to count/start/end/duration. This is the
+    clickstream primitive every warehouse implements as exactly this
+    lag+cumsum idiom, and the batch path a 100 TB backfill would run
+    (the streaming path handles the live tail).
+
+    Scale shape: ONE data shuffle total — the lag window and the
+    running sum share the identical (user_id | t_us, event_id)
+    partitioning+ordering so both Window nodes ride a single
+    hashpartitioning(user_id) exchange + sort, and the per-session
+    aggregate needs NO further exchange because Catalyst recognizes
+    hashpartitioning(user_id) satisfies ClusteredDistribution(user_id,
+    session_seq) (grouping on a superset of the partition keys).
+    Plan-asserted in tests/test_plans.py::test_sessionize_single_data_shuffle.
+    No self-joins, no driver state; skewed power users are bounded by
+    their own event counts, not the corpus.
+
+    Parity: all-integer output row (epoch-µs longs, counts) — the
+    FIXTURES.md "Oracle-parity conventions" discipline; BOTH windows
+    (the lag gap test and the running session-number sum) carry the
+    (t_us, event_id) secondary sort on both engines, because equal-
+    timestamp siblings can straddle a session boundary and a tie-order
+    difference would re-home them.
+    """
+    ev = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", t_us.alias("t_us")
+    ).select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "t_us",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            (F.max("t_us") - F.min("t_us")).alias("dur_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

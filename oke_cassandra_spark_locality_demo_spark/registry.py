@@ -229,8 +229,10 @@ _MODIFIED_THIS_ROUND = [
 #: schema_evolution/pyds_scan/pyds_lookup), insert_upsert, export,
 #: maintenance, ordinal, meta_engine_info, the UDF tail displaced by
 #: the late-r4 float fixes (q_udf_pandas/grouped_agg/arrow, q_udtf,
-#: q_udtf_python), and the 22 q_tpch_* keys — that exhausts every
-#: never-adjudicated key, so r6+ can retire the rotation entirely.
+#: q_udtf_python), the 22 q_tpch_* keys, and the three late-r4
+#: additions (q_sessionize, q_join_bloom, q_agg_sketch_cms) — that
+#: exhausts every never-adjudicated key, so r6+ can retire the
+#: rotation entirely.
 _ROUND_PRIORITY = [
     # SURVEY-core untested floor
     "q_fn_string", "q_fn_math", "q_fn_json", "q_fn_cast_decimal",

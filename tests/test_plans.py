@@ -117,18 +117,18 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
         )
         # force a shuffle join: broadcast joins don't need the bloom probe
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        li = load(spark, sf_dir, "lineitem")
-        o = load(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
         from oke_cassandra_spark_locality_demo_spark.plans.inspect import formatted_plan
 
-        assert "bloom_filter" in formatted_plan(j).lower()
+        # the registered operator declares the same shape hint-free;
+        # under production thresholds the rewrite must land the
+        # might_contain probe on the fact (lineitem) side
+        j = get("q_join_bloom").fn(spark, sf_dir)
+        plan = formatted_plan(j)
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan, plan[:2000]
+        probe_filters = [
+            seg for seg in plan.split("\n") if "might_contain" in seg
+        ]
+        assert any("l_orderkey" in seg for seg in probe_filters), probe_filters
     finally:
         for k, v in saved.items():
             if v is None:
@@ -479,3 +479,17 @@ def test_tpch_q20_semi_join_and_pushdown(spark, sf_dir):
     df = get("q_tpch_q20").fn(spark, sf_dir)
     assert "LeftSemi" in simple_plan(df)
     assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_sessionize_single_data_shuffle(spark, sf_dir):
+    """q_sessionize's whole lag -> cumsum -> per-session aggregate chain
+    must ride ONE hashpartitioning(user_id) exchange: both windows share
+    the partitioning+ordering, and the (user_id, session_seq) groupBy is
+    satisfied by the user_id partitioning (superset grouping keys). The
+    only other exchange allowed is the output ORDER BY's range partition."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_sessionize").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert count_exchanges(df) <= 2, plan
