@@ -160,6 +160,11 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         # same _money discipline through a 4-way join)
         "q_tpch_q1",
         "q_tpch_q9",
+        # late-r4 additions: session boundaries must not move with the
+        # shuffle layout (tie discipline), and the CMS bucket counts /
+        # verdict booleans are partitioning-free by construction
+        "q_sessionize",
+        "q_agg_sketch_cms",
     ]
     try:
         results = {}
