@@ -74,7 +74,7 @@ TRAIN_CAP = 50_000  # quantizer training vectors (k ≪ this ≪ corpus)
 
 
 def kmeans_centroids(
-    emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS
+    emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS, n: int | None = None
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations; returns k centroids as plain
     lists. Only k·dim doubles ever reach the driver per iteration.
@@ -86,7 +86,9 @@ def kmeans_centroids(
     corpus per iteration (FAISS trains IVF the same way). At fixture
     scale the threshold keeps everything, so results are unchanged.
     Assignment of the full corpus still happens once, outside training."""
-    n = emb.count()
+    # callers that train several quantizers over the same corpus (PQ's
+    # per-subspace codebooks) pass the count in to avoid re-scanning
+    n = emb.count() if n is None else n
     if n > TRAIN_CAP:
         # max(1, ...): at n > 5e10 the integer ratio truncates to 0,
         # which would select an EMPTY training sample (ADVICE r3); one

@@ -124,7 +124,7 @@ def _load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
-    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, sampling  # noqa: F401
+    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, pq, sampling  # noqa: F401
 
 
 #: Keys already adjudicated by the driver's correctness harness (it
@@ -229,10 +229,10 @@ _MODIFIED_THIS_ROUND = [
 #: schema_evolution/pyds_scan/pyds_lookup), insert_upsert, export,
 #: maintenance, ordinal, meta_engine_info, the UDF tail displaced by
 #: the late-r4 float fixes (q_udf_pandas/grouped_agg/arrow, q_udtf,
-#: q_udtf_python), the 22 q_tpch_* keys, and the three late-r4
-#: additions (q_sessionize, q_join_bloom, q_agg_sketch_cms) — that
-#: exhausts every never-adjudicated key, so r6+ can retire the
-#: rotation entirely.
+#: q_udtf_python), the 22 q_tpch_* keys, and the late-r4 additions
+#: (q_sessionize, q_join_bloom, q_agg_sketch_cms, q_sim_pq +
+#: q_sim_pq_audit) — that exhausts every never-adjudicated key, so
+#: r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [
     # SURVEY-core untested floor
     "q_fn_string", "q_fn_math", "q_fn_json", "q_fn_cast_decimal",
