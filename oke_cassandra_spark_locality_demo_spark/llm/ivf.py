@@ -86,8 +86,8 @@ def kmeans_centroids(
     corpus per iteration (FAISS trains IVF the same way). At fixture
     scale the threshold keeps everything, so results are unchanged.
     Assignment of the full corpus still happens once, outside training."""
-    # callers that train several quantizers over the same corpus (PQ's
-    # per-subspace codebooks) pass the count in to avoid re-scanning
+    # callers that already know the corpus size pass it in to avoid
+    # a redundant count scan
     n = emb.count() if n is None else n
     if n > TRAIN_CAP:
         # max(1, ...): at n > 5e10 the integer ratio truncates to 0,
