@@ -171,7 +171,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     star-plus-locality join: customer and supplier must share a nation.
     nation/region are hinted broadcasts (fixed 25/5 rows at any SF);
     supplier's strategy is AQE's call (∝ SF). The fact side shuffles
-    once for the final n_name aggregation."""
+    once for the final n_name aggregation.
+
+    Join-order note: `r_name = 'ASIA'` is resolved into the tiny
+    nation⋈region product FIRST and that ~|region|-fold-smaller nation
+    list broadcast-joins the CUSTOMER side before any fact join —
+    `c_nationkey = s_nationkey` then carries the region cut to the
+    supplier side transitively, so orders/lineitem rows of
+    out-of-region customers never enter the join at all (Catalyst
+    cannot derive this itself: the region predicate reaches customer
+    only through the c=s nation equality)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -181,16 +190,20 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c2 = c.join(
+        F.broadcast(asia_n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c2.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.sum(_dec(_disc_price())).alias("rev_dec"))
         .orderBy(F.col("rev_dec").desc(), "n_name")
@@ -250,7 +263,16 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping), faithful (nation names from the
     fixture vocabulary). The nation dimension joins twice under
     different roles — supplier side and customer side — each a
-    broadcast."""
+    broadcast. The disjunctive nation-PAIR predicate cannot be pushed
+    below the joins by Catalyst (it spans both sides), but its per-side
+    implication — supplier AND customer must each be in one of the two
+    named nations — can: both role dims are pre-filtered to the two
+    nations BEFORE touching the fact chain, so only the ~2/|nation|
+    slice of suppliers/customers (and, transitively, lineitems and
+    orders) ever enters a join. Only the cross-pair test remains
+    post-join. At 25 nations that is ~12× less fact-join input than
+    filtering after the star is assembled."""
+    two = ("NATION_1", "NATION_2")
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -258,18 +280,28 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    sn = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    sn = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*two))
+        .select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    cn = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    cn = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*two))
+        .select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
+    s2 = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    c2 = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
     return (
-        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        s2.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -321,7 +353,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat 6-word vocabulary, so the part filter is `p_type = 'STANDARD'`
     instead of the spec's three-word type. The share is the division of
     the two independently-rounded decimal sums — one identically-written
-    double op on both engines."""
+    double op on both engines. Join order: the two selective cuts —
+    p_type on part, r_name resolved into an AMERICA-nation key list
+    broadcast onto customer — are applied to their dimensions BEFORE
+    the fact chain, so lineitem/orders rows outside the part slice or
+    the region never join."""
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -339,13 +375,15 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(28,8)")
     vol = _dec(_disc_price())
+    america_n = cn.join(
+        F.broadcast(r), F.col("cn_region") == F.col("r_regionkey")
+    ).select("cn_key")
+    c2 = c.join(F.broadcast(america_n), F.col("c_nationkey") == F.col("cn_key"))
     return (
         p.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -609,10 +647,18 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture lineitem has no shipmode/shipinstruct and part no container,
     so each disjunct keeps the spec's (brand, quantity band, size band)
     core. The three-way OR stays one join + one residual filter — the
-    planner must not expand it into a union of three scans."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
+    planner must not expand it into a union of three scans. The
+    per-side ENVELOPE of the disjunction (brand ∈ {1,2,3} ∧ size 1-15
+    on part; quantity 1-30 on lineitem) is conjoined explicitly so each
+    scan prunes before the join — the CNF-extraction rewrite the spec
+    query is the canonical test of, done by hand because Catalyst only
+    extracts exact common conjuncts, not range unions."""
     q, sz = F.col("l_quantity"), F.col("p_size")
+    li = load(spark, sf_dir, "lineitem").filter((q >= 1) & (q <= 30))
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & sz.between(1, 15)
+    )
     cond = (
         ((F.col("p_brand") == "Brand#1") & sz.between(1, 5) & (q >= 1) & (q <= 11))
         | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10) & (q >= 10) & (q <= 20))
@@ -978,7 +1024,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations and a join instead of two correlated self-joins of the
     fact table, the shape that survives 100 TB. Counting per (order,
     supplier) — per_supp rows — makes numwait order-distinct by
-    construction."""
+    construction.
+
+    Join-order note: the per-order aggregates must range over ALL
+    suppliers (the EXISTS/NOT-EXISTS "another supplier" tests are
+    global), so the nation filter cannot shrink them — but the WAITER
+    CANDIDATE side can be cut to the named nation's suppliers BEFORE
+    the three-way candidate⋈per_order⋈at_max join (1/|nation| of the
+    rows), instead of filtering after the joins are assembled."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
@@ -995,8 +1048,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_max = per_supp.groupBy(
         F.col("ok").alias("am_ok"), F.col("supp_max").alias("am_ship")
     ).agg(F.count(F.lit(1)).alias("n_at"))
+    s5 = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    cand = per_supp.join(s5, F.col("sk") == F.col("s_suppkey"))
     return (
-        per_supp.join(per_order, "ok")
+        cand.join(per_order, "ok")
         .join(
             at_max,
             (F.col("ok") == F.col("am_ok"))
@@ -1007,8 +1064,6 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_at") == 1)
             & (F.col("supp_max") == F.col("order_max"))
         )
-        .join(s, F.col("sk") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

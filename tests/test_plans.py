@@ -493,3 +493,27 @@ def test_sessionize_single_data_shuffle(spark, sf_dir):
     plan = simple_plan(df)
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_tpch_q19_envelope_reaches_both_scans(spark, sf_dir):
+    """Q19's disjunctive predicate must contribute its per-side envelope
+    to BOTH parquet scans (brand-set + size band on part, quantity band
+    on lineitem) — without the hand-CNF conjunction the scans read every
+    row and the OR is evaluated only above the join."""
+    df = get("q_tpch_q19").fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+
+
+def test_tpch_q7_prefilters_role_dims(spark, sf_dir):
+    """Q7's two-nation implication must cut both role dimensions BEFORE
+    the fact joins: the only nation-name filters in the plan sit below
+    the supplier/customer joins, never above the assembled star (the
+    residual cross-pair test excepted)."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_tpch_q7").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    # the nation scans must carry the pushed two-name IN filter
+    assert plan.count("In(n_name") >= 2, plan
