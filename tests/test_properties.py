@@ -181,6 +181,37 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
+    """Partition-count invariance for EVERY key in the driver's first-50
+    sample prefix, not just the hand-picked float-heavy list above. The
+    r1-r3 repeat hash-fails all shared one mechanism the bit-exact local
+    mirror (fixed partitioning) could not see: float aggregation whose
+    result depends on the partial-aggregation order, which shifts with
+    the harness's shuffle layout. Running each sampled key under 5 and
+    32 shuffle partitions and requiring canonicalized-row equality
+    probes exactly that failure mode on exactly the keys the driver
+    will grade this round."""
+    from oke_cassandra_spark_locality_demo_spark import registry
+
+    from .parity import _canon
+
+    prefix = list(registry.all_queries().items())[:50]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results: dict[str, list] = {}
+        for n_part in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name, fn in prefix:
+                rows = sorted(
+                    tuple(_canon(v) for v in r) for r in fn(spark, sf_dir).collect()
+                )
+                results.setdefault(name, []).append(rows)
+        diffs = [n for n, (a, b) in results.items() if a != b]
+        assert not diffs, f"partitioning-dependent results: {diffs}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_driver_sample_prefix_is_oracle_backed():
     """The correctness harness adjudicates the first 50 keys of
     queries(); the rotation in registry._sample_order must keep that
