@@ -899,3 +899,134 @@ def q_dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q_dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     found = q_dedup_minhash(spark, sf_dir)
     return _recall_audit(truth, found, ["doc_a", "doc_b"], 0.9)
+
+
+#: word-gram width for duplicated-span detection. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use
+#: 50-BPE-token exact substrings via a suffix array; the scalable
+#: DataFrame re-expression is fixed-width word grams — every duplicated
+#: substring of >= SPAN_K words is a run of duplicated SPAN_K-grams, so
+#: gram-level multiplicity plus interval merging recovers the spans.
+SPAN_K = 8
+
+
+@register(
+    "q_dedup_span",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ARRAY_TO_STRING(ws[i+1:i+8], ' ') AS gram
+        FROM (SELECT doc_id, ws, UNNEST(RANGE(0, GREATEST(LEN(ws) - 7, 0))) AS i
+              FROM t)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+    p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM isl),
+    spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM sp GROUP BY doc_id, span_id),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(LEN(t.ws) AS BIGINT) AS n_tokens,
+           p.dup_tokens, p.n_spans, p.max_span_tokens,
+           CAST(p.dup_tokens AS DOUBLE) / LEN(t.ws) AS dup_frac
+    FROM per_doc p JOIN t ON p.doc_id = t.doc_id
+    """,
+)
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the substring-dedup
+    tier below document-level dedup): every SPAN_K-word gram is keyed by
+    a 128-bit hash; grams occurring in >= 2 distinct docs mark their
+    token interval [pos, pos+K-1] duplicated; per doc, overlapping or
+    contiguous intervals merge (gaps-and-islands) into maximal spans.
+    Emits, per affected doc: token count, duplicated-token coverage,
+    span count, longest span, and the coverage fraction (raw int-ratio
+    double — hash-safe, both engines derive it from identical integers).
+
+    100 TB story: the shuffle rows are (doc_id, pos, h1, h2) — 32 bytes
+    per gram, never gram text. Cross-doc multiplicity is MIN(doc)<>
+    MAX(doc) — algebraic, map-side combinable, so hot grams (boilerplate
+    phrases) collapse per-partition before the exchange. The dup-key
+    join re-uses the gram exchange (same (h1,h2) partitioning on both
+    sides); the span merge is one doc_id window whose partitioning the
+    two downstream groupBys reuse (superset grouping keys — same
+    technique as q_sessionize, plan-asserted there). Collision odds on
+    128 bits are ~10^-17 at 10^11 docs.
+    Semantics ref: reference has no text ops (HCL/bash only —
+    userdata/cloudinit.sh); this extends SURVEY §2.3's dedup mandate."""
+    return duplicated_spans(load(spark, sf_dir, "documents"))
+
+
+def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
+    """Core of q_dedup_span over any (doc_id, text) relation — split out
+    so tests can drive hand-built multi-span corpora (the fixture's
+    planted near-dups are whole-document copies, which only ever produce
+    single spans)."""
+    ws = F.split(_norm_text(F.col("text")), " ")
+    docs = d.select(
+        "doc_id", ws.alias("ws"), F.size(ws).cast("long").alias("n_tokens")
+    )
+    grams = docs.filter(F.col("n_tokens") >= K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - K).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ws"), i + F.lit(1), F.lit(K))
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    gh = grams.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64("gram").alias("h1"),
+        F.xxhash64(F.lit("span-seed-2"), F.col("gram")).alias("h2"),
+    )
+    dup = (
+        gh.groupBy("h1", "h2")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h1", "h2")
+    )
+    pos = gh.join(dup, ["h1", "h2"]).select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    sp = pos.withColumn(
+        "brk",
+        F.when(lag.isNull() | (F.col("pos") - lag > K), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("span_id", F.sum("brk").over(w))
+    spans = sp.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + K - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span_tokens"),
+    )
+    return per_doc.join(docs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        "n_spans",
+        "max_span_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_frac"
+        ),
+    )

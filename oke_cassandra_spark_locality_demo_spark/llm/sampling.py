@@ -217,3 +217,72 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_K)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "q_shuffle_epoch",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               MD5(CONCAT('shuffle:epoch0:', CAST(doc_id AS VARCHAR))) AS k
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, k, SUBSTR(k, 1, 2) AS bucket,
+               ROW_NUMBER() OVER (ORDER BY k, doc_id) AS ord
+        FROM t
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(ord) AS BIGINT) AS min_ord,
+           CAST(MAX(ord) AS BIGINT) AS max_ord,
+           CAST(SUM(ord * doc_id) AS BIGINT) AS checksum
+    FROM r GROUP BY bucket
+    """,
+)
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global epoch shuffle: every doc gets a portable
+    md5 draw keyed by (epoch, doc_id), and the training order is the
+    global rank under (draw, doc_id) — the reproducible permutation a
+    pretraining run reads the corpus in. Emits per-bucket order ranges
+    plus SUM(ordinal * doc_id) as a permutation checksum, so the oracle
+    verifies EVERY ordinal assignment through 256 output rows instead
+    of materializing the corpus.
+
+    The global rank never funnels through one task: the first hex byte
+    of the draw is an order-preserving range bucket (md5 is uniform, so
+    the 256 buckets are balanced by construction — no sampling pass
+    needed, unlike range-partitioning on data-dependent keys); the tiny
+    per-bucket counts prefix-sum into offsets (256-row window) and each
+    bucket ranks locally in parallel: ordinal = offset + local
+    row_number — the q_sort_zorder / TeraSort decomposition. At 100 TB
+    the checksum would wrap BIGINT and move to modular arithmetic;
+    shuffle-write of the permutation itself is `repartitionByRange` on
+    the same draw (one skew-free exchange), with per-epoch keys giving
+    fresh, independent permutations."""
+    d = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuffle:epoch0:"), F.col("doc_id").cast("string")))
+    t = d.select("doc_id", k.alias("k"), F.substring(k, 1, 2).alias("bucket"))
+    counts = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("nb"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("nb").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    local_rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("k", "doc_id")
+    )
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("ord", (F.col("offset") + local_rn).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ord").alias("min_ord"),
+            F.max("ord").alias("max_ord"),
+            F.sum(F.col("ord") * F.col("doc_id")).alias("checksum"),
+        )
+    )

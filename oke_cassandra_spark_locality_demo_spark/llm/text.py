@@ -788,3 +788,125 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_e6") / 1000000.0 / F.count(F.lit(1))
         ).alias("cross_entropy"),
     )
+
+
+#: BM25 ranking constants (Robertson/Spärck Jones defaults) and the
+#: fixed probe query — terms chosen from the fixture vocabulary.
+BM25_K1 = 1.2
+BM25_QUERY = ["spark", "join", "window"]
+
+
+@register(
+    "q_text_bm25",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM dl),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE word IN ('spark', 'join', 'window')
+        GROUP BY doc_id, word
+    ),
+    idf AS (
+        SELECT word,
+               CAST(ROUND(LN((g.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                             / (COUNT(DISTINCT doc_id) + 0.5) + 1.0)
+                          * 1000000.0) AS BIGINT) AS idf_u
+        FROM tf CROSS JOIN g
+        GROUP BY word, g.n_docs
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(idf.idf_u * (tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / g.avgdl)))))
+                    AS BIGINT) AS term_score_u
+        FROM tf JOIN idf USING (word) JOIN dl USING (doc_id) CROSS JOIN g
+    )
+    SELECT doc_id, CAST(SUM(term_score_u) AS BIGINT) AS bm25_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 ranking of `documents` for a fixed probe query —
+    the retrieval scorer a training-data pipeline uses for quality
+    classification and eval-set mining (tf-idf's saturating,
+    length-normalized successor).
+
+    Float discipline (the r1-r3 driver-fail class): the only
+    non-portable step is LN (1-ulp across JVM/libm), so each term's IDF
+    is rounded ONCE to integer micro-units; the tf/length factor is a
+    chain of identically-written IEEE ops on integer-derived operands
+    (bit-identical on both engines); their product is rounded at scale
+    0 (portable) and summed exactly as BIGINT. Ranking and tie-break
+    (score desc, doc_id) are integer-deterministic.
+
+    100 TB story: one explode→groupBy for tf (map-side combinable), the
+    probe-term filter prunes the shuffle to query-term rows only; dl is
+    a second combinable aggregate of the same explode; N/avgdl and the
+    per-term IDFs are 1-row/|query|-row broadcasts — no driver
+    collect(), no full-vocab join (contrast q_text_tfidf, which must
+    score every word). Top-20 is a TakeOrdered, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(g.select("n_docs")))
+        .groupBy("word", "n_docs")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("idf_u"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_u")
+                * (
+                    F.col("tf") * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("term_score_u"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_u").alias("bm25_e6"))
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
+        .limit(20)
+    )

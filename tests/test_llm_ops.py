@@ -188,3 +188,38 @@ def test_ivf_training_sample_guards(spark, sf_dir):
     tiny = emb.limit(max(2, K_CELLS // 4))
     with pytest.raises(ValueError, match="training sample"):
         kmeans_centroids(tiny, k=K_CELLS, iters=1)
+
+
+def test_dedup_span_merges_intervals(spark):
+    """Hand-built corpus for the span semantics the fixture can't show:
+    two docs sharing two 8-word phrases separated by unique filler must
+    report TWO spans of 8 tokens each; two docs sharing a contiguous
+    16-word prefix must merge the overlapping gram intervals into ONE
+    16-token span."""
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import duplicated_spans
+
+    p1 = " ".join(f"p{i}" for i in range(8))
+    p2 = " ".join(f"q{i}" for i in range(8))
+    fill = lambda tag: " ".join(f"{tag}{i}" for i in range(10))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (100, f"{p1} {fill('a')} {p2}"),
+            (101, f"{p1} {fill('b')} {p2}"),
+            (102, f"{p1} {p2} {fill('c')}"),
+            (103, f"{p1} {p2} {fill('d')}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_tokens"], r["n_spans"], r["max_span_tokens"]
+        )
+        for r in duplicated_spans(docs).collect()
+    }
+    # docs 100/101: spans [0..7] and [18..25] -> 16 dup tokens, 2 spans
+    assert got[100] == (26, 16, 2, 8)
+    assert got[101] == (26, 16, 2, 8)
+    # docs 102/103: grams at pos 0..8 all duplicated -> one merged span
+    # covering tokens [0..15]
+    assert got[102] == (26, 16, 1, 16)
+    assert got[103] == (26, 16, 1, 16)
