@@ -517,3 +517,46 @@ def test_tpch_q7_prefilters_role_dims(spark, sf_dir):
     plan = simple_plan(df)
     # the nation scans must carry the pushed two-name IN filter
     assert plan.count("In(n_name") >= 2, plan
+
+
+def test_dedup_span_shuffles_hashes_not_text(spark, sf_dir):
+    """q_dedup_span's 100 TB shape: exactly two data shuffles — the
+    (h1,h2) gram-multiplicity aggregate and the doc_id span window; the
+    span/per-doc groupBys must reuse the window's doc_id partitioning
+    (superset grouping keys), and no shuffle may carry the gram STRING
+    (the whole point of the 128-bit keys is a 32-byte shuffle row)."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_dedup_span").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert count_exchanges(df) <= 3, plan  # (h1,h2) + doc_id window (+ doc join)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1), m.group(0)
+
+
+def test_bm25_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    """q_text_bm25's top-20 must be a TakeOrderedAndProject (per-
+    partition heaps), never a global sort, and the corpus stats / IDF
+    sides must come in as broadcasts, not shuffles of the tf table."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_text_bm25").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_epoch_has_no_unpartitioned_data_window(spark, sf_dir):
+    """q_shuffle_epoch's global ordinal must decompose into bucket-
+    partitioned local ranks (the TeraSort shape); the only
+    unpartitioned window allowed is the 256-row offset prefix sum."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_shuffle_epoch").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    for m in re.finditer(r"row_number\(\)[^\n]*windowspecdefinition\(([^\n]*)", plan):
+        assert "bucket" in m.group(1), m.group(0)[:200]
