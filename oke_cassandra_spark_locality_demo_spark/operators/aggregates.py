@@ -1430,3 +1430,130 @@ def q_agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+#: KMV (k-minimum-values / theta) sketch size: rse ≈ 1/sqrt(k-2) ≈ 6.3%.
+_KMV_K = 256
+#: 2^63 / 2^64 as exact doubles, for mapping signed xxhash64 output onto
+#: the unit interval: u = (h + 2^63) / 2^64.
+_TWO63 = 9223372036854775808.0
+_TWO64 = 18446744073709551616.0
+
+
+@register(
+    "q_agg_sketch_theta",
+    oracle=f"""
+    WITH t AS (
+        SELECT DISTINCT event_type AS segment, user_id, CAST(ts AS DATE) AS d
+        FROM {EVENTS_US}
+    ),
+    s AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM t GROUP BY segment
+    ),
+    pair AS (
+        SELECT 'click&purchase' AS segment, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM (SELECT user_id, d FROM t WHERE segment = 'click'
+              INTERSECT
+              SELECT user_id, d FROM t WHERE segment = 'purchase')
+    )
+    SELECT segment, exact_n, TRUE AS within_band FROM s
+    UNION ALL
+    SELECT segment, exact_n, TRUE AS within_band FROM pair
+    """,
+)
+def q_agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA via a KMV/theta sketch — the third
+    sketch family next to HLL (distinct counts, union-only) and CMS
+    (frequencies): theta sketches additionally support INTERSECTION, so
+    'audience overlap' (user-days active in BOTH click and purchase)
+    comes from two k=256 sketches instead of a join of the raw sets.
+    Per segment the sketch is the k smallest xxhash64 values of the
+    (user_id, day) item — rank ≤ k is WindowGroupLimit, so each map
+    task keeps only its local k-minimum before the shuffle: ≤ k rows
+    per (segment, input split) move, never the distinct item set.
+    Estimate = (k-1)/u_(k); intersection estimate counts common hash
+    values below theta_min = min of the two thetas, scaled by 1/theta_min.
+
+    DERIVED ORACLE VERDICT (q_agg_sketch_cms pattern): exact per-segment
+    and exact-intersection counts are computed on both engines; Spark
+    additionally probes its sketches and emits `within_band`
+    (|est − exact| ≤ 25% — ≈4 sigma at k=256; measured max error on the
+    fixtures: segments 12.6% at sf0.01 / 8.2% at sf0.1, intersection
+    1.3% / 11.0% —
+    a determinism assumption tied to fixed fixture data and seeds, like
+    the HLL/CMS bounds). A broken hash, rank limit, theta selection, or
+    merge flips a boolean and hash-fails the query."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        F.col("event_type").alias("segment"),
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    exact = t.groupBy("segment").agg(F.count(F.lit(1)).alias("exact_n"))
+    pair_exact = (
+        t.filter(F.col("segment") == "click")
+        .select("user_id", "d")
+        .join(
+            t.filter(F.col("segment") == "purchase").select("user_id", "d"),
+            ["user_id", "d"],
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select(F.lit("click&purchase").alias("segment"), "exact_n")
+    )
+
+    h = t.select(
+        "segment",
+        F.xxhash64(
+            F.concat_ws(":", F.col("user_id"), F.col("d").cast("string"))
+        ).alias("h"),
+    )
+    rn = F.row_number().over(Window.partitionBy("segment").orderBy("h"))
+    sk = h.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    stats = sk.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    )
+    u_k = (F.col("hk") + _TWO63) / _TWO64
+    est = stats.select(
+        "segment",
+        F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+        .otherwise((_KMV_K - 1) / u_k)
+        .alias("est"),
+        F.when(F.col("m") < _KMV_K, F.lit(None).cast("long"))
+        .otherwise(F.col("hk"))
+        .alias("theta_raw"),
+    )
+
+    # intersection: common hash values strictly below theta_min, scaled
+    th = (
+        est.filter(F.col("segment").isin("click", "purchase"))
+        .agg(F.min(F.col("theta_raw")).alias("th_raw"))
+    )
+    common = (
+        sk.filter(F.col("segment") == "click")
+        .select("h")
+        .join(sk.filter(F.col("segment") == "purchase").select("h"), "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("th_raw").isNull() | (F.col("h") < F.col("th_raw")))
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.first(F.col("th_raw"), ignorenulls=False).alias("th_raw"),
+        )
+    )
+    pair_est = common.select(
+        F.lit("click&purchase").alias("segment"),
+        F.when(F.col("th_raw").isNull(), F.col("n_c").cast("double"))
+        .otherwise(F.col("n_c") / ((F.col("th_raw") + _TWO63) / _TWO64))
+        .alias("est"),
+    )
+
+    seg_rows = exact.join(est.select("segment", "est"), "segment")
+    pair_rows = pair_exact.join(F.broadcast(pair_est), "segment")
+    band = (
+        F.abs(F.col("est") - F.col("exact_n"))
+        <= 0.25 * F.col("exact_n")
+    )
+    return (
+        seg_rows.unionByName(pair_rows)
+        .select("segment", "exact_n", band.alias("within_band"))
+    )

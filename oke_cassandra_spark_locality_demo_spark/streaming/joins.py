@@ -202,3 +202,58 @@ def streaming_outer_join(e: DataFrame) -> DataFrame:
         p.withWatermark("p_ts", "30 minutes"),
         c.withWatermark("e_ts", "30 minutes"),
     )
+
+
+@register(
+    "q_stream_join_semi",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM {EVENTS_US} ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS e_ts
+               FROM {EVENTS_US} ev WHERE event_type <> 'purchase')
+    SELECT p.purchase_id, p.user_id, p.p_ts
+    FROM p WHERE EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.e_ts >= p.p_ts - INTERVAL 10 MINUTE
+          AND c.e_ts < p.p_ts)
+    """,
+)
+def q_stream_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: purchases preceded by at
+    least one same-user event in the prior 10 minutes — existence
+    filtering without fan-out (each purchase emits at most ONCE no
+    matter how many events matched; the inner form fans out per match).
+    This is the streaming analog of engagement-qualified conversion.
+
+    Unlike the outer join, semi needs no finalized-region cutoff in the
+    equality test: a row emits as soon as its FIRST match arrives, so a
+    full finite replay emits exactly the batch semi-join (only the
+    never-matched rows — which semi never emits — depend on the
+    watermark; the watermark's job here is purely state expiry).
+    Scale: state is bounded to watermark+interval per side, and emitted
+    purchases drop from state immediately on first match, so hot users
+    with many matching events cost one probe each, not N² rows."""
+    p, c = _sides(load(spark, sf_dir, "events"))
+    return _semi_join(p, c)
+
+
+def _semi_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond, "left_semi").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts"
+    )
+
+
+def streaming_semi_join(e: DataFrame) -> DataFrame:
+    """Streaming form of the left-semi interval join (both sides
+    watermarked for state expiry; matches emit on first match)."""
+    p, c = _sides(e.withColumn("ts", F.col("ts").cast("timestamp")))
+    return _semi_join(
+        p.withWatermark("p_ts", "30 minutes"),
+        c.withWatermark("e_ts", "30 minutes"),
+    )

@@ -327,3 +327,19 @@ def test_multires_stream_matches_batch(spark, sf_dir):
     batch_cut = batch.filter(F.col("hstart") <= F.lit(cut))
     assert _rowset(stream) == _rowset(batch_cut)
     assert stream.count() > 0, "cutoff left nothing to compare"
+
+
+def test_stream_stream_semi_join_matches_batch(spark, sf_dir):
+    """LEFT SEMI stream-stream join: each purchase with >=1 prior-10min
+    same-user event emits exactly once; a finite full replay equals the
+    batch semi-join (semi emits on first match — no finalization
+    cutoff needed, unlike the outer form)."""
+    from oke_cassandra_spark_locality_demo_spark.streaming.joins import (
+        streaming_semi_join,
+    )
+
+    batch = get("q_stream_join_semi").fn(spark, sf_dir)
+    stream = run_streaming_query(spark, sf_dir, streaming_semi_join, "append")
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
