@@ -166,19 +166,30 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         "q_sessionize",
         "q_agg_sketch_cms",
     ]
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         results = {}
-        for n_part in ("5", "32"):
+        # third config also shrinks the scan splits to 128 KB: the
+        # number of INPUT partitions (not just shuffle partitions)
+        # decides the partial-aggregation merge order on the map side —
+        # a separate environment axis the driver may differ on.
+        for n_part, split_bytes in (
+            ("5", prev_split),
+            ("32", prev_split),
+            ("7", "131072"),
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
             for name in names:
                 rows = sorted(
                     tuple(r) for r in get(name).fn(spark, sf_dir).collect()
                 )
                 results.setdefault(name, []).append(rows)
-        for name, (a, b) in results.items():
-            assert a == b, f"{name} differs across partitionings"
+        for name, (a, b, c) in results.items():
+            assert a == b == c, f"{name} differs across partitionings"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
 
 def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
