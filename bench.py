@@ -149,6 +149,41 @@ def main() -> None:
             tpch_timings[name] = -1.0
     tpch_total = round(sum(t for t in tpch_timings.values() if t >= 0), 3)
 
+    # Secondary suite 2: the LLM-data-pipeline block (mandate operators
+    # not already in the headline) — the training-data-build throughput
+    # statement: dedup tiers, ANN, ranking, sketches, corpus ops,
+    # multimodal. Min-of-2, reported beside (never mixed into) the
+    # anchored headline metric.
+    llm_names = [
+        "q_dedup_span",
+        "q_dedup_containment",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_text_bm25",
+        "q_shuffle_epoch",
+        "q_agg_sketch_theta",
+        "q_sim_lsh",
+        "q_sample_weighted",
+        "q_pack_sequences",
+        "q_multimodal_resize",
+    ]
+    llm_timings: dict[str, float] = {}
+    for name in llm_names:
+        fn = queries[name]
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                assert n >= 0
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            llm_timings[name] = round(best, 3)
+        except Exception as exc:
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            llm_timings[name] = -1.0
+    llm_total = round(sum(t for t in llm_timings.values() if t >= 0), 3)
+
     # Per-query ratio vs the r1 anchor (sf0.1 only — the anchor was taken
     # there). Median ratio >> 1 across ALL queries = host contention, not a
     # code regression (that's how the r2 artifact was diagnosed).
@@ -180,6 +215,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tpch": {"total_sec": tpch_total, "queries": tpch_timings},
+                "llm": {"total_sec": llm_total, "queries": llm_timings},
                 "ratio_vs_anchor": ratios,
                 "load_check": load_check,
                 "repeats": REPEATS,

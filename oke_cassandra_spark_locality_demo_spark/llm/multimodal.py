@@ -210,3 +210,81 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, or window like any other."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
     return media.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+#: fake "resize" target: every image payload is nearest-neighbor
+#: resampled to exactly 32 samples (idx_i = i·len // 32).
+_RESIZE_TARGET = 32
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("orig_len", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resized_checksum", T.LongType(), True),
+        T.StructField("first_byte", T.IntegerType(), True),
+        T.StructField("last_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the N→N resize shape: each image payload is
+    nearest-neighbor resampled to _RESIZE_TARGET samples (sample i reads
+    byte i·len//target — the exact index arithmetic of an NN image
+    resize, applied to bytes because the container has no codecs; a real
+    pipeline swaps Pillow's `Image.resize` into the same contract). The
+    resized payload stays a BINARY column, so downstream stages see the
+    same opaque-payload schema they started with."""
+    import numpy as np
+
+    t = _RESIZE_TARGET
+    for pdf in batches:
+        rows = {
+            "doc_id": pdf["doc_id"],
+            "orig_len": pdf["payload_len"].astype("int32"),
+            "resized": [],
+            "resized_checksum": [],
+            "first_byte": [],
+            "last_byte": [],
+        }
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype="uint8")
+            idx = (np.arange(t, dtype="int64") * len(arr)) // t
+            out = arr[idx]
+            rows["resized"].append(out.tobytes())
+            rows["resized_checksum"].append(int(out.astype("int64").sum()))
+            rows["first_byte"].append(int(out[0]))
+            rows["last_byte"].append(int(out[-1]))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS orig_len,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_RESIZE_TARGET}),
+                i -> UNICODE(SUBSTRING(text,
+                     CAST(i * LENGTH(text) // {_RESIZE_TARGET} + 1 AS INTEGER), 1))))
+                AS BIGINT) AS resized_checksum,
+           UNICODE(SUBSTRING(text, 1, 1)) AS first_byte,
+           UNICODE(SUBSTRING(text,
+                CAST(({_RESIZE_TARGET} - 1) * LENGTH(text) // {_RESIZE_TARGET} + 1
+                     AS INTEGER), 1)) AS last_byte
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage: filter the media table to images and resample
+    every payload to a fixed size through Arrow-batched mapInPandas —
+    the N→N media transform (decode → resize → re-encode) between
+    ingest and feature extraction. The resized payload remains an
+    opaque BINARY column with typed metadata beside it. The oracle
+    recomputes the NN index arithmetic from the source text (ASCII, so
+    byte i == unicode(char i+1)); the binary column itself is dropped
+    from the graded projection since DuckDB would compare encoded
+    blobs, but the checksum pins every sampled byte."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    return media.mapInPandas(resize_media, schema=RESIZE_SCHEMA).select(
+        "doc_id", "orig_len", "resized_checksum", "first_byte", "last_byte"
+    )

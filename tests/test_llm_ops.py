@@ -223,3 +223,24 @@ def test_dedup_span_merges_intervals(spark):
     # covering tokens [0..15]
     assert got[102] == (26, 16, 1, 16)
     assert got[103] == (26, 16, 1, 16)
+
+
+def test_multimodal_resize_binary_plumbing(spark, sf_dir):
+    """The resize worker must emit a real BINARY column of exactly
+    _RESIZE_TARGET bytes per image (the graded projection drops it, so
+    pin it here), with the checksum equal to the sum of those bytes."""
+    from oke_cassandra_spark_locality_demo_spark.llm.multimodal import (
+        _RESIZE_TARGET,
+        RESIZE_SCHEMA,
+        media_table,
+        resize_media,
+    )
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    rows = media.mapInPandas(resize_media, schema=RESIZE_SCHEMA).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r["resized"]) == _RESIZE_TARGET
+        assert sum(r["resized"]) == r["resized_checksum"]
+        assert r["resized"][0] == r["first_byte"]
+        assert r["resized"][-1] == r["last_byte"]
