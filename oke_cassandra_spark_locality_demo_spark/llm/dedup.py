@@ -69,6 +69,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("r.doc_id", "r.lang", "r.source", "r.text")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a narrow scan across all cores before CPU-heavy per-row
+    derivation (shingle/gram explosion, 64-bit fingerprint sums): a
+    small-but-dense input — e.g. one parquet split holding the whole
+    corpus sample — would otherwise pin the derivation stage to ONE
+    task while 31 cores idle (measured: the q_dedup_span gram pipeline
+    dropped 1.8s → 1.0s at sf0.1). No-op when the scan already has at
+    least cluster parallelism (the 100 TB case, where thousands of
+    splits exist and a repartition would pointlessly shuffle raw
+    text)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs: distinct k-word shingles of normalized text.
 
@@ -96,7 +112,7 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     shingles = F.slice(
         acc, 1, F.greatest(F.size(words) - k + 1, F.lit(1))
     )
-    return df.select(
+    return _spread(df).select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -555,7 +571,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance 3 shares a clean band — recall 1.0 for d ≤ 3; the
     d ≤ 6 output tier is best-effort (rows-only)."""
     d = load(spark, sf_dir, "documents")
-    words = d.select(
+    words = _spread(d).select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
     )
     h = F.xxhash64("w")
@@ -992,7 +1008,7 @@ def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
         )
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
     gram_arr = F.slice(acc, 1, (F.col("n_tokens") - K + 1).cast("int"))
-    grams = docs.filter(F.col("n_tokens") >= K).select(
+    grams = _spread(docs.filter(F.col("n_tokens") >= K)).select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
     )
     gh = grams.select(
