@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from .ivf import TRAIN_CAP
+from .ivf import TRAIN_CAP, quant_memo
 from .similarity import (
     MAX_PROBES,
     _KNN_ORACLE,
@@ -144,7 +144,10 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim = 64
-    books = train_codebooks(emb, dim)
+    books = quant_memo(
+        (spark.sparkContext.applicationId, sf_dir, "pq"),
+        lambda: train_codebooks(emb, dim),
+    )
     CB = np.asarray(books, dtype=np.float64)  # M × K × d_sub
     d_sub = dim // M_SUB
 

@@ -244,3 +244,21 @@ def test_multimodal_resize_binary_plumbing(spark, sf_dir):
         assert sum(r["resized"]) == r["resized_checksum"]
         assert r["resized"][0] == r["first_byte"]
         assert r["resized"][-1] == r["last_byte"]
+
+
+def test_quant_memo_bounded_and_reused(spark, sf_dir):
+    """Trained-quantizer memo: a second q_sim_ivf invocation must reuse
+    the trained centroids (identical object), and the FIFO bound must
+    hold as distinct keys churn."""
+    from oke_cassandra_spark_locality_demo_spark.llm import ivf
+
+    ivf._QUANT_MEMO.clear()
+    get("q_sim_ivf").fn(spark, sf_dir).count()
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf")
+    assert key in ivf._QUANT_MEMO
+    first = ivf._QUANT_MEMO[key]
+    get("q_sim_ivf").fn(spark, sf_dir).count()
+    assert ivf._QUANT_MEMO[key] is first  # reused, not retrained
+    for i in range(ivf._QUANT_MEMO_SLOTS + 2):
+        ivf.quant_memo(("app", f"dir{i}", "x"), lambda: [i])
+    assert len(ivf._QUANT_MEMO) <= ivf._QUANT_MEMO_SLOTS
