@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load, register_views
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 _IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
 
@@ -554,4 +554,107 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(frag, "before")
         .unionByName(audit(spark.read.parquet(compacted), "after"))
         .orderBy("phase", "event_type")
+    )
+
+
+@register(
+    "q_merge_multi_action",
+    oracle=f"""
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cut1,
+                           MAX(ts) - INTERVAL 14 DAY AS cut2
+                    FROM {EVENTS_US} ev),
+    t AS (
+        SELECT user_id, event_type, v_tt FROM (
+            SELECT user_id, event_type,
+                   CAST(ROUND(value * 10000.0) AS BIGINT) AS v_tt,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM {EVENTS_US} ev
+            WHERE ts >= (SELECT cut2 FROM cutoff)
+              AND ts < (SELECT cut1 FROM cutoff))
+        WHERE rn = 1
+    ),
+    s AS (
+        SELECT user_id, event_type, v_tt,
+               CASE WHEN (v_tt // 100) % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM (
+            SELECT user_id, event_type,
+                   CAST(ROUND(value * 10000.0) AS BIGINT) AS v_tt,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM {EVENTS_US} ev WHERE ts >= (SELECT cut1 FROM cutoff))
+        WHERE rn = 1
+    )
+    SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+           COALESCE(t.event_type, s.event_type) AS event_type,
+           CASE WHEN s.user_id IS NULL THEN t.v_tt ELSE s.v_tt END AS v_tt,
+           CASE WHEN s.user_id IS NULL THEN 'keep'
+                WHEN t.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM t FULL OUTER JOIN s
+      ON t.user_id = s.user_id AND t.event_type = s.event_type
+    WHERE s.op IS NULL OR s.op <> 'D'
+    """,
+)
+def q_merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-action MERGE (Delta/Iceberg `MERGE INTO` re-expressed on
+    plain DataFrames): target = per-(user, event_type) profiles from the
+    prior 7-day batch, source = the current batch's latest change per
+    key (rows whose latest value has a zero cents digit are tombstones, ~10%), and
+    ONE full-outer join routes every key through
+      WHEN MATCHED AND tombstone      THEN DELETE
+      WHEN MATCHED                    THEN UPDATE
+      WHEN NOT MATCHED AND NOT tombstone THEN INSERT
+    with untouched target keys passing through as 'keep' (unmatched
+    tombstones are no-ops). Emits the merged table with action
+    provenance — at fixture scale all four routes fire (~keeps/inserts
+    from 7-day coverage gaps, deletes ~10%) — the richer sibling of
+    q_insert_upsert's two-action anti-join+union rewrite.
+
+    100 TB story: a single keyed shuffle of both sides (or broadcast
+    when the delta batch is small — AQE decides); all three actions
+    resolve in the same join pass, never three separate scans of the
+    target. This is exactly the physical shape a lakehouse MERGE
+    compiles to on a non-bucketed target."""
+    e = load(spark, sf_dir, "events")
+    cut = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut1"),
+        (F.max("ts") - F.expr("INTERVAL 14 DAYS")).alias("cut2"),
+    )
+    f = e.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000.0, 0).cast("long").alias("v_tt"),
+        "cut1",
+        "cut2",
+    )
+
+    def latest(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.max_by(F.col("v_tt"), F.struct("ts", "event_id")).alias("v")
+        )
+
+    t = latest(
+        f.filter((F.col("ts") >= F.col("cut2")) & (F.col("ts") < F.col("cut1")))
+    ).withColumnRenamed("v", "t_v")
+    s = latest(f.filter(F.col("ts") >= F.col("cut1"))).select(
+        "user_id",
+        "event_type",
+        F.col("v").alias("s_v"),
+        F.when(F.floor(F.col("v") / 100) % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    j = t.join(s, ["user_id", "event_type"], "full_outer")
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("s_v"), F.col("t_v")).alias("v_tt"),
+            F.when(F.col("op").isNull(), "keep")
+            .when(F.col("t_v").isNull(), "insert")
+            .otherwise("update")
+            .alias("action"),
+        )
     )

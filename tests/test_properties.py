@@ -298,3 +298,42 @@ def test_cogroup_survives_column_pruning(spark, sf_dir):
 
     df = get("q_udf_cogroup").fn(spark, sf_dir)
     assert df.count() == len(df.collect()) > 0
+
+
+def test_incremental_mv_edges_match_recompute(spark):
+    """IVM edge cases the fixture can't produce: a group that exists
+    ONLY in the delta batch (born after the cutoff), a group fully
+    retracted by deletes in the delta, and an update that moves a key
+    between groups — incremental merge must equal the full recompute."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from oke_cassandra_spark_locality_demo_spark.operators.windows import (
+        incremental_mv,
+    )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # (user, event_id, ts, group, v_tt, op)
+        (1, 1, t(1), "A", 100, "U"),
+        (2, 2, t(2), "A", 200, "U"),
+        (3, 3, t(3), "B", 300, "U"),
+        # delta (>= Jan 10): kill group B, move user 2 to group C,
+        # birth group D on a brand-new key
+        (3, 4, t(11), "B", 0, "D"),
+        (2, 5, t(12), "C", 250, "U"),
+        (4, 6, t(13), "D", 400, "U"),
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "v_tt long, op string",
+    )
+    cut = spark.range(1).select(F.lit(t(10)).alias("cut"))
+    got = {
+        r["event_type"]: (r["n_users"], r["total_value_tt"])
+        for r in incremental_mv(feed, cut).collect()
+    }
+    # recompute by hand: latest per key -> 1:A/100, 2:C/250, 3:deleted, 4:D/400
+    assert got == {"A": (1, 100), "C": (1, 250), "D": (1, 400)}, got
