@@ -29,10 +29,15 @@ def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(_STAGE_ROOT, tag, "events")
-    marker = os.path.join(_STAGE_ROOT, tag, "_staged")
+    marker = os.path.join(_STAGE_ROOT, tag, "_staged_multi")
     if not os.path.exists(marker):
-        # catalog.load handles the fixture's TIMESTAMP(NANOS) → µs staging
-        load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        # catalog.load handles the fixture's TIMESTAMP(NANOS) → µs staging.
+        # 8 files, not 1: a real ingest directory accumulates many files,
+        # and maxFilesPerTrigger-based queries (q_stream_cdc_upsert) need
+        # >1 to exercise genuine multi-batch incremental processing.
+        load(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
         open(marker, "w").close()
     return out
 

@@ -349,3 +349,99 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value_tt"
         ),
     )
+
+
+@register(
+    "q_stream_cdc_upsert",
+    oracle=f"""
+    WITH feed AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM {EVENTS_US}
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feed
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC UPSERT SINK: each micro-batch foreachBatch-MERGEs
+    into a keyed snapshot — the production pattern for materializing a
+    change stream as a queryable current-state table (Kafka→Delta
+    upsert, re-expressed on plain parquet with per-epoch snapshot
+    versions standing in for the transaction log). The merge keeps
+    max_by((ts, event_id)) between the standing snapshot and the batch
+    — associative and commutative, so the final state is independent of
+    how the replay was batched (forced multi-batch here via
+    maxFilesPerTrigger=1). Deletes live in the snapshot as TOMBSTONES
+    (merge-on-read): a late-arriving older upsert cannot resurrect a
+    newer delete, and the read path filters them out — exactly
+    q_cdc_apply's batch semantics, which is what the oracle checks.
+
+    100 TB story: the per-batch merge is one keyed shuffle of
+    |snapshot|+|batch| rows (with map-side latest-per-key combine on
+    the batch side); real deployments replace the full-snapshot rewrite
+    with Delta/Iceberg MERGE (row-group level) and compact tombstones
+    on a schedule."""
+    import os
+    import shutil
+    import tempfile
+
+    from .runtime import stage_events_dir
+
+    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_sink")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base_dir = os.path.join(out_root, tag)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    ckpt_dir = os.path.join(base_dir, "ckpt")
+    state = {"cur": None}
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        feed = batch_df.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+        if state["cur"] is not None:
+            feed = spark.read.parquet(state["cur"]).unionByName(feed)
+        merged = (
+            feed.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "ts", "value", "op"),
+                    F.struct("ts", "event_id"),
+                ).alias("r")
+            )
+            .select("user_id", "r.event_id", "r.ts", "r.value", "r.op")
+        )
+        nxt = os.path.join(base_dir, f"snap_epoch={epoch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    src = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(state["cur"])
+    return snap.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
