@@ -1557,3 +1557,124 @@ def q_agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_rows.unionByName(pair_rows)
         .select("segment", "exact_n", band.alias("within_band"))
     )
+
+
+@register(
+    "q_agg_sketch_moments",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 10000.0) AS BIGINT) AS v_tt
+        FROM {EVENTS_US}
+    ),
+    r AS (
+        SELECT event_type, v_tt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_tt) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN v_tt END) AS BIGINT) AS exact_q50_tt,
+           CAST(SUM(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN v_tt END) AS BIGINT) AS exact_q90_tt,
+           TRUE AS ok50, TRUE AS ok90
+    FROM r GROUP BY event_type
+    """,
+)
+def q_agg_sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOMENT-SKETCH quantiles (Gan et al. 2018, VLDB — "Moment-based
+    quantile sketches"): the per-group sketch is just exact power sums
+    (n, Σv, Σv², Σv³, Σv⁴ in ten-thousandth units as DECIMAL(38,0)) —
+    the ONLY sketch that merges by pure column addition, so any rollup
+    (daily → monthly → global, here daily partials merged globally)
+    re-derives quantiles from 5 numbers without touching raw data.
+    Quantile recovery uses the Cornish-Fisher expansion
+    q_p ≈ μ + σ·(z_p + (z_p²−1)·γ/6) — deterministic closed form from
+    exact integer-derived moments (the maximum-entropy solver of the
+    paper is the higher-accuracy upgrade path).
+
+    DERIVED ORACLE VERDICT (q_agg_sketch_cms pattern): both engines
+    compute the exact nearest-rank q50/q90; Spark additionally probes
+    the moment estimate and emits ok50/ok90 (relative error ≤ 20% —
+    measured max 6.6% q50 / 12.3% q90 on the skew≈2 fixture
+    distribution, both SFs; a fixture-tied determinism assumption like the
+    HLL/CMS/theta bounds). Exact decimal sums make the sketch itself
+    partition-order-free — same discipline as q_agg_stats' moments."""
+    e = load(spark, sf_dir, "events")
+    v_tt = F.round(F.col("value") * 10000.0, 0).cast("long")
+    vd = v_tt.cast("decimal(19,0)")
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        v_tt.alias("v_tt"),
+        vd.alias("v1"),
+        (vd * vd).alias("v2"),
+        (vd * vd * vd).alias("v3"),
+        (vd * vd * vd * vd).alias("v4"),
+    )
+    daily = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v1").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum("v3").alias("s3"),
+        F.sum("v4").alias("s4"),
+    )
+    g = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    var = m2 - m1 * m1
+    sd = F.sqrt(var)
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (sd * sd * sd)
+
+    def cf(z: float):
+        return m1 + sd * (z + (z * z - 1.0) * skew / 6.0)
+
+    est = g.select(
+        "event_type",
+        F.col("n"),
+        cf(0.0).alias("est50"),
+        cf(1.2815515655446004).alias("est90"),
+    )
+
+    wr = Window.partitionBy("event_type").orderBy("v_tt")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v_tt",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    )
+    exact = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(0.5 * F.col("nn")))
+            | (F.col("rn") == F.ceil(0.9 * F.col("nn")))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.ceil(0.5 * F.col("nn")), F.col("v_tt"))
+            ).alias("exact_q50_tt"),
+            F.min(
+                F.when(F.col("rn") == F.ceil(0.9 * F.col("nn")), F.col("v_tt"))
+            ).alias("exact_q90_tt"),
+        )
+    )
+    ok = lambda e_col, x_col: (  # noqa: E731
+        F.abs(e_col - x_col) <= 0.20 * F.abs(x_col)
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "exact_q50_tt",
+        "exact_q90_tt",
+        ok(F.col("est50"), F.col("exact_q50_tt")).alias("ok50"),
+        ok(F.col("est90"), F.col("exact_q90_tt")).alias("ok90"),
+    )
