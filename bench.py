@@ -77,6 +77,34 @@ HEADLINE = [
 ]
 
 
+def time_suite(
+    spark, queries, names, sf_dir: str, repeats: int
+) -> dict[str, float]:
+    """min-of-N timings for a named query list (shared by the headline,
+    TPC-H, and LLM suites — one copy of the failure/clamp logic)."""
+    out: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        try:
+            # min-of-N: single-shot timings on a shared host swing ±30%
+            # with background load; the min is the steady-state number
+            # the 100 TB story cares about and keeps round-over-round
+            # comparisons meaningful
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                assert n >= 0
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        except Exception as exc:  # keep the JSON line intact for the driver
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -102,25 +130,7 @@ def main() -> None:
 
     load_before = os.getloadavg()[0]
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        try:
-            # min-of-N: single-shot timings on a shared host swing ±30%
-            # with background load; the min is the steady-state number
-            # the 100 TB story cares about and keeps round-over-round
-            # comparisons meaningful
-            best = None
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                assert n >= 0
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # keep the JSON line intact for the driver
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    timings = time_suite(spark, queries, HEADLINE, sf_dir, REPEATS)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -132,21 +142,7 @@ def main() -> None:
         (q for q in queries if q.startswith("q_tpch_q")),
         key=lambda s: int(s[len("q_tpch_q"):]),
     )
-    tpch_timings: dict[str, float] = {}
-    for name in tpch_names:
-        fn = queries[name]
-        try:
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                assert n >= 0
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            tpch_timings[name] = round(best, 3)
-        except Exception as exc:
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            tpch_timings[name] = -1.0
+    tpch_timings = time_suite(spark, queries, tpch_names, sf_dir, 2)
     tpch_total = round(sum(t for t in tpch_timings.values() if t >= 0), 3)
 
     # Secondary suite 2: the LLM-data-pipeline block (mandate operators
@@ -167,21 +163,7 @@ def main() -> None:
         "q_pack_sequences",
         "q_multimodal_resize",
     ]
-    llm_timings: dict[str, float] = {}
-    for name in llm_names:
-        fn = queries[name]
-        try:
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                assert n >= 0
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            llm_timings[name] = round(best, 3)
-        except Exception as exc:
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            llm_timings[name] = -1.0
+    llm_timings = time_suite(spark, queries, llm_names, sf_dir, 2)
     llm_total = round(sum(t for t in llm_timings.values() if t >= 0), 3)
 
     # Per-query ratio vs the r1 anchor (sf0.1 only — the anchor was taken

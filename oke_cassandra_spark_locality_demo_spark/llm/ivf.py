@@ -80,7 +80,7 @@ TRAIN_CAP = 50_000  # quantizer training vectors (k ≪ this ≪ corpus)
 #: (deterministic) result. Driver-local only — no executor residue to
 #: unpersist, unlike _NGRAM_MEMO's cached DataFrames.
 _QUANT_MEMO: dict = {}
-_QUANT_MEMO_SLOTS = 4  # ivf + pq on two corpora before FIFO eviction
+_QUANT_MEMO_SLOTS = 6  # {ivf, pq, pca} x two corpora before FIFO eviction
 
 
 def quant_memo(key: tuple, builder):
@@ -132,11 +132,24 @@ def kmeans_centroids(
         assigned = emb.select(_assign_udf(centroids)(F.col("v")).alias("cell"), "v")
         sums = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("v").getItem(i)).alias(f"s{i}") for i in range(dim)],
+            # exact decimal sums, not double sums: a plain F.sum over
+            # doubles is partial-aggregation-order sensitive, so the
+            # trained centroids (and every downstream cell assignment)
+            # would shift bits with the partition layout — the one spot
+            # in the ANN stack the partitioning-invariance discipline
+            # had missed (self-review r4). Components are float32-
+            # derived (|v| < 1, 24-bit mantissa), so decimal(28,18)
+            # holds them exactly and the per-cell sums stay order-free.
+            *[
+                F.sum(F.col("v").getItem(i).cast("decimal(28,18)")).alias(
+                    f"s{i}"
+                )
+                for i in range(dim)
+            ],
         )
         rows = {r["cell"]: r for r in sums.collect()}
         centroids = [
-            [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)]
+            [float(rows[c][f"s{i}"]) / rows[c]["n"] for i in range(dim)]
             if c in rows and rows[c]["n"] > 0
             else centroids[c]  # empty cell keeps its old centroid
             for c in range(k)

@@ -250,6 +250,15 @@ def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         for payload in pdf["payload"]:
             arr = np.frombuffer(payload, dtype="uint8")
+            if len(arr) == 0:
+                # empty payload: nothing to sample — emit nulls rather
+                # than crash the worker (fixture docs are non-empty;
+                # the general contract isn't)
+                rows["resized"].append(None)
+                rows["resized_checksum"].append(None)
+                rows["first_byte"].append(None)
+                rows["last_byte"].append(None)
+                continue
             idx = (np.arange(t, dtype="int64") * len(arr)) // t
             out = arr[idx]
             rows["resized"].append(out.tobytes())

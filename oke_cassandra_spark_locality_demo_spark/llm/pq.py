@@ -104,14 +104,23 @@ def train_codebooks(emb: DataFrame, dim: int) -> list[list[list[float]]]:
         )
         sums = pairs.groupBy("m", "cell").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("sv").getItem(i)).alias(f"s{i}") for i in range(d_sub)],
+            # exact decimal sums — partition-order-free training, same
+            # rationale as ivf.kmeans_centroids (self-review r4)
+            *[
+                F.sum(F.col("sv").getItem(i).cast("decimal(28,18)")).alias(
+                    f"s{i}"
+                )
+                for i in range(d_sub)
+            ],
         )
         rows = {(r["m"], r["cell"]): r for r in sums.collect()}  # ≤ M·K rows
         for m in range(M_SUB):
             for c in range(K_CODES):
                 rr = rows.get((m, c))
                 if rr is not None and rr["n"] > 0:
-                    CB[m, c] = [rr[f"s{i}"] / rr["n"] for i in range(d_sub)]
+                    CB[m, c] = [
+                        float(rr[f"s{i}"]) / rr["n"] for i in range(d_sub)
+                    ]
                 # empty cell keeps its old centroid
     return CB.tolist()
 

@@ -516,8 +516,6 @@ def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the residual ‖Av − λv‖ ≤ 10% of ‖Av‖ (20 iterations measured
     ≈2.5% at both SFs against a 0.98 eigengap ratio). A broken dot, accumulation, or
     normalization flips a boolean and hash-fails the query."""
-    import numpy as np
-
     from .ivf import quant_memo
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -543,8 +541,6 @@ def _pca_power_iteration(emb):
     memoized per (app, corpus) like the IVF/PQ quantizers (train once,
     serve many). The vector table is cached for the loop's scans and
     unpersisted before returning."""
-    import numpy as np
-
     emb = emb.cache()
     first = emb.orderBy("vec_id").limit(1).collect()[0]["xv"]
     x0 = np.asarray(first, dtype=np.float64)

@@ -790,9 +790,11 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: BM25 ranking constants (Robertson/Spärck Jones defaults) and the
-#: fixed probe query — terms chosen from the fixture vocabulary.
-BM25_K1 = 1.2
+#: BM25 probe query — terms chosen from the fixture vocabulary. The
+#: k1=1.2 / b=0.75 defaults appear as LITERALS in both the Spark
+#: expression and the oracle SQL (1.2, 2.2 = k1+1, 0.25 = 1-b, 0.75):
+#: the two texts must stay digit-identical for bit parity, so a shared
+#: constant would only protect one side.
 BM25_QUERY = ["spark", "join", "window"]
 
 

@@ -636,9 +636,19 @@ def q_merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(F.col("v_tt"), F.struct("ts", "event_id")).alias("v")
         )
 
-    t = latest(
-        f.filter((F.col("ts") >= F.col("cut2")) & (F.col("ts") < F.col("cut1")))
-    ).withColumnRenamed("v", "t_v")
+    t = (
+        latest(
+            f.filter(
+                (F.col("ts") >= F.col("cut2")) & (F.col("ts") < F.col("cut1"))
+            )
+        )
+        .withColumnRenamed("v", "t_v")
+        # key-presence marker: match/insert routing must test whether the
+        # TARGET ROW exists, not whether its value is null — a null-valued
+        # matched row would otherwise misroute to 'insert' (self-review r4;
+        # the oracle classifies by join-key nullability)
+        .withColumn("in_t", F.lit(True))
+    )
     s = latest(f.filter(F.col("ts") >= F.col("cut1"))).select(
         "user_id",
         "event_type",
@@ -651,9 +661,11 @@ def q_merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.coalesce(F.col("s_v"), F.col("t_v")).alias("v_tt"),
+            F.when(F.col("op").isNull(), F.col("t_v"))
+            .otherwise(F.col("s_v"))
+            .alias("v_tt"),
             F.when(F.col("op").isNull(), "keep")
-            .when(F.col("t_v").isNull(), "insert")
+            .when(F.col("in_t").isNull(), "insert")
             .otherwise("update")
             .alias("action"),
         )
