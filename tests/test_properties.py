@@ -165,6 +165,14 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         # verdict booleans are partitioning-free by construction
         "q_sessionize",
         "q_agg_sketch_cms",
+        # fifth-block additions: decimal power sums (moments) and the
+        # signed-delta IVM merge are exact by construction — hold them
+        # to it (q_vec_pca is deliberately absent: quant_memo returns
+        # the same trained state across configs, which would make the
+        # check vacuous — its exact-integer iteration is the guarantee)
+        "q_agg_sketch_moments",
+        "q_mv_incremental",
+        "q_merge_multi_action",
     ]
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
