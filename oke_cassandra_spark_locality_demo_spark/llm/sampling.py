@@ -286,3 +286,100 @@ def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ord") * F.col("doc_id")).alias("checksum"),
         )
     )
+
+
+#: temperature exponent for source rebalancing (the multilingual
+#: sampling trick of mBERT/XLM: p_i ∝ n_i^alpha flattens the source
+#: distribution — alpha=1 keeps natural proportions, alpha=0 is
+#: equal-share; 0.7 is the published middle ground).
+MIX_ALPHA = 0.7
+#: fraction of the corpus the temperature-mixed sample targets
+MIX_TARGET_FRAC = 0.5
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_docs) AS n_total,
+                   SUM(POWER(n_docs, {MIX_ALPHA})) AS z
+            FROM counts),
+    rates AS (
+        SELECT lang, n_docs,
+               CAST(LEAST(1000000, ROUND(
+                   ({MIX_TARGET_FRAC} * tot.n_total)
+                   * POWER(n_docs, {MIX_ALPHA}) / tot.z / n_docs
+                   * 1000000.0)) AS BIGINT) AS rate_u
+        FROM counts CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.lang, COUNT(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE (('0x' || SUBSTRING(MD5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+              / 4294967296.0 < r.rate_u / 1000000.0
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.rate_u,
+           COALESCE(k.n_sampled, 0) AS n_sampled
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    ORDER BY r.lang
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED source mixing (mBERT/XLM exponentiated
+    sampling): target shares p_i ∝ n_i^0.7 give under-represented
+    LANGUAGES more than their natural share without letting the
+    dominant one swamp the mixture (the fixture's en:fr ratio is 3.4:1;
+    at alpha=0.7 the sampled ratio flattens toward ~2.4:1); per-doc acceptance rate = target_total·p_i/n_i, capped at
+    1. The mixture-report output (corpus size, micro-unit rate, rows
+    kept per source) is what a multilingual/multi-domain dataset build
+    logs next to its training config.
+
+    Float discipline: POWER is the one non-portable step (libm vs JVM
+    StrictMath differ in the last ulp), so each source's rate is
+    rounded ONCE to integer micro-units — 10 orders coarser than ulp
+    noise — and the acceptance test compares the portable md5 uniform
+    to rate_u/1e6 (one identical IEEE division). Everything downstream
+    is exact integers.
+
+    Scale shape: identical to q_mix_sources — per-source counts
+    map-side combine, the |sources|-row rate table broadcasts back over
+    one corpus scan, no shuffle of the corpus itself."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    rates = counts.withColumn(
+        "rate_u",
+        F.least(
+            F.lit(1000000),
+            F.round(
+                (MIX_TARGET_FRAC * F.sum("n_docs").over(w))
+                * F.pow(F.col("n_docs"), MIX_ALPHA)
+                / F.sum(F.pow(F.col("n_docs"), MIX_ALPHA)).over(w)
+                / F.col("n_docs")
+                * 1000000.0,
+                0,
+            ).cast("long"),
+        ),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter(
+            _md5_uniform(F.col("doc_id"), "temp")
+            < F.col("rate_u") / 1000000.0
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "rate_u",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -234,7 +234,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_sim_pq_audit, q_dedup_span, q_text_bm25, q_shuffle_epoch,
 #: q_agg_sketch_theta, q_stream_join_semi, q_dedup_containment,
 #: q_multimodal_resize, q_mv_incremental, q_merge_multi_action,
-#: q_stream_cdc_upsert, q_agg_sketch_moments, q_vec_pca) — that
+#: q_stream_cdc_upsert, q_agg_sketch_moments, q_vec_pca,
+#: q_sample_temperature) — that
 #: exhausts every never-adjudicated key, so
 #: r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [
