@@ -912,3 +912,98 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_e6").desc(), "doc_id")
         .limit(20)
     )
+
+
+#: top-R word ranks fitted for the Zipf slope
+ZIPF_R = 200
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+    WITH counts AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk, cnt
+        FROM counts
+        ORDER BY cnt DESC, word LIMIT {ZIPF_R}
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(rnk) * 1000000.0) AS BIGINT) AS x_u,
+               CAST(ROUND(LN(cnt) * 1000000.0) AS BIGINT) AS y_u
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS r,
+               CAST(SUM(x_u) AS BIGINT) AS sx, CAST(SUM(y_u) AS BIGINT) AS sy,
+               CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+               CAST(SUM(x_u * x_u) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT r AS n_words,
+           (r * sxy - sx * sy) / CAST(r * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (sy - (r * sxy - sx * sy) / CAST(r * sxx - sx * sx AS DOUBLE) * sx)
+               / (r * 1000000.0) AS intercept_ln
+    FROM s
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary — the corpus-health
+    diagnostic an LM data pipeline logs per source/snapshot (natural
+    text fits slope ≈ −1; templated or deduplicated-to-death corpora
+    drift away). OLS of ln(count) on ln(rank) over the top-200 ranks
+    (the fixture's synthetic ~31-word vocabulary fits a shallow −0.18 —
+    itself the kind of anomaly this metric exists to flag).
+
+    Float discipline: LN is the only non-portable step (1 ulp across
+    libm/JVM), so both coordinates are rounded ONCE to integer
+    micro-units; every OLS sum is then an exact BIGINT, and slope /
+    intercept are single identically-written integer-ratio chains —
+    hash-safe raw doubles (q_text_repetition discipline). Scale shape:
+    one explode→groupBy for counts (map-side combinable), TakeOrdered
+    top-200, and a 200-row local fit — the corpus never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(ZIPF_R)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), "word"))
+        .alias("rnk"),
+        "cnt",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("x_u"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("y_u"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y_u")).alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+    )
+    slope = (F.col("r") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("r") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select(
+        F.col("r").alias("n_words"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy") - slope * F.col("sx"))
+            / (F.col("r") * 1000000.0)
+        ).alias("intercept_ln"),
+    )

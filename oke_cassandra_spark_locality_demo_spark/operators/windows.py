@@ -973,3 +973,72 @@ def incremental_mv(feed: DataFrame, cut: DataFrame) -> DataFrame:
         .filter(F.col("n_users") > 0)
     )
     return merged
+
+
+#: EWMA lookback: 8 events, weights 2^7..2^0 (halving decay)
+_EWMA_K = 8
+
+
+@register(
+    "q_win_ewma",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 10000.0) AS BIGINT) AS v_tt
+        FROM {EVENTS_US}
+    ),
+    lagged AS (
+        SELECT user_id, event_id,
+               {" + ".join(
+                   f"COALESCE(LAG(v_tt, {k}) OVER w * {1 << (7 - k)}, 0)"
+                   for k in range(8)
+               )} AS num,
+               {" + ".join(
+                   f"(CASE WHEN LAG(v_tt, {k}) OVER w IS NOT NULL"
+                   f" THEN {1 << (7 - k)} ELSE 0 END)"
+                   for k in range(8)
+               )} AS den
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den,
+           num / CAST(den AS DOUBLE) AS ewma_tt
+    FROM lagged
+    """,
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (halving decay
+    over the last 8 events) — the smoothing signal behind rate/health
+    monitors. The textbook recursive EWMA y_i = αx_i + (1−α)y_{i−1} is
+    a sequential fold over FLOATS (order-dependent, not portable);
+    this finite-lookback form keeps the exact semantics people want
+    from λ=1/2 decay while staying in exact integer arithmetic: the
+    numerator is Σ v_{i−k}·2^(7−k) over available lags (BIGINT), the
+    denominator the matching weight sum, and the emitted average is ONE
+    identical integer-ratio division — hash-safe raw double, and the
+    window never re-sorts more than one partition pass per key."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v_tt = F.round(F.col("value") * 10000.0, 0).cast("long")
+    base = e.select("user_id", "event_id", "ts", v_tt.alias("v_tt"))
+    num = sum(
+        (
+            F.coalesce(F.lag("v_tt", k).over(w) * (1 << (7 - k)), F.lit(0))
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("v_tt", k).over(w).isNotNull(), 1 << (7 - k)).otherwise(0)
+            for k in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        (F.col("num") / F.col("den").cast("double")).alias("ewma_tt"),
+    ).select("user_id", "event_id", "num", "den", "ewma_tt")
