@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register_views
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 
 @register(
@@ -189,3 +189,66 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "min_total": 100000.0},
     )
+
+
+@register(
+    "q_sql_scripting",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 10000.0) AS BIGINT) AS v_tt
+        FROM {EVENTS_US}
+    ),
+    n AS (SELECT COUNT(*) AS n_events,
+                 CAST(COUNT(*) * 0.1 AS BIGINT) AS target
+          FROM v),
+    r AS (SELECT v_tt, ROW_NUMBER() OVER (ORDER BY v_tt) AS rn FROM v)
+    SELECT n.n_events, n.target,
+           (SELECT v_tt FROM r WHERE rn = n.n_events - n.target)
+               AS threshold_tt
+    FROM n
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0 procedural SQL: BEGIN/DECLARE/WHILE/IF)
+    driving real data queries: a bisection loop finds the exact p90
+    threshold — the smallest integer t with at most 10% of values above
+    it — by issuing one COUNT per iteration against the events view and
+    halving the bracket. ~23 iterations of O(1)-state control flow on
+    the driver, each a full scannable predicate Catalyst optimizes like
+    any other query; no window sort of the corpus. The converged
+    threshold equals the (n−target)-th order statistic EXACTLY (integer
+    bisection is exact), which is what the rank-selection oracle checks
+    — control flow, scalar subqueries, and session-variable state all
+    have to be right for the integers to match."""
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE n_events BIGINT DEFAULT 0;
+              DECLARE target BIGINT DEFAULT 0;
+              DECLARE lo BIGINT DEFAULT 0;
+              DECLARE hi BIGINT DEFAULT 0;
+              DECLARE mid BIGINT;
+              SET n_events = (SELECT COUNT(*) FROM events);
+              SET target = CAST(n_events * 0.1 AS BIGINT);
+              SET hi = (
+                  SELECT MAX(CAST(ROUND(value * 10000.0) AS BIGINT)) FROM events);
+              WHILE lo < hi DO
+                SET mid = (lo + hi) DIV 2;
+                IF (SELECT COUNT(*) FROM events
+                    WHERE CAST(ROUND(value * 10000.0) AS BIGINT) > mid) > target
+                THEN
+                  SET lo = mid + 1;
+                ELSE
+                  SET hi = mid;
+                END IF;
+              END WHILE;
+              SELECT n_events, target, lo AS threshold_tt;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
