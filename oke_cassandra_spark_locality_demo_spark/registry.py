@@ -235,8 +235,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_agg_sketch_theta, q_stream_join_semi, q_dedup_containment,
 #: q_multimodal_resize, q_mv_incremental, q_merge_multi_action,
 #: q_stream_cdc_upsert, q_agg_sketch_moments, q_vec_pca,
-#: q_sample_temperature, q_win_ewma, q_text_zipf, q_sql_scripting) —
-#: that
+#: q_sample_temperature, q_win_ewma, q_text_zipf, q_sql_scripting,
+#: q_export_webdataset) — that
 #: exhausts every never-adjudicated key, so
 #: r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [

@@ -670,3 +670,95 @@ def q_merge_multi_action(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+#: WebDataset export shards
+_WDS_SHARDS = 8
+
+
+@register(
+    "q_export_webdataset",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard,
+               LENGTH(text) AS sz
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+               -- USTAR layout: 512-byte header + data padded to 512
+               -- per member, two 512 zero blocks, archive padded to
+               -- the 10240-byte record size
+               CAST(
+                 CEIL((SUM(512 + CEIL(sz / 512.0) * 512) + 1024) / 10240.0)
+                 * 10240 AS BIGINT) AS tar_bytes
+        FROM m GROUP BY shard
+    )
+    SELECT shard, n_docs, payload_bytes, tar_bytes FROM per ORDER BY shard
+    """,
+)
+def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET EXPORT: the corpus leaves as .tar shards of named
+    members — the standard streaming-friendly format multimodal/LLM
+    training loaders (webdataset, torchdata) consume. Each shard is
+    written executor-side by one applyInPandas group (sorted members,
+    zeroed mtime/uid — byte-reproducible archives), and the returned
+    manifest (docs, payload bytes, tar bytes per shard) is what a
+    dataset build publishes next to the shards.
+
+    The oracle pins the EXACT tar byte size per shard from the USTAR
+    layout arithmetic (512-byte header + 512-padded data per member +
+    1024-byte terminator, record-size 10240 padding) — so a wrong
+    member set, a non-canonical header, or nondeterministic ordering
+    changes real bytes and hash-fails. Scale shape: one shuffle on the
+    shard key; shard count scales with corpus size (here 8); writes go
+    to local scratch standing in for object storage."""
+    import tarfile
+    from io import BytesIO
+
+    import pandas as pd
+
+    out_root = _out("wds_shards")
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _WDS_SHARDS).cast("int").alias("shard"),
+        "doc_id",
+        "text",
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        buf = BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id):08d}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, BytesIO(payload))
+        blob = buf.getvalue()
+        os.makedirs(out_root, exist_ok=True)
+        with open(os.path.join(out_root, f"shard-{shard:04d}.tar"), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(pdf)],
+                "payload_bytes": [int(sum(len(t.encode("utf-8")) for t in pdf["text"]))],
+                "tar_bytes": [len(blob)],
+            }
+        )
+
+    return (
+        d.groupBy("shard")
+        .applyInPandas(
+            write_shard,
+            "shard int, n_docs long, payload_bytes long, tar_bytes long",
+        )
+        .orderBy("shard")
+    )
