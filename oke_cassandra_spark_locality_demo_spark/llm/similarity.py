@@ -476,12 +476,6 @@ def q_sim_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_audit(truth, found, ["query_id", "cand_id"], 0.3)
 
 
-#: power-iteration steps: the fixture spectrum is near-isotropic
-#: (lambda2/lambda1 ~ 0.98, the hard case for power iteration), so
-#: convergence to <3% residual takes ~20 steps — each is one scan
-PCA_ITERS = 20
-
-
 @register(
     "q_vec_pca",
     oracle="""
@@ -494,27 +488,27 @@ PCA_ITERS = 20
     """,
 )
 def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component by DISTRIBUTED POWER ITERATION — the
-    iterative-linear-algebra shape (PageRank's dense cousin) done
-    deterministically: each step computes w = Σᵢ xᵢ(xᵢ·v) with the
-    vectors in integer micro-units, dot products as exact BIGINTs and
-    the rank-one accumulation as exact DECIMAL(38,0) sums — order-free,
-    so retries/speculation/cluster resizes can't move a single bit
-    (the float formulation would drift with partial-sum order). Only
-    the 64 per-dimension sums return to the driver per iteration
-    (k·dim state, the ivf.kmeans_centroids pattern); normalization
-    re-quantizes v to micro-units there. Uncentered PCA (second-moment
-    operator about the origin) — the standard choice for
-    cosine-normalized embedding spaces.
+    """Top principal component, deterministically: ONE corpus scan
+    accumulates the exact Gram matrix G = Σ xᵢxᵢᵀ (vectors in integer
+    micro-units, the dim·(dim+1)/2 upper-triangle cells as exact
+    DECIMAL sums — map-side combinable and partial-order-free, so
+    retries/speculation/cluster resizes can't move a single bit), and
+    the power iteration runs on the 64×64 driver copy with fixed-order
+    numpy reductions — 500 steps cost nothing once G is local. This is
+    the iterative-linear-algebra shape (PageRank's dense cousin) with
+    the iteration hoisted off the cluster, valid up to dim ≈ 10³; the
+    distributed per-step matvec (git history) is the wide-dim fallback.
+    Uncentered PCA (second-moment operator about the origin) — the
+    standard choice for cosine-normalized embedding spaces.
 
     DERIVED ORACLE VERDICT: the component itself is not
     SQL-expressible, so the graded row carries its invariants: the
     final vector is unit (within per-dim quantization slack), the
     Rayleigh quotient λ lies in the exact bracket
-    [max_j m2_j, Σ_j m2_j] (second moments from exact decimal sums —
-    any eigenvalue estimate outside trace/max-moment bounds is wrong),
-    and the residual ‖Av − λv‖ ≤ 10% of ‖Av‖ (20 iterations measured
-    ≈2.5% at both SFs against a 0.98 eigengap ratio). A broken dot, accumulation, or
+    [max_j G_jj, trace(G)]/n (any eigenvalue estimate outside
+    trace/max-moment bounds is wrong), and the residual ‖Av − λv‖ ≤
+    10% of ‖Av‖ (500 driver-side steps against the fixture's 0.98
+    eigengap ratio → ≈10⁻⁴). A broken product, accumulation, or
     normalization flips a boolean and hash-fails the query."""
     from .ivf import quant_memo
 
@@ -537,62 +531,60 @@ def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_power_iteration(emb):
-    """The 20-step exact-integer power iteration behind q_vec_pca;
-    memoized per (app, corpus) like the IVF/PQ quantizers (train once,
-    serve many). The vector table is cached for the loop's scans and
-    unpersisted before returning."""
-    emb = emb.cache()
-    first = emb.orderBy("vec_id").limit(1).collect()[0]["xv"]
-    x0 = np.asarray(first, dtype=np.float64)
-    v = np.round(x0 / np.linalg.norm(x0) * 1e6).astype("int64")
-    dim = len(v)
-
-    def power_step(v_ints):
-        vlit = F.array(*[F.lit(int(c)) for c in v_ints])
-        dot = F.aggregate(
-            F.zip_with(F.col("xv"), vlit, lambda x, c: x * c),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        rows = (
-            emb.select(F.posexplode("xv").alias("j", "x"), dot.alias("d"))
-            .groupBy("j")
-            .agg(F.sum(F.col("x").cast("decimal(19,0)") * F.col("d")).alias("w"))
-            .collect()
-        )
-        w = np.zeros(dim)
-        for r in rows:
-            w[r["j"]] = float(r["w"])
-        return w
-
-    for _ in range(PCA_ITERS):
-        w = power_step(v)
-        v = np.round(w / np.linalg.norm(w) * 1e6).astype("int64")
-
-    # final verdicts: one more exact pass with the converged v
-    w = power_step(v)
-    stats = (
-        emb.select(F.posexplode("xv").alias("j", "x"))
-        .groupBy("j")
+    """Gram-matrix formulation behind q_vec_pca, memoized per
+    (app, corpus) like the IVF/PQ quantizers: ONE corpus scan
+    accumulates the exact upper-triangle Gram matrix G = Σ x xᵀ as
+    dim·(dim+1)/2 DECIMAL(38,0) sums of integer products (map-side
+    combinable, partition-order-free by construction), and the power
+    iteration then runs driver-side on the 64×64 matrix — 500 exact
+    float64 steps for free instead of 20 cluster jobs (measured
+    21.7 s → ~2 s cold at sf0.1). Driver math uses numpy pairwise
+    reductions ((A·v) via (A*v).sum(axis=1)), never BLAS gemv, so the
+    reduction order — and therefore every emitted bit — is fixed
+    across machines/thread counts. Scale posture: dim² sums hold to
+    dim ≈ 10³ (10⁶ cells); past that, the multi-pass distributed
+    matvec (this function's previous form, in git history) is the
+    fallback."""
+    pca_iters = 500
+    a = emb.select(F.posexplode("xv").alias("j", "xj"), F.col("xv"))
+    pairs = a.select(
+        "j", "xj", F.posexplode("xv").alias("k", "xk")
+    ).filter(F.col("k") >= F.col("j"))
+    rows = (
+        pairs.groupBy("j", "k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("ss"),
+            F.sum(F.col("xj").cast("decimal(19,0)") * F.col("xk")).alias("g"),
         )
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.col("ss").cast("double")).alias("max_m2"),
-            F.sum(F.col("ss").cast("double")).alias("trace"),
-        )
-        .collect()[0]
+        .collect()
     )
-    n = stats["n"]
-    av = w / n
-    vv = float(v @ v)
-    lam = float(av @ v) / vv
-    resid = float(np.linalg.norm(av - lam * v)) / float(np.linalg.norm(av))
-    unit_ok = abs(float(np.linalg.norm(v)) - 1e6) <= 100.0
-    lam_lo, lam_hi = stats["max_m2"] / n, stats["trace"] / n
+    n = rows[0]["n"]
+    dim = max(r["k"] for r in rows) + 1
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r["j"], r["k"]] = float(r["g"])
+        G[r["k"], r["j"]] = float(r["g"])
+    A = G / n
+
+    # deterministic init: basis vector of the largest diagonal entry
+    v = np.zeros(dim)
+    v[int(np.argmax(np.diag(A)))] = 1.0
+    for _ in range(pca_iters):
+        w = (A * v).sum(axis=1)  # pairwise-summed matvec, no BLAS
+        v = w / np.sqrt((w * w).sum())
+    # quantize like the distributed form so the unit-norm verdict keeps
+    # its per-dim slack semantics
+    v = np.round(v * 1e6).astype("int64").astype("float64")
+
+    av = (A * v).sum(axis=1)
+    vv = float((v * v).sum())
+    lam = float((av * v).sum()) / vv
+    resid = float(np.sqrt(((av - lam * v) ** 2).sum())) / float(
+        np.sqrt((av * av).sum())
+    )
+    unit_ok = abs(float(np.sqrt(vv)) - 1e6) <= 100.0
+    lam_lo = max(A[j, j] for j in range(dim))
+    lam_hi = float(np.trace(A))
     lam_ok = (lam >= lam_lo * 0.999) and (lam <= lam_hi * 1.001)
     resid_ok = resid <= 0.10
-    emb.unpersist(blocking=False)
-    return (dim, n, bool(unit_ok), bool(lam_ok), bool(resid_ok))
+    return (dim, int(n), bool(unit_ok), bool(lam_ok), bool(resid_ok))
