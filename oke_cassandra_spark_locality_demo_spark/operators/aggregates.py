@@ -1678,3 +1678,72 @@ def q_agg_sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(F.col("est50"), F.col("exact_q50_tt")).alias("ok50"),
         ok(F.col("est90"), F.col("exact_q90_tt")).alias("ok90"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle=f"""
+    WITH words AS (
+        SELECT event_type,
+               user_id // 32 AS w,
+               BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+        FROM {EVENTS_US}
+        GROUP BY event_type, user_id // 32
+    ),
+    bm AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS distinct_bitmap
+        FROM words GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS distinct_exact
+        FROM {EVENTS_US} GROUP BY event_type
+    )
+    SELECT bm.event_type, bm.n_words, bm.distinct_bitmap,
+           CAST(ex.distinct_exact AS BIGINT) AS distinct_exact,
+           bm.distinct_bitmap = ex.distinct_exact AS bitmap_exact_match
+    FROM bm JOIN ex ON bm.event_type = ex.event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX distinct counting (the ClickHouse/Druid
+    groupBitmap structure on plain DataFrames): dense integer ids pack
+    into 32-bit-per-BIGINT words — word w = id DIV 32, bit = id MOD 32
+    (bit 63 is avoided: DuckDB range-checks 1<<63) — OR-merged
+    per (group, word) and popcounted. Exact (not a sketch), and the
+    bitmap is the most mergeable distinct structure there is: rollups
+    across days/segments are word-wise BIT_OR, re-aggregating kilobytes
+    instead of re-scanning ids, and set INTERSECTION/DIFFERENCE of two
+    audiences are BIT_AND/BIT_ANDNOT of the same words — cheaper and
+    exact where theta sketches estimate. Shuffle carries one word per
+    (group, id-range-of-64) — for dense id spaces that is 32× fewer
+    rows than the distinct ids themselves, all map-side combinable.
+    The emitted verdict cross-checks popcount totals against
+    COUNT(DISTINCT) inside the query — both engines compute both sides
+    exactly, so the boolean is load-bearing, not decorative."""
+    e = load(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 32").alias("w"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bm = words.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("bits")).alias("distinct_bitmap"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_exact")
+    )
+    return bm.join(ex, "event_type").select(
+        "event_type",
+        "n_words",
+        "distinct_bitmap",
+        "distinct_exact",
+        (F.col("distinct_bitmap") == F.col("distinct_exact")).alias(
+            "bitmap_exact_match"
+        ),
+    )
