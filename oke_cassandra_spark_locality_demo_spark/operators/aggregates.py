@@ -1747,3 +1747,80 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_exact_match"
         ),
     )
+
+
+@register(
+    "q_agg_bitmap_overlap",
+    oracle=f"""
+    WITH cutoff AS (SELECT MAX(ts) - INTERVAL 3 DAY AS cut FROM {EVENTS_US} ev),
+    words AS (
+        SELECT event_type, user_id // 32 AS w,
+               BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+        FROM {EVENTS_US} ev
+        WHERE event_type IN ('click', 'purchase', 'signup')
+          AND ts >= (SELECT cut FROM cutoff)
+        GROUP BY event_type, user_id // 32
+    ),
+    piv AS (
+        SELECT w,
+               COALESCE(MAX(CASE WHEN event_type = 'click' THEN bits END), 0) AS c,
+               COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN bits END), 0) AS p,
+               COALESCE(MAX(CASE WHEN event_type = 'signup' THEN bits END), 0) AS s
+        FROM words GROUP BY w
+    )
+    SELECT CAST(SUM(BIT_COUNT(c & p)) AS BIGINT) AS click_and_purchase,
+           CAST(SUM(BIT_COUNT(c | p)) AS BIGINT) AS click_or_purchase,
+           CAST(SUM(BIT_COUNT(xor(c, c & p))) AS BIGINT)
+               AS click_not_purchase,
+           CAST(SUM(BIT_COUNT(c & p & s)) AS BIGINT) AS all_three
+    FROM piv
+    """,
+)
+def q_agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUDIENCE SET ALGEBRA on bitmap words — the follow-through
+    on q_agg_bitmap_distinct's merge story: the per-segment bitmaps
+    pivot to one row per 32-id word and intersection/union/difference/
+    triple-intersection are single bitwise ops + popcount over that
+    word table (kilobytes for millions of dense ids) — segments are
+    the last 3 days' actives per type, so the sets genuinely differ
+    (the full 30-day fixture window saturates every segment to all 150
+    users and every overlap degenerates to the universe). This is the
+    exact counterpart of q_agg_sketch_theta's estimated overlap: where
+    ids are dense integers, bitmaps beat sketches — exact AND
+    mergeable. Set difference uses the complement-free identity
+    c∧¬p = c⊕(c∧p), sidestepping sign-bit/NOT portability. One shuffle
+    builds the words; the set algebra re-shuffles only |id-space|/32
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("cut"))
+    e = (
+        ev.filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("ts") >= F.col("cut"))
+    )
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 32").alias("w"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    piv = words.groupBy("w").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == t, F.col("bits"))), F.lit(0)
+            ).alias(a)
+            for t, a in (("click", "c"), ("purchase", "p"), ("signup", "s"))
+        ]
+    )
+    c, p, s = F.col("c"), F.col("p"), F.col("s")
+    return piv.agg(
+        F.sum(F.bit_count(c.bitwiseAND(p))).alias("click_and_purchase"),
+        F.sum(F.bit_count(c.bitwiseOR(p))).alias("click_or_purchase"),
+        F.sum(F.bit_count(c.bitwiseXOR(c.bitwiseAND(p)))).alias(
+            "click_not_purchase"
+        ),
+        F.sum(F.bit_count(c.bitwiseAND(p).bitwiseAND(s))).alias("all_three"),
+    )

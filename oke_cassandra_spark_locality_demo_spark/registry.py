@@ -236,7 +236,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_multimodal_resize, q_mv_incremental, q_merge_multi_action,
 #: q_stream_cdc_upsert, q_agg_sketch_moments, q_vec_pca,
 #: q_sample_temperature, q_win_ewma, q_text_zipf, q_sql_scripting,
-#: q_export_webdataset, q_agg_bitmap_distinct) — that
+#: q_export_webdataset, q_agg_bitmap_distinct, q_agg_bitmap_overlap) —
+#: that
 #: exhausts every never-adjudicated key, so
 #: r6+ can retire the rotation entirely.
 _ROUND_PRIORITY = [
