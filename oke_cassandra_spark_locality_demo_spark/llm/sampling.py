@@ -303,16 +303,20 @@ MIX_TARGET_FRAC = 0.5
     WITH counts AS (
         SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
     ),
+    pw AS (SELECT lang, n_docs,
+                  CAST(ROUND(POWER(n_docs, {MIX_ALPHA}) * 1000000.0) AS BIGINT)
+                      AS pow_u
+           FROM counts),
     tot AS (SELECT SUM(n_docs) AS n_total,
-                   SUM(POWER(n_docs, {MIX_ALPHA})) AS z
-            FROM counts),
+                   CAST(SUM(pow_u) AS BIGINT) AS z_u
+            FROM pw),
     rates AS (
         SELECT lang, n_docs,
                CAST(LEAST(1000000, ROUND(
                    ({MIX_TARGET_FRAC} * tot.n_total)
-                   * POWER(n_docs, {MIX_ALPHA}) / tot.z / n_docs
+                   * pw.pow_u / tot.z_u / n_docs
                    * 1000000.0)) AS BIGINT) AS rate_u
-        FROM counts CROSS JOIN tot
+        FROM pw CROSS JOIN tot
     ),
     kept AS (
         SELECT d.lang, COUNT(*) AS n_sampled
@@ -350,14 +354,21 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy()
-    rates = counts.withColumn(
+    # each pow term is micro-rounded ONCE (ulp-portable), so the
+    # normalizer Z is an exact BIGINT sum — order-free; a raw
+    # SUM(POWER(...)) over doubles would be partial-sum-order-dependent
+    # (the r1-r3 hash-fail mechanism, caught in the r4 second review)
+    pow_u = F.round(F.pow(F.col("n_docs"), MIX_ALPHA) * 1000000.0, 0).cast(
+        "long"
+    )
+    rates = counts.withColumn("pow_u", pow_u).withColumn(
         "rate_u",
         F.least(
             F.lit(1000000),
             F.round(
                 (MIX_TARGET_FRAC * F.sum("n_docs").over(w))
-                * F.pow(F.col("n_docs"), MIX_ALPHA)
-                / F.sum(F.pow(F.col("n_docs"), MIX_ALPHA)).over(w)
+                * F.col("pow_u")
+                / F.sum("pow_u").over(w)
                 / F.col("n_docs")
                 * 1000000.0,
                 0,

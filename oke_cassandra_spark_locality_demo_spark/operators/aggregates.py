@@ -1680,15 +1680,36 @@ def q_agg_sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitmap_words_sql(where: str) -> str:
+    """Shared oracle fragment for the bitmap family: per-(segment, 32-id
+    word) OR-merged bit words. Kept in one place with _bitmap_words so
+    the word width / bit layout of the two bitmap queries can't drift
+    apart."""
+    return f"""SELECT event_type, user_id // 32 AS w,
+               BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+        FROM {EVENTS_US} ev
+        {where}
+        GROUP BY event_type, user_id // 32"""
+
+
+def _bitmap_words(e: DataFrame) -> DataFrame:
+    """Spark side of _bitmap_words_sql — identical word/bit layout."""
+    return (
+        e.select(
+            "event_type",
+            F.expr("user_id div 32").alias("w"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
 @register(
     "q_agg_bitmap_distinct",
     oracle=f"""
     WITH words AS (
-        SELECT event_type,
-               user_id // 32 AS w,
-               BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
-        FROM {EVENTS_US}
-        GROUP BY event_type, user_id // 32
+        {_bitmap_words_sql("")}
     ),
     bm AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -1722,15 +1743,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) inside the query — both engines compute both sides
     exactly, so the boolean is load-bearing, not decorative."""
     e = load(spark, sf_dir, "events")
-    words = (
-        e.select(
-            "event_type",
-            F.expr("user_id div 32").alias("w"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
-        )
-        .groupBy("event_type", "w")
-        .agg(F.bit_or("bit").alias("bits"))
-    )
+    words = _bitmap_words(e)
     bm = words.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.bit_count("bits")).alias("distinct_bitmap"),
@@ -1754,12 +1767,9 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cutoff AS (SELECT MAX(ts) - INTERVAL 3 DAY AS cut FROM {EVENTS_US} ev),
     words AS (
-        SELECT event_type, user_id // 32 AS w,
-               BIT_OR(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
-        FROM {EVENTS_US} ev
-        WHERE event_type IN ('click', 'purchase', 'signup')
-          AND ts >= (SELECT cut FROM cutoff)
-        GROUP BY event_type, user_id // 32
+        {_bitmap_words_sql(
+            "WHERE event_type IN ('click', 'purchase', 'signup') "
+            "AND ts >= (SELECT cut FROM cutoff)")}
     ),
     piv AS (
         SELECT w,
@@ -1798,15 +1808,7 @@ def q_agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cut))
         .filter(F.col("ts") >= F.col("cut"))
     )
-    words = (
-        e.select(
-            "event_type",
-            F.expr("user_id div 32").alias("w"),
-            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
-        )
-        .groupBy("event_type", "w")
-        .agg(F.bit_or("bit").alias("bits"))
-    )
+    words = _bitmap_words(e)
     piv = words.groupBy("w").agg(
         *[
             F.coalesce(

@@ -199,7 +199,7 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {EVENTS_US}
     ),
     n AS (SELECT COUNT(*) AS n_events,
-                 CAST(COUNT(*) * 0.1 AS BIGINT) AS target
+                 CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) AS target
           FROM v),
     r AS (SELECT v_tt, ROW_NUMBER() OVER (ORDER BY v_tt) AS rn FROM v)
     SELECT n.n_events, n.target,
@@ -219,7 +219,10 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold equals the (n−target)-th order statistic EXACTLY (integer
     bisection is exact), which is what the rank-selection oracle checks
     — control flow, scalar subqueries, and session-variable state all
-    have to be right for the integers to match."""
+    have to be right for the integers to match. The 10% target uses an
+    explicit FLOOR: bare CAST(double AS BIGINT) truncates on Spark but
+    rounds half-away on DuckDB (measured 101.5 → 101 vs 102), a
+    divergence the fixture's power-of-ten row counts would mask."""
     register_views(spark, sf_dir)
     prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
@@ -233,7 +236,7 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
               DECLARE hi BIGINT DEFAULT 0;
               DECLARE mid BIGINT;
               SET n_events = (SELECT COUNT(*) FROM events);
-              SET target = CAST(n_events * 0.1 AS BIGINT);
+              SET target = CAST(FLOOR(n_events * 0.1) AS BIGINT);
               SET hi = (
                   SELECT MAX(CAST(ROUND(value * 10000.0) AS BIGINT)) FROM events);
               WHILE lo < hi DO

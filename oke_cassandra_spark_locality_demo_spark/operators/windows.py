@@ -1041,4 +1041,4 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("num"),
         den.cast("long").alias("den"),
         (F.col("num") / F.col("den").cast("double")).alias("ewma_tt"),
-    ).select("user_id", "event_id", "num", "den", "ewma_tt")
+    )

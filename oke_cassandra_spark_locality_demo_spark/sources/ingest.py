@@ -681,7 +681,9 @@ _WDS_SHARDS = 8
     oracle=f"""
     WITH m AS (
         SELECT CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard,
-               LENGTH(text) AS sz
+               -- BYTE length, not LENGTH() characters: tar members are
+               -- sized in UTF-8 bytes and the corpus is multilingual
+               OCTET_LENGTH(ENCODE(text)) AS sz
         FROM documents
     ),
     per AS (

@@ -173,6 +173,11 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         "q_agg_sketch_moments",
         "q_mv_incremental",
         "q_merge_multi_action",
+        # block-7 additions flagged by the second review: the
+        # temperature normalizer must stay an exact integer sum, and
+        # the bitmap words are OR-merged (order-free) by construction
+        "q_sample_temperature",
+        "q_agg_bitmap_distinct",
     ]
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:

@@ -40,7 +40,10 @@ for name, fn in qs.items():
     if name not in oracles:
         try:
             cnt = fn(spark, sf).count()
-            ok_n += 1
+            if cnt > 0:
+                ok_n += 1
+            else:
+                fails.append((name, "rows-only returned 0 rows"))
         except Exception as e:
             fails.append((name, f"rows-only ERR {e}"))
         continue
