@@ -262,3 +262,28 @@ def test_quant_memo_bounded_and_reused(spark, sf_dir):
     for i in range(ivf._QUANT_MEMO_SLOTS + 2):
         ivf.quant_memo(("app", f"dir{i}", "x"), lambda: [i])
     assert len(ivf._QUANT_MEMO) <= ivf._QUANT_MEMO_SLOTS
+
+
+def test_quantizer_training_partition_invariant(spark, sf_dir):
+    """The r4 decimal-sum conversion's point, tested directly: with the
+    memo CLEARED between runs (the memo otherwise hides exactly this),
+    k-means training under 5 vs 32 shuffle partitions must produce
+    bit-identical centroids — a plain double F.sum here drifts with the
+    partial-aggregation order (the r1-r3 driver-fail mechanism)."""
+    from pyspark.sql import functions as F
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.llm.ivf import kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for n_part in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            outs.append(kmeans_centroids(emb, iters=2))
+        assert outs[0] == outs[1], "centroids drift with partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
