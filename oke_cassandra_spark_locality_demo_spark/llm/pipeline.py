@@ -137,9 +137,13 @@ _PACK_BUDGET = 512
         FROM documents
     ),
     cum AS (
+        -- CAST: DuckDB windowed SUM(BIGINT) is HUGEINT → pandas float64
+        -- through the driver's fetch (the r4 hash-fail class); BIGINT
+        -- keeps bin_id/bin_offset int64 on both sides
         SELECT doc_id, source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens
         FROM toks
     )
     SELECT doc_id, source, n_tokens,
@@ -433,7 +437,11 @@ def q_ordinal_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     ),
     merged AS (
-        SELECT label, SUM(n) AS n_docs, COUNT(*) AS n_langs_merged
+        -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which the driver's
+        -- pandas fetch upcasts to float64 (134.0 != Spark int64 134 in
+        -- the hasher) — the r4 hash-fail root cause (VERDICT r4 #2).
+        SELECT label, CAST(SUM(n) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_langs_merged
         FROM labeled GROUP BY label
     )
     SELECT label, n_docs, n_langs_merged,

@@ -588,8 +588,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18",
     oracle="""
     WITH big AS (
+        -- outer CAST: SUM(BIGINT) is HUGEINT and sum_qty_i is EMITTED —
+        -- pandas-fetched HUGEINT becomes float64 vs Spark int64 (the r4
+        -- hash-fail class; q17 keeps its uncast SUM internal-only)
         SELECT l_orderkey AS bk,
-               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty_i
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i
         FROM lineitem GROUP BY l_orderkey
         HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
     )

@@ -200,7 +200,7 @@ def q_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_text",
     oracle="""
     SELECT COUNT(*) AS n_lines,
-           SUM(LENGTH(text)) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            CAST(MIN(LENGTH(text)) AS INTEGER) AS min_len,
            CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len
     FROM documents

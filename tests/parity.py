@@ -45,6 +45,31 @@ class ComplexTypeHazard(TypeError):
     the mirror refuses them instead of silently tuple-izing."""
 
 
+class DecimalEmissionHazard(TypeError):
+    """A DecimalType output column reached the compare layer.
+
+    CORRECTNESS_r04 (q_fn_cast_decimal): all 15,000 values matched the
+    oracle tie-for-tie, yet the driver hash-failed — the DECIMAL-typed
+    emission itself normalizes differently through the driver's pandas
+    fetch (trailing-zero scale / float64 conversion) than through this
+    mirror's ``fetchall`` path. The repo convention (FIXTURES.md) is
+    integer units: keep decimal math internal, emit
+    ``CAST(dec * 100 AS BIGINT) AS ..._cents``."""
+
+
+class PandasUpcastHazard(TypeError):
+    """The oracle's pandas fetch upcasts an integer column to float64
+    while Spark emits an integer type.
+
+    CORRECTNESS_r04 (q_feature_rare_collapse): DuckDB ``SUM(BIGINT)``
+    returns HUGEINT, which ``fetchdf`` converts to float64 (``134.0``)
+    while Spark emits int64 (``134``) — hash mismatch on dtype, not
+    value, invisible to this mirror's ``fetchall`` path (HUGEINT →
+    Python int → equal). The driver fetches oracles via pandas, so the
+    mirror refuses the pattern: wrap the aggregate in
+    ``CAST(... AS BIGINT)``."""
+
+
 class TzAwareHazard(TypeError):
     """A tz-aware ``timestamp`` output column reached the compare layer.
 
@@ -57,7 +82,9 @@ class TzAwareHazard(TypeError):
 
 
 def assert_no_tz_aware(spark_df) -> None:
-    """Fail on any tz-aware TimestampType in the output schema."""
+    """Fail on any tz-aware TimestampType or DecimalType in the output
+    schema (both hash engine-dependently through the driver's pandas
+    fetch — see the hazard docstrings)."""
     from pyspark.sql import types as T
 
     def walk(dt, path):
@@ -66,6 +93,13 @@ def assert_no_tz_aware(spark_df) -> None:
                 f"output column {path!r} is tz-aware timestamp — the driver "
                 "hasher distinguishes it from timestamp_ntz; cast with "
                 ".cast('timestamp_ntz') (session tz is UTC, value-exact)"
+            )
+        if isinstance(dt, T.DecimalType):
+            raise DecimalEmissionHazard(
+                f"output column {path!r} is DecimalType — emissions with "
+                "this type hash-failed the driver with value-identical "
+                "data (r4: q_fn_cast_decimal); emit integer units "
+                "(CAST(dec * 100 AS BIGINT)) on both sides instead"
             )
         if isinstance(dt, T.StructType):
             for f in dt.fields:
@@ -124,8 +158,38 @@ def _rowset(cols, rows):
     )
 
 
+def assert_no_pandas_upcast(spark_df, con, oracle: str) -> None:
+    """Refuse oracle columns that pandas upcasts to float where Spark
+    emits an integer type (the driver fetches oracles via ``fetchdf``,
+    this mirror via ``fetchall`` — the r4 HUGEINT blind spot).
+
+    Null-bearing integer columns are exempt: pandas upcasts BOTH sides
+    (the driver's Spark fetch included) to float64 there, so the hashes
+    still agree; only an all-non-null float-fetched column opposite a
+    Spark integer schema is a real divergence."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    odf = con.execute(oracle).fetchdf()
+    by_lower = {c.lower(): c for c in odf.columns}
+    for f in spark_df.schema.fields:
+        oc = by_lower.get(f.name.lower())
+        if oc is None or not isinstance(f.dataType, int_types):
+            continue
+        series = odf[oc]
+        if pd.api.types.is_float_dtype(series) and series.notna().all():
+            raise PandasUpcastHazard(
+                f"oracle column {oc!r} fetches as {series.dtype} via pandas "
+                f"while Spark emits {f.dataType.simpleString()} — likely a "
+                "DuckDB HUGEINT (SUM over an integer column); wrap the "
+                "aggregate in CAST(... AS BIGINT) in the oracle SQL"
+            )
+
+
 def compare(spark_df, con, oracle: str, limit: int | None = None) -> tuple[bool, str]:
     assert_no_tz_aware(spark_df)
+    assert_no_pandas_upcast(spark_df, con, oracle)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = [c.lower() for c in spark_df.columns]
     o = con.execute(oracle)
