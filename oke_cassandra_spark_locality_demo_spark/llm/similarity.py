@@ -30,6 +30,10 @@ MAX_PROBES = 100_000
 #: recall ≈ P(≤1 plane disagrees) ≈ 0.55; on genuinely-near neighbors
 #: (cos ≥ 0.9) it approaches 1.
 N_PLANES = 4
+
+#: driver-side power-iteration steps for q_vec_pca (also part of its
+#: quantizer-memo key — see ivf.quant_key)
+_PCA_ITERS = 500
 _RNG_SEED = 42
 _DIM = 64
 
@@ -510,7 +514,7 @@ def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     10% of ‖Av‖ (500 driver-side steps against the fixture's 0.98
     eigengap ratio → ≈10⁻⁴). A broken product, accumulation, or
     normalization flips a boolean and hash-fails the query."""
-    from .ivf import quant_memo
+    from .ivf import quant_key, quant_memo
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -520,7 +524,7 @@ def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xv"),
     )
     row = quant_memo(
-        (spark.sparkContext.applicationId, sf_dir, "pca"),
+        quant_key(spark, sf_dir, "pca", iters=_PCA_ITERS),
         lambda: _pca_power_iteration(emb),
     )
     return spark.createDataFrame(
@@ -545,7 +549,7 @@ def _pca_power_iteration(emb):
     dim ≈ 10³ (10⁶ cells); past that, the multi-pass distributed
     matvec (this function's previous form, in git history) is the
     fallback."""
-    pca_iters = 500
+    pca_iters = _PCA_ITERS
     a = emb.select(F.posexplode("xv").alias("j", "xj"), F.col("xv"))
     pairs = a.select(
         "j", "xj", F.posexplode("xv").alias("k", "xk")

@@ -153,19 +153,32 @@ def test_knn_blas_probe_cap_raises(spark, sf_dir, monkeypatch):
 
 
 def test_ngram_memo_bounded_and_reused(spark, sf_dir):
-    """q_dedup_ngram_jaccard's cached shingle index is a one-slot memo:
-    repeat invocations on the same (session, corpus) reuse the SAME
-    cached DataFrames, and the memo never grows past one corpus
-    (ADVICE r3: the former bare .cache() leaked per call)."""
+    """The dedup index memo is one slot PER VARIANT: repeat invocations
+    on the same (session, corpus) reuse the SAME cached DataFrames, and
+    no variant ever holds more than one corpus index (ADVICE r3: the
+    former bare .cache() leaked per call; r5 extended the memo from the
+    jaccard variant to prefix/minhash)."""
     from oke_cassandra_spark_locality_demo_spark.llm import dedup
 
+    def jaccard_slots():
+        return {
+            k: v for k, v in dedup._NGRAM_MEMO.items() if k[2] == "jaccard"
+        }
+
     get("q_dedup_ngram_jaccard").fn(spark, sf_dir)
-    assert len(dedup._NGRAM_MEMO) == 1
-    (docs1, cand1) = next(iter(dedup._NGRAM_MEMO.values()))
+    assert len(jaccard_slots()) == 1
+    (docs1, cand1) = next(iter(jaccard_slots().values()))
     get("q_dedup_ngram_jaccard").fn(spark, sf_dir)
-    assert len(dedup._NGRAM_MEMO) == 1
-    (docs2, cand2) = next(iter(dedup._NGRAM_MEMO.values()))
+    assert len(jaccard_slots()) == 1
+    (docs2, cand2) = next(iter(jaccard_slots().values()))
     assert docs1 is docs2 and cand1 is cand2, "memo was not reused"
+    # cross-variant isolation: other variants keep at most one slot too
+    get("q_dedup_ngram_prefix").fn(spark, sf_dir)
+    get("q_dedup_ngram_prefix").fn(spark, sf_dir)
+    per_variant: dict = {}
+    for k in dedup._NGRAM_MEMO:
+        per_variant[k[2]] = per_variant.get(k[2], 0) + 1
+    assert all(v == 1 for v in per_variant.values()), per_variant
 
 
 def test_ivf_training_sample_guards(spark, sf_dir):
@@ -254,7 +267,12 @@ def test_quant_memo_bounded_and_reused(spark, sf_dir):
 
     ivf._QUANT_MEMO.clear()
     get("q_sim_ivf").fn(spark, sf_dir).count()
-    key = (spark.sparkContext.applicationId, sf_dir, "ivf")
+    # r5: the key carries hyperparameters + a corpus fingerprint
+    # (ADVICE r4 — a retuned caller or regenerated fixture must miss)
+    key = ivf.quant_key(
+        spark, sf_dir, "ivf",
+        k=ivf.K_CELLS, iters=ivf.N_ITERS, cap=ivf.TRAIN_CAP,
+    )
     assert key in ivf._QUANT_MEMO
     first = ivf._QUANT_MEMO[key]
     get("q_sim_ivf").fn(spark, sf_dir).count()
@@ -285,5 +303,25 @@ def test_quantizer_training_partition_invariant(spark, sf_dir):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
             outs.append(kmeans_centroids(emb, iters=2))
         assert outs[0] == outs[1], "centroids drift with partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bpe_training_partition_invariant(spark, sf_dir):
+    """BPE merge learning must not depend on the partition layout: the
+    pair counts are exact integer sums and the argmax tie-breaks
+    (count DESC, pair ASC), so training under 5 vs 32 shuffle
+    partitions must produce the identical merge table — counts
+    included."""
+    from oke_cassandra_spark_locality_demo_spark.llm.bpe import train_bpe_merges
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for n_part in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            outs.append(train_bpe_merges(spark, sf_dir, k=2))
+        assert outs[0] == outs[1], "BPE merges drift with partitioning"
+        assert len(outs[0]) == 2 and all(len(m) == 5 for m in outs[0])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
