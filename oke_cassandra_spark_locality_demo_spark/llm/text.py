@@ -580,8 +580,9 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     word2vec phrase merging) a training-data pipeline runs before
     tokenizer training. Bigrams are built narrowly inside each row with
     zip_with over two array slices (no per-token shuffle; the only wide
-    ops are the two count aggregations), unigram counts and the two
-    scalar totals are broadcast into the final join, and top-50 by raw
+    ops are the two count aggregations), the two scalar totals are
+    broadcast into the final join (unigram counts join by shuffle —
+    vocabulary-sized, AQE broadcasts when small), and top-50 by raw
     pair count is a TakeOrderedAndProject. PMI = ln(p(ab)/(p(a)p(b)))
     computed in the same expression shape on both engines so the 4-dp
     round absorbs only last-ulp ln() differences. Oracle builds the
@@ -611,10 +612,16 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # unigram joins stay shuffle joins: u1/u2 are VOCABULARY-sized
+    # (unbounded at 100 TB — billions of distinct tokens), so pinning
+    # F.broadcast on them is an executor OOM at scale; AQE still
+    # broadcasts them at runtime whenever the vocab is actually small
+    # (same policy as q_text_tfidf's df join). Only the 2-scalar totals
+    # row keeps the pinned broadcast.
     return (
         bi.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select(
             "w1",
             "w2",
@@ -744,8 +751,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the LM is a word-count aggregate; the scoring join is
     token-stream ⨝ dictionary on the word key — the dictionary is
-    bounded by vocabulary (not corpus) size, so at 100 TB it broadcasts
-    (AQE decides; the same join q_text_pmi pins broadcast for). One
+    bounded by vocabulary (not corpus) size, so AQE broadcasts it
+    whenever it is actually small (never pinned — vocabulary is still
+    unbounded in the worst case, same policy as q_text_pmi/tfidf). One
     explode feeds both the LM build and the scoring pass, and Spark
     serves the second consumer from the first shuffle's output
     (ReusedExchange, as in q_text_tfidf).
@@ -1006,4 +1014,82 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx"))
             / (F.col("r") * 1000000.0)
         ).alias("intercept_ln"),
+    )
+
+
+_BOILER_K = 3  #: boilerplate shingle width (words; 3 keeps the df
+#: distribution non-degenerate on the fixture corpus — 5-grams are
+#: near-unique at every SF, so the threshold branch would never run
+
+_BOILER_ORACLE = f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - {_BOILER_K}, 0) + 1),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+{_BOILER_K}], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    gdf AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS gdf
+            FROM shingled GROUP BY shingle),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g.gdf >= 4 AND g.gdf * 200 >= n.n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(ROUND(SUM(CASE WHEN g.gdf >= 4 AND g.gdf * 200 >= n.n_docs
+                              THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+                AS BIGINT) AS boiler_ppm,
+           SUM(CASE WHEN g.gdf >= 4 AND g.gdf * 200 >= n.n_docs
+                    THEN 1 ELSE 0 END) * 10 < COUNT(*) AS keep
+    FROM shingled s JOIN gdf g USING (shingle) CROSS JOIN n
+    GROUP BY s.doc_id
+"""
+
+
+@register("q_text_boilerplate", oracle=_BOILER_ORACLE)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate pruning (the n-gram analog of
+    CCNet/RefinedWeb repeated-paragraph removal, Penedo et al. 2023):
+    a distinct 3-word shingle occurring in ≥ max(4, 0.5% · N_docs)
+    documents is template/boilerplate text, and each document is scored
+    by its boilerplate-gram fraction — docs over 10% get keep = false
+    (templated spam/mirror pages, the corpus-cleaning cut upstream of
+    dedup).
+
+    Scale shape: gram document-frequency is a WINDOW count over the
+    shingle key — one shuffle of the gram table and no separate
+    distinct-gram build or df join; the per-doc rollup is a second
+    hash aggregate. The threshold compares exact integers on both
+    engines (df·200 ≥ N ⟺ df ≥ 0.5%·N) — RELATIVE, so it holds at
+    100 TB where any absolute df cutoff saturates; N_docs rides along
+    as a broadcast scalar. boiler_ppm is scale-0 ROUND of an
+    identically derived int ratio (the portable class); keep is the
+    exact integer comparison n_boiler·10 < n_grams."""
+    from .dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, _BOILER_K)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    marked = sh.withColumn(
+        "gdf", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    is_boiler = (F.col("gdf") >= 4) & (F.col("gdf") * 200 >= F.col("n_docs"))
+    return (
+        marked.crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(is_boiler, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") * 1000000.0 / F.col("n_grams"), 0)
+            .cast("long")
+            .alias("boiler_ppm"),
+            (F.col("n_boiler") * 10 < F.col("n_grams")).alias("keep"),
+        )
     )
