@@ -124,7 +124,7 @@ def _load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
-    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, pq, sampling  # noqa: F401
+    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, pq, sampling, bpe  # noqa: F401
 
 
 #: Keys already adjudicated by the driver's correctness harness (it
@@ -169,100 +169,97 @@ _DRIVER_ADJUDICATED = frozenset(
     q_union_distinct q_intersect q_except q_snapshot_diff q_meta_tables
     q_quality_audit q_profile_columns q_subqueries q_recursive_cte
     q_join_lateral q_sql_pipe q_sql_params q_graph_pagerank
+    q_sim_knn_blas q_sample_weighted q_mix_sources q_split_train_test
+    q_split_drift_chisq q_feature_rare_collapse q_dedup_ngram_jaccard
+    q_dedup_ngram_prefix q_contamination q_text_stats q_text_redact
+    q_text_repetition q_dedup_minhash_audit q_dedup_clusters
+    q_fn_string q_fn_math q_fn_json q_fn_cast_decimal q_ctas
+    q_sink_parquet_partitioned q_source_csv q_source_json q_dedup_exact
+    q_dedup_embedding q_dedup_entity q_dedup_incremental q_sim_knn_exact
+    q_sim_pairwise_label q_sim_lsh_audit q_sim_ivf_audit q_text_quality
+    q_text_langid q_text_tokens q_text_fingerprint q_text_chunk
+    q_text_tfidf q_text_clean q_text_url_extract q_text_pmi
+    q_text_entropy q_text_perplexity q_multimodal_cols
+    q_multimodal_binary q_multimodal_frames q_pipeline_e2e q_udf_python
     """.split()
 )
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 4:
-#: the three r1-r3 hash-fails rewritten to all-integer outputs, plus
-#: q_agg_stats (rewritten in r3 after its r2 verdict, never re-sampled
-#: since — the advisor's concrete example), plus the two LLM keys whose
-#: plans changed this round (knn probe-set bounding, ngram broadcast
-#: removal).
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 5:
+#: the two r4 emission-type hash-fails (oracle CAST(SUM AS BIGINT);
+#: integer-cents decimal emission), the dedup keys whose verification
+#: broadcasts gained the _CAND_BROADCAST_CAP gate / lost the O(N_docs)
+#: sizes broadcast (VERDICT r4 #4), q_text_pmi's unigram joins un-pinned
+#: from broadcast, the byte-based multimodal-resize oracle (ADVICE r4),
+#: and the ANN keys whose quantizer memo key gained hyperparameters +
+#: corpus fingerprint (ADVICE r4 — results identical, but the training
+#: path changed so they are re-graded).
 _MODIFIED_THIS_ROUND = [
-    "q_agg_incremental",
-    "q_agg_mad_outliers",
-    "q_win_time_weighted",
-    "q_agg_stats",
-    "q_sim_knn_blas",
-    "q_dedup_ngram_jaccard",
-    # late-r4 float-surface fixes (raw identically-derived ratios /
-    # integer micro-unit log key) — fronted so the driver grades the
-    # changed emission, not the superseded one
-    "q_sample_weighted",
-    "q_mix_sources",
-    "q_split_train_test",
-    "q_split_drift_chisq",
     "q_feature_rare_collapse",
-    # same fix wave: clean int-ratio emissions un-rounded (ROUND(double,
-    # k) diverges cross-engine for ratios whose decimal terminates in 5
-    # just past k — the measured 333/640 class); the two *_audit/cluster
-    # keys are listed because their oracles embed the changed
-    # NGRAM_JACCARD_ORACLE text
+    "q_fn_cast_decimal",
+    "q_dedup_ngram_jaccard",
     "q_dedup_ngram_prefix",
-    "q_contamination",
-    "q_text_stats",
-    "q_text_redact",
-    "q_text_repetition",
-    "q_dedup_minhash_audit",
-    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_text_pmi",
+    "q_multimodal_resize",
+    "q_sim_ivf",
+    "q_sim_ivf_audit",
+    "q_sim_pq",
+    "q_sim_pq_audit",
+    "q_vec_pca",
+    # oracle emission fix (windowed-SUM HUGEINT → CAST AS BIGINT), found
+    # by the new PandasUpcastHazard sweep; never driver-adjudicated
+    "q_pack_sequences",
 ]
 
-#: Round-4 sampling priority among never-adjudicated keys (VERDICT r3
-#: items 3-4): the six+2 SURVEY-core function/source/sink keys first,
-#: then the LLM-mandate block (dedup / similarity / text / multimodal /
-#: pipeline — BASELINE.json names these and the driver has graded 4 of
-#: 48), then the UDF table. Streaming and the remaining
-#: sampling/feature keys rotate in next round. Keys not listed fall
-#: back to registration order behind these.
+#: Round-5 sampling priority among never-adjudicated keys (VERDICT r4
+#: "Next round" items 2/4/5/6): the full streaming block first (13
+#: survey keys + the two stream-adjacent late-r4 keys — the one block
+#: with zero driver verdicts), then the vectorized-UDF tail, the source
+#: tail, the last two Layer-A rows (A3 insert/upsert, A5 engine meta),
+#: and the marquee TPC-H slice (Q1/Q3/Q5/Q6/Q9/Q12/Q18/Q21). With the
+#: 12 _MODIFIED keys this fills the driver's 50-slot prefix exactly.
+#: Keys not listed fall back to registration order behind these.
 #:
-#: ROUND-5 PLAYBOOK (for the next session, after CORRECTNESS_r04
-#: lands): (1) append r4's 50 sampled keys to _DRIVER_ADJUDICATED;
-#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r5;
-#: (3) replace this list with the r5 rotation — the full streaming
-#: table (q_stream_tumbling/sliding/session/watermark_late/dedup/
-#: stateful/stateful_tws/sink/join_static/join_interval/join_outer/
-#: multires/foreach_batch), the sampling/split/pack/mix/feature keys,
-#: the source tail (text/binaryfile/json_corrupt/orc/
-#: schema_evolution/pyds_scan/pyds_lookup), insert_upsert, export,
-#: maintenance, ordinal, meta_engine_info, the UDF tail displaced by
-#: the late-r4 float fixes (q_udf_pandas/grouped_agg/arrow, q_udtf,
-#: q_udtf_python), the 22 q_tpch_* keys, and the late-r4 additions
-#: (q_sessionize, q_join_bloom, q_agg_sketch_cms, q_sim_pq +
-#: q_sim_pq_audit, q_dedup_span, q_text_bm25, q_shuffle_epoch,
-#: q_agg_sketch_theta, q_stream_join_semi, q_dedup_containment,
-#: q_multimodal_resize, q_mv_incremental, q_merge_multi_action,
-#: q_stream_cdc_upsert, q_agg_sketch_moments, q_vec_pca,
-#: q_sample_temperature, q_win_ewma, q_text_zipf, q_sql_scripting,
-#: q_export_webdataset, q_agg_bitmap_distinct, q_agg_bitmap_overlap) —
-#: that
-#: exhausts every never-adjudicated key, so
-#: r6+ can retire the rotation entirely.
+#: ROUND-6 PLAYBOOK (for the next session, after CORRECTNESS_r05
+#: lands): (1) append r5's 50 sampled keys to _DRIVER_ADJUDICATED;
+#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r6;
+#: (3) replace this list with the ~52 still-never-adjudicated keys —
+#: the remaining 15 q_tpch_* (q2/q4/q7/q8/q10/q11/q12/q13/q14/q15/q16/
+#: q17/q19/q20/q22), the late-r4 operator additions (q_sessionize,
+#: q_join_bloom, q_join_bucketed, q_agg_sketch_cms, q_agg_sketch_theta,
+#: q_agg_sketch_moments, q_agg_bitmap_distinct, q_agg_bitmap_overlap,
+#: q_dedup_span, q_dedup_containment, q_text_bm25, q_text_zipf,
+#: q_shuffle_epoch, q_mv_incremental, q_merge_multi_action, q_win_ewma,
+#: q_sample_temperature, q_sample_stratified, q_sql_scripting,
+#: q_export_webdataset, q_export_jsonl_shards,
+#: q_ordinal_assign, q_feature_bucketize, q_maintenance_compact,
+#: q_scan_partition_pruned), the scalar-fn tail (q_fn_bitwise/
+#: collation/explode/generators/sequence/struct/try/variant/xml), and
+#: the rows-only stragglers (q_dedup_simhash) — that exhausts every
+#: never-adjudicated key to within a couple spilling to r7, after
+#: which the rotation retires.
 _ROUND_PRIORITY = [
-    # SURVEY-core untested floor
-    "q_fn_string", "q_fn_math", "q_fn_json", "q_fn_cast_decimal",
-    "q_ctas", "q_sink_parquet_partitioned", "q_source_csv", "q_source_json",
-    # dedup family
-    "q_dedup_exact", "q_dedup_ngram_prefix", "q_contamination",
-    "q_dedup_embedding", "q_dedup_clusters", "q_dedup_entity",
-    "q_dedup_incremental", "q_dedup_minhash_audit",
-    # similarity family
-    "q_sim_knn_exact", "q_sim_pairwise_label", "q_sim_lsh_audit",
-    "q_sim_ivf_audit",
-    # text family
-    "q_text_stats", "q_text_quality", "q_text_langid", "q_text_tokens",
-    "q_text_fingerprint", "q_text_chunk", "q_text_redact",
-    "q_text_repetition", "q_text_tfidf", "q_text_clean",
-    "q_text_url_extract", "q_text_pmi", "q_text_entropy",
-    "q_text_perplexity",
-    # multimodal + pipeline
-    "q_multimodal_cols", "q_multimodal_binary", "q_multimodal_frames",
-    "q_pipeline_e2e",
-    # UDF table
-    "q_udf_python", "q_udf_pandas", "q_udf_grouped_agg", "q_udtf",
-    "q_udf_arrow", "q_udtf_python",
+    # streaming block — never graded by the driver (VERDICT r4 gap #1)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
+    "q_stream_stateful_tws", "q_stream_sink", "q_stream_join_static",
+    "q_stream_join_interval", "q_stream_join_semi", "q_stream_multires",
+    "q_stream_foreach_batch", "q_stream_cdc_upsert", "q_stream_pyds",
+    # vectorized-UDF tail (gap #2)
+    "q_udf_pandas", "q_udf_grouped_agg", "q_udf_arrow", "q_udtf",
+    "q_udtf_python",
+    # source/sink tail
+    "q_source_text", "q_source_binaryfile", "q_source_json_corrupt",
+    "q_source_orc", "q_source_schema_evolution", "q_source_pyds_scan",
+    "q_source_pyds_lookup", "q_sink_pyds",
+    # Layer-A closure (A3, A5)
+    "q_insert_upsert", "q_meta_engine_info",
+    # TPC-H marquee slice (gap #3; rest rotate in r6)
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q9",
+    "q_tpch_q18", "q_tpch_q21",
 ]
 
 

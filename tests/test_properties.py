@@ -239,13 +239,23 @@ def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
 def test_driver_sample_prefix_is_oracle_backed():
     """The correctness harness adjudicates the first 50 keys of
     queries(); the rotation in registry._sample_order must keep that
-    prefix fully oracle-backed (no slot burned on a rows-only weak
-    verdict) and front this round's fixed keys."""
+    prefix from burning slots on ACCIDENTAL rows-only weak verdicts,
+    and must front this round's fixed keys. A rows-only key is allowed
+    in the prefix only when it is there deliberately — modified this
+    round (the honesty guard outranks slot economy) or explicitly
+    prioritized (e.g. the A5 q_meta_engine_info closure, VERDICT r4
+    item 6)."""
     from oke_cassandra_spark_locality_demo_spark import registry
 
     q = list(registry.all_queries())
     o = registry.all_oracles()
-    assert all(k in o for k in q[:50]), [k for k in q[:50] if k not in o]
+    deliberate = set(registry._MODIFIED_THIS_ROUND) | set(
+        registry._ROUND_PRIORITY
+    )
+    accidental_rows_only = [
+        k for k in q[:50] if k not in o and k not in deliberate
+    ]
+    assert not accidental_rows_only, accidental_rows_only
     for k in registry._MODIFIED_THIS_ROUND:
         assert k in q[:50], f"{k} fell out of the adjudicated prefix"
 
