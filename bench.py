@@ -47,7 +47,12 @@ ANCHOR_SF01 = {
     "q_pipeline_e2e": 0.879,
 }
 
-REPEATS = 3
+#: min-of-5 on the headline: consecutive full runs on this host were
+#: measured 8.50 vs 9.73 s (±15%) with no competing process — the VM's
+#: background noise is bursty, and two extra repeats per query (~+15 s
+#: total) reliably catch a quiet window per query where min-of-3 can
+#: have all three samples land in the same noisy burst
+REPEATS = 5
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
