@@ -198,3 +198,84 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left_sym string, right_sym string, "
         "merged_sym string, pair_count bigint",
     ).orderBy("merge_rank")
+
+
+def _encode_oracle(k: int) -> str:
+    """DuckDB oracle for q_text_bpe_encode: the trainer CTE chain up to
+    s{k} (whose symbol strings ARE the encoded words), re-joined to the
+    per-document token stream. The word identity is recovered from the
+    final symbol string by deleting spaces — merges only ever remove
+    internal separators, so despacing is the inverse of the s0 char
+    split for every word."""
+    trainer = _bpe_oracle(k)
+    # reuse the trainer's WITH-chain verbatim, swap the final SELECT
+    head = trainer[: trainer.rindex("\n    SELECT * FROM (")]
+    return (
+        head
+        + f""",
+    vocab AS (
+        SELECT REPLACE(TRIM(syms), ' ', '') AS word,
+               CAST(LEN(STRING_SPLIT(TRIM(syms), ' ')) AS BIGINT) AS n_syms
+        FROM s{k}
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_syms) AS BIGINT) AS n_subwords,
+           CAST(SUM(LENGTH(t.word)) AS BIGINT) AS n_chars
+    FROM tok t JOIN vocab v USING (word)
+    WHERE LENGTH(t.word) > 0
+    GROUP BY t.doc_id
+    """
+    )
+
+
+@register("q_text_bpe_encode", oracle=_encode_oracle(K_MERGES))
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE encoding with the trained merges: per document,
+    whitespace word count, subword token count after K_MERGES merges,
+    and character count — the tokens-per-doc accounting a pretraining
+    data pipeline runs after tokenizer training (sequence budgeting,
+    compression-ratio QA).
+
+    Scale shape: the merges come from the memoized trainer; the encode
+    table (word → subword count) is built by applying the merge
+    REPLACEs to the DISTINCT-word table — vocabulary-bounded work, one
+    shuffle — and the corpus-sized token stream then joins it on the
+    word key. The join is left to AQE (vocabulary is unbounded at
+    100 TB — same no-pinned-broadcast policy as q_text_tfidf/pmi); the
+    per-doc rollup is one hash aggregate. All-integer emissions."""
+    merges = quant_memo(
+        quant_key(spark, sf_dir, "bpe", table="documents", k=K_MERGES),
+        lambda: train_bpe_merges(spark, sf_dir),
+    )
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    syms = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for _, left, right, merged, _cnt in merges:
+        hit, rep = F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+        syms = F.replace(F.replace(syms, hit, rep), hit, rep)
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .select("word", F.size(F.split(F.trim(syms), " ")).cast("long").alias("n_syms"))
+    )
+    return (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_subwords"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+    )
