@@ -177,10 +177,36 @@ def test_streaks_has_no_join(spark, sf_dir):
 
 
 def test_pmi_broadcasts_dictionaries(spark, sf_dir):
-    """The unigram dictionary and scalar totals must broadcast into the
-    bigram join — the fact (bigram) side never shuffles for a join."""
+    """r5 policy: the unigram dictionaries are NOT hint-pinned (the
+    vocabulary is unbounded at 100 TB), but at fixture scale AQE must
+    still choose a broadcast join for them at runtime — this pins that
+    un-pinning the hint did not degrade the small-scale plan."""
     df = get("q_text_pmi").fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_dedup_candidate_broadcast_is_capped(spark, sf_dir, monkeypatch):
+    """The dedup verification joins broadcast their candidate set ONLY
+    under _CAND_BROADCAST_CAP (VERDICT r4: an unconditional broadcast
+    of a data-dependent pair set OOMs at adversarial scale). With the
+    cap forced to 0 the ngram-prefix plan must carry no static
+    broadcast hint on the candidate side — the join is left to AQE."""
+    from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+    # fresh build both times: the memo would otherwise reuse the cached
+    # candidate DataFrame (the cap gate itself re-evaluates per call)
+    for key in [k for k in dedup._NGRAM_MEMO if k[2] == "prefix"]:
+        del dedup._NGRAM_MEMO[key]
+    monkeypatch.setattr(dedup, "_CAND_BROADCAST_CAP", 0)
+    df = get("q_dedup_ngram_prefix").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan and "BROADCAST" not in plan, plan
+    # and with the real cap the fixture-scale candidate set broadcasts
+    for key in [k for k in dedup._NGRAM_MEMO if k[2] == "prefix"]:
+        del dedup._NGRAM_MEMO[key]
+    monkeypatch.setattr(dedup, "_CAND_BROADCAST_CAP", 2_000_000)
+    df2 = get("q_dedup_ngram_prefix").fn(spark, sf_dir)
+    assert has_broadcast_join(df2)
 
 
 def test_pyds_point_lookup_routes_to_one_partition(spark, sf_dir):
