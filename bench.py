@@ -167,6 +167,10 @@ def main() -> None:
         "q_sample_weighted",
         "q_pack_sequences",
         "q_multimodal_resize",
+        # r5 additions: tokenizer training/encoding + boilerplate pruning
+        "q_text_bpe_train",
+        "q_text_bpe_encode",
+        "q_text_boilerplate",
     ]
     llm_timings = time_suite(spark, queries, llm_names, sf_dir, 2)
     llm_total = round(sum(t for t in llm_timings.values() if t >= 0), 3)
