@@ -171,6 +171,37 @@ def _capped_broadcast(cand: DataFrame) -> DataFrame:
     return F.broadcast(cand) if cand.count() <= _CAND_BROADCAST_CAP else cand
 
 
+def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
+    """(doc_id, shingle, n_sh) restricted to each doc's PPJoin prefix —
+    its (n − ⌈t·n⌉ + 1) globally-rarest shingles under the common
+    (df asc, shingle asc) order. Shared by the pairwise prefix join and
+    the batch-vs-index incremental variant (the prefix-filter theorem
+    holds for ANY pair, so a cross-restricted candidate join built from
+    these prefixes stays exact).
+
+    n_sh rides along as a window count over the SAME doc_id
+    partitioning the rank needs — one exchange, and no per-document
+    sizes table to move at all (the former F.broadcast(sizes) was
+    O(N_docs) rows shipped to every executor — an OOM at 1e9 docs,
+    VERDICT r4 #4)."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = W.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wdoc.orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1
+    return ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle", "n_sh")
+
+
 def _ngram_memo_get(spark, sf_dir, variant="jaccard"):
     return _NGRAM_MEMO.get((spark.sparkContext.applicationId, sf_dir, variant))
 
@@ -349,27 +380,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, cand = memo
     else:
         sh = _shingles(d, 3).cache()
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-
-        # n_sh as a window count over the SAME doc_id partitioning the
-        # rank needs — one exchange, and no per-document sizes table to
-        # move at all (the former F.broadcast(sizes) was O(N_docs) rows
-        # shipped to every executor — an OOM at 1e9 docs, VERDICT r4 #4)
-        wdoc = W.partitionBy("doc_id")
-        ranked = (
-            sh.join(dfreq, "shingle")
-            .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    wdoc.orderBy(F.col("df").asc(), F.col("shingle").asc())
-                ),
-            )
-        )
-        # prefix length: n - ceil(t*n) + 1
-        prefix = ranked.filter(
-            F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
-        ).select("doc_id", "shingle", "n_sh")
+        prefix = _rarity_prefix(sh, t)
 
         pa = prefix.select(
             F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
@@ -913,6 +924,101 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(hist, "h", "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_dedup_incremental_fuzzy",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - 3, 0) + 1),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+3], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    common AS (
+        SELECT b.doc_id AS new_id, h.doc_id AS dup_of, COUNT(*) AS n_common
+        FROM shingled b JOIN shingled h ON b.shingle = h.shingle
+        WHERE b.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+        GROUP BY b.doc_id, h.doc_id
+    )
+    SELECT c.new_id, c.dup_of,
+           CAST(c.n_common AS DOUBLE)
+             / (sb.n_sh + sh.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sb ON c.new_id = sb.doc_id
+    JOIN sizes sh ON c.dup_of = sh.doc_id
+    WHERE CAST(c.n_common AS DOUBLE) / (sb.n_sh + sh.n_sh - c.n_common) >= 0.6
+    """,
+)
+def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: the newly-arrived batch (every
+    10th doc) is checked for 3-shingle Jaccard ≥ 0.6 against the
+    accumulated history — the fuzzy companion of q_dedup_incremental's
+    exact-digest anti-join, and how near-dup dedup actually runs at
+    100 TB: the corpus-wide pair search happened once, and each ingest
+    batch generates candidates ONLY against the standing index (a
+    batch×index prefix join — no batch×batch or index×index pairs ever
+    form).
+
+    Exactness: the PPJoin prefix-filter theorem holds for any pair, so
+    restricting the candidate join to cross (batch, history) pairs
+    keeps it exact — emitted pairs are verified with the full
+    intersection count, matching the naive cross-pair SQL definition.
+    Scale shape: rarity df is computed over the union (the live index
+    keeps global df maintained); candidate generation touches only the
+    batch's prefixes against the index's prefix table — work scales
+    with the BATCH, not the corpus. RAW int-ratio jaccard emission
+    (hash-safe class)."""
+    d = load(spark, sf_dir, "documents")
+    t = 0.6
+    memo = _ngram_memo_get(spark, sf_dir, variant="incr_fuzzy")
+    if memo is not None:
+        sh, cand = memo
+    else:
+        sh = _shingles(d, 3).cache()
+        prefix = _rarity_prefix(sh, t)
+        is_batch = F.col("doc_id") % 10 == 0
+        pb = prefix.filter(is_batch).select(
+            F.col("doc_id").alias("new_id"), "shingle", F.col("n_sh").alias("nb")
+        )
+        ph = prefix.filter(~is_batch).select(
+            F.col("doc_id").alias("dup_of"), "shingle", F.col("n_sh").alias("nh")
+        )
+        cand = (
+            pb.join(
+                ph,
+                (pb.shingle == ph.shingle)
+                & (F.col("nb") >= t * F.col("nh"))
+                & (F.col("nh") >= t * F.col("nb")),
+            )
+            .select("new_id", "dup_of", "nb", "nh")
+            .distinct()
+            .cache()
+        )
+        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="incr_fuzzy")
+    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("dup_of"), "shingle")
+    common = (
+        _capped_broadcast(cand)
+        .join(a, "new_id")
+        .join(b, ["dup_of", "shingle"])
+        .groupBy("new_id", "dup_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("nb").alias("nb"),
+            F.first("nh").alias("nh"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("nb") + F.col("nh") - F.col("n_common")
+    )
+    return common.filter(jac >= t).select(
+        "new_id", "dup_of", jac.alias("jaccard")
     )
 
 

@@ -275,6 +275,66 @@ def asof_join(
 
 
 @register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts IS NOT NULL AND p.ts >= c.ts - INTERVAL 6 HOUR AS matched,
+           CASE WHEN p.ts >= c.ts - INTERVAL 6 HOUR THEN p.value END
+               AS fresh_value,
+           CASE WHEN p.ts >= c.ts - INTERVAL 6 HOUR
+                THEN epoch_us(c.ts) - epoch_us(p.ts) END AS staleness_us
+    FROM (SELECT event_id, user_id, ts FROM {EVENTS_US}
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM {EVENTS_US}
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance — the feature-store lookup
+    contract: a click only uses the user's most recent purchase if it
+    is at most 6 hours old; older matches are rejected (matched=false,
+    NULL payload) exactly like a feature-TTL miss, and the emitted
+    staleness is the EXACT integer microsecond gap (unix_micros /
+    epoch_us on the µs-truncated staging copy — no interval-unit
+    boundary-counting semantics to diverge between engines).
+
+    Same union-marker single-shuffle plan as q_join_asof (the tolerance
+    is a post-filter expression on the carried payload, free at any
+    scale); DuckDB's native ASOF LEFT JOIN + CASE is the oracle."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        clicks, purchases, "user_id", "ts", "p_ts", ["p_ts", "p_value"]
+    )
+    fresh = F.col("p_ts").isNotNull() & (
+        F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 6 HOURS")
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        fresh.alias("matched"),
+        F.when(fresh, F.col("p_value")).alias("fresh_value"),
+        # unix_micros requires tz-aware input; the ntz→timestamp cast is
+        # value-exact because the registry wrapper pins the session to
+        # UTC, matching DuckDB's epoch_us on the same ntz values
+        F.when(
+            fresh,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("p_ts").cast("timestamp")),
+        ).alias("staleness_us"),
+    )
+
+
+@register(
     "q_join_asof",
     oracle=f"""
     SELECT e.event_id, e.user_id, e.ts,

@@ -238,7 +238,9 @@ _MODIFIED_THIS_ROUND = [
 #: q_ordinal_assign, q_feature_bucketize, q_maintenance_compact,
 #: q_scan_partition_pruned), the scalar-fn tail (q_fn_bitwise/
 #: collation/explode/generators/sequence/struct/try/variant/xml), and
-#: the rows-only stragglers (q_dedup_simhash) — that exhausts every
+#: the rows-only stragglers (q_dedup_simhash), and the late-r5
+#: additions (q_text_bpe_train, q_text_bpe_encode, q_text_boilerplate,
+#: q_join_asof_tolerance, q_dedup_incremental_fuzzy) — that exhausts every
 #: never-adjudicated key to within a couple spilling to r7, after
 #: which the rotation retires.
 _ROUND_PRIORITY = [
