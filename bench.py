@@ -81,6 +81,31 @@ HEADLINE = [
     "q_pipeline_e2e",
 ]
 
+#: LLM-data-pipeline secondary suite (mandate operators not already in
+#: the headline) — the training-data-build throughput statement: dedup
+#: tiers, ANN, ranking, sketches, corpus ops, multimodal, tokenizer.
+#: Also the plan-dump set for tools/dump_plans.py.
+LLM_SECONDARY = [
+    "q_dedup_span",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_text_bm25",
+    "q_shuffle_epoch",
+    "q_agg_sketch_theta",
+    "q_sim_lsh",
+    "q_sample_weighted",
+    "q_pack_sequences",
+    "q_multimodal_resize",
+    # r5 additions: tokenizer training/encoding, boilerplate pruning,
+    # staleness-bounded as-of, batch-vs-index fuzzy incremental dedup
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_text_boilerplate",
+    "q_join_asof_tolerance",
+    "q_dedup_incremental_fuzzy",
+]
+
 
 def time_suite(
     spark, queries, names, sf_dir: str, repeats: int
@@ -150,29 +175,9 @@ def main() -> None:
     tpch_timings = time_suite(spark, queries, tpch_names, sf_dir, 2)
     tpch_total = round(sum(t for t in tpch_timings.values() if t >= 0), 3)
 
-    # Secondary suite 2: the LLM-data-pipeline block (mandate operators
-    # not already in the headline) — the training-data-build throughput
-    # statement: dedup tiers, ANN, ranking, sketches, corpus ops,
-    # multimodal. Min-of-2, reported beside (never mixed into) the
-    # anchored headline metric.
-    llm_names = [
-        "q_dedup_span",
-        "q_dedup_containment",
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_text_bm25",
-        "q_shuffle_epoch",
-        "q_agg_sketch_theta",
-        "q_sim_lsh",
-        "q_sample_weighted",
-        "q_pack_sequences",
-        "q_multimodal_resize",
-        # r5 additions: tokenizer training/encoding + boilerplate pruning
-        "q_text_bpe_train",
-        "q_text_bpe_encode",
-        "q_text_boilerplate",
-    ]
-    llm_timings = time_suite(spark, queries, llm_names, sf_dir, 2)
+    # Secondary suite 2: the LLM-data-pipeline block — min-of-2,
+    # reported beside (never mixed into) the anchored headline metric.
+    llm_timings = time_suite(spark, queries, LLM_SECONDARY, sf_dir, 2)
     llm_total = round(sum(t for t in llm_timings.values() if t >= 0), 3)
 
     # Per-query ratio vs the r1 anchor (sf0.1 only — the anchor was taken
