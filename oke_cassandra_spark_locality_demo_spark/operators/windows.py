@@ -1042,3 +1042,57 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("den"),
         (F.col("num") / F.col("den").cast("double")).alias("ewma_tt"),
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle=f"""
+    WITH framed AS (
+        SELECT user_id, event_id, ts, value,
+               LIST_SORT(LIST(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM {EVENTS_US}
+        WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, ts,
+           CAST(LEN(win) AS INTEGER) AS n_in_window,
+           win[(LEN(win) + 1) // 2] + win[(LEN(win) + 2) // 2] AS med_x2
+    FROM framed
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the last 7 purchase values per user —
+    the robust rolling statistic feature-engineering uses where a
+    rolling mean would chase outliers. Median selection is explicit
+    rank arithmetic on the sorted frame, never an interpolated
+    percentile (those diverge at ties across engines), and the
+    emission is the house med_x2 form: the sum of the one-or-two
+    middle STORED values with a lone middle counted twice — one IEEE
+    add of raw stored doubles, bit-identical on both engines
+    (FIXTURES.md class (c); plain AVG of the two middles is the
+    measured r3 hash-fail shape).
+
+    Scale shape: one shuffle on user_id and a bounded ROWS frame —
+    collect_list holds ≤ 7 values per row regardless of corpus size,
+    so memory per row is constant and the sort is O(7 log 7) in
+    codegen. The unique (ts, event_id) tiebreak keeps frame contents
+    reproducible."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    win = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(win)
+    med_x2 = F.element_at(win, ((n + 1) / 2).cast("int")) + F.element_at(
+        win, ((n + 2) / 2).cast("int")
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        n.alias("n_in_window"),
+        med_x2.alias("med_x2"),
+    )
