@@ -394,3 +394,112 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_sample_ppl_band",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+        FROM documents
+    ),
+    lm AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM lm),
+    nll AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CAST(ROUND(-(LN((lm.c + 1.0) / (tot.n + tot.v)) / LN(2.0))
+                                   * 1000000.0) AS BIGINT)) AS BIGINT) AS nll_e6
+        FROM tok t JOIN lm ON t.w = lm.w CROSS JOIN tot
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST((nll.nll_e6 * 1000) // nll.n_words AS BIGINT) AS ce_milli
+        FROM nll JOIN documents d ON nll.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, lang, ce_milli,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ce_milli, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM scored
+    )
+    SELECT doc_id, lang, ce_milli, CAST(rn AS BIGINT) AS rn,
+           (10 * rn > n_lang AND 10 * rn <= 9 * n_lang) AS keep
+    FROM ranked
+    """,
+)
+def q_sample_ppl_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band data selection (the CCNet/Wenzek et al. 2020
+    curation cut): rank every document within its language by unigram
+    cross-entropy and keep only the middle 10–90% band — the lowest
+    decile is boilerplate/degenerate text the LM finds too easy, the
+    top decile is noise it finds too alien; both get cut before
+    training.
+
+    Portability: the per-doc score is the EXACT integer
+    (nll_e6 · 1000) div n_words (each log term rounded ONCE to
+    micro-units — the house log rule — then summed exactly; integer
+    division is truncation on both engines for these positive values),
+    the rank is over (ce_milli, doc_id), and the band test is pure
+    integer arithmetic (10·rn > n ∧ 10·rn ≤ 9·n). All-integer/boolean
+    emissions.
+
+    Scale shape: LM build + scoring = the q_text_perplexity plan
+    (vocab-keyed join, AQE-decided build side); the banding adds one
+    language-keyed window whose partitions are language-sized and
+    split under AQE if one language dominates."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w")
+    )
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    nll = (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                -(
+                    F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                    / F.log(F.lit(2.0))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nll_e6").alias("nll_e6"),
+        )
+    )
+    scored = nll.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("(nll_e6 * 1000) div n_words").alias("ce_milli"),
+    )
+    wl = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "ce_milli",
+        F.row_number()
+        .over(wl.orderBy("ce_milli", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("n_lang"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "ce_milli",
+        "rn",
+        (
+            (10 * F.col("rn") > F.col("n_lang"))
+            & (10 * F.col("rn") <= 9 * F.col("n_lang"))
+        ).alias("keep"),
+    )
