@@ -292,12 +292,15 @@ def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_cells = [int(c) for c in probe_row["cells"]]
 
     pruned = index.filter(F.col("cell").isin(probed_cells))
+    # files actually READ by the probed scan (runtime truth, needs the
+    # scan — which the serving query below performs anyway) vs the full
+    # index's file LISTING (driver-side FileIndex, no data scan — a
+    # distinct-count over input_file_name here would full-scan 100 TB
+    # just to count files)
     files_read = (
         pruned.select(F.input_file_name().alias("f")).distinct().count()
     )
-    files_total = (
-        index.select(F.input_file_name().alias("f")).distinct().count()
-    )
+    files_total = len(index.inputFiles())
 
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
