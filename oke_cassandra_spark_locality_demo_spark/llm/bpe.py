@@ -81,11 +81,19 @@ def _bpe_oracle(k: int) -> str:
     ),
     m{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
     s{i} AS (
+        -- COALESCE sentinel: when the corpus runs out of learnable
+        -- merges before iteration {i} (m{i} empty), the scalar
+        -- subquery is NULL and a bare REPLACE(syms, NULL, ...) would
+        -- null EVERY symbol string (and the encode oracle's vocab with
+        -- it) while the Spark trainer just breaks early; the
+        -- never-occurring sentinel makes the replace a no-op instead.
+        -- The final merge-table SELECT needs no guard — an empty m{i}
+        -- simply contributes no row, matching the Spark break.
         SELECT wn, REPLACE(REPLACE(syms,
-            ' ' || (SELECT pair FROM m{i}) || ' ',
-            ' ' || (SELECT REPLACE(pair, ' ', '') FROM m{i}) || ' '),
-            ' ' || (SELECT pair FROM m{i}) || ' ',
-            ' ' || (SELECT REPLACE(pair, ' ', '') FROM m{i}) || ' ') AS syms
+            ' ' || COALESCE((SELECT pair FROM m{i}), CHR(1)) || ' ',
+            ' ' || COALESCE((SELECT REPLACE(pair, ' ', '') FROM m{i}), CHR(1)) || ' '),
+            ' ' || COALESCE((SELECT pair FROM m{i}), CHR(1)) || ' ',
+            ' ' || COALESCE((SELECT REPLACE(pair, ' ', '') FROM m{i}), CHR(1)) || ' ') AS syms
         FROM s{i - 1}
     )"""
         )

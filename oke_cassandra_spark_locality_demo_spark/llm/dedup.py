@@ -145,13 +145,18 @@ NGRAM_JACCARD_ORACLE = """
 
 
 #: one-slot-per-variant memo for the dedup queries' cached index/cand
-#: DataFrames, keyed by (Spark application id, sf_dir, variant). Repeat
-#: invocations on the same corpus REUSE the cached shingle index (the
-#: steady-state a production dedup service runs in); a different
-#: session or corpus unpersists the previous entry FOR THAT VARIANT
-#: first, so executor residue is bounded at one corpus index per dedup
-#: variant instead of growing per call (ADVICE r3: the former
-#: unconditional .cache() leaked indefinitely).
+#: DataFrames, keyed by (Spark application id, sf_dir, corpus
+#: fingerprint, variant) — the fingerprint (documents.parquet
+#: mtime+size) means a regenerated fixture at the same path misses
+#: instead of serving a stale index (same ADVICE-r4 fix as
+#: ivf.quant_key). Repeat invocations on the same corpus REUSE the
+#: cached DataFrames (the steady-state a production dedup service runs
+#: in); a different session/corpus unpersists the previous entry FOR
+#: THAT VARIANT first, so executor residue stays bounded (ADVICE r3:
+#: the former unconditional .cache() leaked indefinitely). The raw
+#: 3-shingle table itself lives in ONE shared "shingles3" slot
+#: (_shared_shingles) — per-variant slots hold only their candidate
+#: sets, so eviction of the big table is single-owner and unambiguous.
 _NGRAM_MEMO: dict = {}
 
 #: max candidate pairs the verification join will broadcast; above this
@@ -202,14 +207,37 @@ def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
     ).select("doc_id", "shingle", "n_sh")
 
 
+def _corpus_fp(sf_dir):
+    """(mtime_ns, size) of the documents fixture — folded into the memo
+    key so a regenerated fixture at the same path never serves a stale
+    cached index (the ADVICE-r4 hazard fixed in ivf.quant_key; this
+    memo had the same hole)."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def _ngram_memo_key(spark, sf_dir, variant):
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fp(sf_dir),
+        variant,
+    )
+
+
 def _ngram_memo_get(spark, sf_dir, variant="jaccard"):
-    return _NGRAM_MEMO.get((spark.sparkContext.applicationId, sf_dir, variant))
+    return _NGRAM_MEMO.get(_ngram_memo_key(spark, sf_dir, variant))
 
 
 def _ngram_memo_put(spark, sf_dir, dfs, variant="jaccard"):
-    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    key = _ngram_memo_key(spark, sf_dir, variant)
     for old_key, old_dfs in list(_NGRAM_MEMO.items()):
-        if old_key[2] == variant and old_key != key:
+        if old_key[-1] == variant and old_key != key:
             for df in old_dfs:
                 try:
                     df.unpersist(blocking=False)
@@ -217,6 +245,35 @@ def _ngram_memo_put(spark, sf_dir, dfs, variant="jaccard"):
                     pass  # session already stopped — cache died with it
             del _NGRAM_MEMO[old_key]
     _NGRAM_MEMO[key] = dfs
+
+
+def _ngram_memo_evict(variant):
+    """Unpersist and drop every memo slot of ``variant`` (test/reset
+    hook — deleting dict entries directly would orphan the cached
+    DataFrames in the live session with nothing left to evict them)."""
+    for key, dfs in list(_NGRAM_MEMO.items()):
+        if key[-1] == variant:
+            for df in dfs:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+            del _NGRAM_MEMO[key]
+
+
+def _shared_shingles(spark, sf_dir, d: DataFrame) -> DataFrame:
+    """The cached 3-word shingle table, ONE slot shared by every dedup
+    variant that consumes the raw (doc_id, shingle) form
+    (prefix / minhash / incr_fuzzy). Spark's CacheManager would
+    already dedupe identical cached plans storage-wise, but sharing
+    the slot makes eviction unambiguous: the table is unpersisted
+    exactly once, when the corpus changes."""
+    memo = _ngram_memo_get(spark, sf_dir, variant="shingles3")
+    if memo is not None:
+        return memo[0]
+    sh = _shingles(d, 3).cache()
+    _ngram_memo_put(spark, sf_dir, (sh,), variant="shingles3")
+    return sh
 
 
 @register("q_dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
@@ -375,11 +432,11 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     t = 0.6
+    sh = _shared_shingles(spark, sf_dir, d)
     memo = _ngram_memo_get(spark, sf_dir, variant="prefix")
     if memo is not None:
-        sh, cand = memo
+        (cand,) = memo
     else:
-        sh = _shingles(d, 3).cache()
         prefix = _rarity_prefix(sh, t)
 
         pa = prefix.select(
@@ -400,7 +457,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="prefix")
+        _ngram_memo_put(spark, sf_dir, (cand,), variant="prefix")
 
     # exact verification: full intersection count on candidates only
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -527,11 +584,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic, but recall < 1 ⇒ rows-only; the test suite asserts
     recall vs the exact-Jaccard pairs on the small SF."""
     d = load(spark, sf_dir, "documents")
+    sh = _shared_shingles(spark, sf_dir, d)
     memo = _ngram_memo_get(spark, sf_dir, variant="minhash")
     if memo is not None:
-        sh, cand = memo
+        (cand,) = memo
     else:
-        sh = _shingles(d, 3).cache()
         sig = minhash_signatures(sh)
 
         bands = sig.select(
@@ -561,7 +618,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="minhash")
+        _ngram_memo_put(spark, sf_dir, (cand,), variant="minhash")
 
     # exact verification of candidates only: the candidate set is orders
     # of magnitude smaller than the shingle table — broadcast it into the
@@ -976,11 +1033,11 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-safe class)."""
     d = load(spark, sf_dir, "documents")
     t = 0.6
+    sh = _shared_shingles(spark, sf_dir, d)
     memo = _ngram_memo_get(spark, sf_dir, variant="incr_fuzzy")
     if memo is not None:
-        sh, cand = memo
+        (cand,) = memo
     else:
-        sh = _shingles(d, 3).cache()
         prefix = _rarity_prefix(sh, t)
         is_batch = F.col("doc_id") % 10 == 0
         pb = prefix.filter(is_batch).select(
@@ -1000,7 +1057,7 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        _ngram_memo_put(spark, sf_dir, (sh, cand), variant="incr_fuzzy")
+        _ngram_memo_put(spark, sf_dir, (cand,), variant="incr_fuzzy")
     a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("dup_of"), "shingle")
     common = (

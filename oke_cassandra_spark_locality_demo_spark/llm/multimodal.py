@@ -285,15 +285,22 @@ def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         FROM documents WHERE doc_id % 3 = 0
     )
     SELECT doc_id, CAST(blen AS INTEGER) AS orig_len,
+           -- blen = 0 guards: the Spark UDF emits NULLs for an empty
+           -- payload (its documented contract); a bare CAST('0x' ...)
+           -- on the empty hex string would ABORT the whole oracle
+           -- ("Could not convert string '0x'") instead of grading it
+           CASE WHEN blen = 0 THEN NULL ELSE
            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {_RESIZE_TARGET}),
                 i -> CAST('0x' || SUBSTRING(hx,
                      CAST(((i * blen) // {_RESIZE_TARGET}) * 2 + 1 AS INTEGER), 2)
                      AS INTEGER)))
-                AS BIGINT) AS resized_checksum,
-           CAST('0x' || SUBSTRING(hx, 1, 2) AS INTEGER) AS first_byte,
+                AS BIGINT) END AS resized_checksum,
+           CASE WHEN blen = 0 THEN NULL ELSE
+           CAST('0x' || SUBSTRING(hx, 1, 2) AS INTEGER) END AS first_byte,
+           CASE WHEN blen = 0 THEN NULL ELSE
            CAST('0x' || SUBSTRING(hx,
                 CAST(((({_RESIZE_TARGET} - 1) * blen) // {_RESIZE_TARGET}) * 2 + 1
-                     AS INTEGER), 2) AS INTEGER) AS last_byte
+                     AS INTEGER), 2) AS INTEGER) END AS last_byte
     FROM b
     """,
 )

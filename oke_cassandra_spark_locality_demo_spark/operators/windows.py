@@ -1053,7 +1053,10 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
         FROM {EVENTS_US}
-        WHERE event_type = 'purchase'
+        -- value IS NOT NULL: Spark collect_list silently DROPS nulls
+        -- while DuckDB LIST keeps them — a single null purchase value
+        -- would desync frame sizes and median indices between engines
+        WHERE event_type = 'purchase' AND value IS NOT NULL
     )
     SELECT user_id, event_id, ts,
            CAST(LEN(win) AS INTEGER) AS n_in_window,
@@ -1078,7 +1081,9 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     so memory per row is constant and the sort is O(7 log 7) in
     codegen. The unique (ts, event_id) tiebreak keeps frame contents
     reproducible."""
-    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -219,8 +219,9 @@ _MODIFIED_THIS_ROUND = [
 #: survey keys + the two stream-adjacent late-r4 keys — the one block
 #: with zero driver verdicts), then the vectorized-UDF tail, the source
 #: tail, the last two Layer-A rows (A3 insert/upsert, A5 engine meta),
-#: and the marquee TPC-H slice (Q1/Q3/Q5/Q6/Q9/Q12/Q18/Q21). With the
-#: 12 _MODIFIED keys this fills the driver's 50-slot prefix exactly.
+#: and the marquee TPC-H slice (Q1/Q3/Q5/Q6/Q9/Q18/Q21). With the
+#: 13 _MODIFIED keys this fills the driver's 50-slot prefix exactly
+#: (13 + 37 = 50; verified by test_driver_sample_prefix_is_oracle_backed).
 #: Keys not listed fall back to registration order behind these.
 #:
 #: ROUND-6 PLAYBOOK (for the next session, after CORRECTNESS_r05

@@ -171,6 +171,8 @@ def assert_no_pandas_upcast(spark_df, con, oracle: str) -> None:
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not any(isinstance(f.dataType, int_types) for f in spark_df.schema.fields):
+        return  # nothing to upcast against — skip the second oracle run
     odf = con.execute(oracle).fetchdf()
     by_lower = {c.lower(): c for c in odf.columns}
     for f in spark_df.schema.fields:

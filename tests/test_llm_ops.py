@@ -162,7 +162,7 @@ def test_ngram_memo_bounded_and_reused(spark, sf_dir):
 
     def jaccard_slots():
         return {
-            k: v for k, v in dedup._NGRAM_MEMO.items() if k[2] == "jaccard"
+            k: v for k, v in dedup._NGRAM_MEMO.items() if k[-1] == "jaccard"
         }
 
     get("q_dedup_ngram_jaccard").fn(spark, sf_dir)
@@ -177,7 +177,7 @@ def test_ngram_memo_bounded_and_reused(spark, sf_dir):
     get("q_dedup_ngram_prefix").fn(spark, sf_dir)
     per_variant: dict = {}
     for k in dedup._NGRAM_MEMO:
-        per_variant[k[2]] = per_variant.get(k[2], 0) + 1
+        per_variant[k[-1]] = per_variant.get(k[-1], 0) + 1
     assert all(v == 1 for v in per_variant.values()), per_variant
 
 

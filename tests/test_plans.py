@@ -193,18 +193,18 @@ def test_dedup_candidate_broadcast_is_capped(spark, sf_dir, monkeypatch):
     broadcast hint on the candidate side — the join is left to AQE."""
     from oke_cassandra_spark_locality_demo_spark.llm import dedup
 
-    # fresh build both times: the memo would otherwise reuse the cached
-    # candidate DataFrame (the cap gate itself re-evaluates per call)
-    for key in [k for k in dedup._NGRAM_MEMO if k[2] == "prefix"]:
-        del dedup._NGRAM_MEMO[key]
+    real_cap = dedup._CAND_BROADCAST_CAP
+    # fresh build both times via the eviction helper (deleting memo
+    # entries directly would orphan the cached DataFrames in the shared
+    # session with nothing left to ever unpersist them)
+    dedup._ngram_memo_evict("prefix")
     monkeypatch.setattr(dedup, "_CAND_BROADCAST_CAP", 0)
     df = get("q_dedup_ngram_prefix").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in plan and "BROADCAST" not in plan, plan
     # and with the real cap the fixture-scale candidate set broadcasts
-    for key in [k for k in dedup._NGRAM_MEMO if k[2] == "prefix"]:
-        del dedup._NGRAM_MEMO[key]
-    monkeypatch.setattr(dedup, "_CAND_BROADCAST_CAP", 2_000_000)
+    dedup._ngram_memo_evict("prefix")
+    monkeypatch.setattr(dedup, "_CAND_BROADCAST_CAP", real_cap)
     df2 = get("q_dedup_ngram_prefix").fn(spark, sf_dir)
     assert has_broadcast_join(df2)
 
