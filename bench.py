@@ -104,6 +104,7 @@ LLM_SECONDARY = [
     "q_text_boilerplate",
     "q_join_asof_tolerance",
     "q_dedup_incremental_fuzzy",
+    "q_corpus_card",
 ]
 
 

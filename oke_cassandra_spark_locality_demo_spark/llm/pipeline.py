@@ -492,3 +492,89 @@ def q_feature_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_corpus_card",
+    oracle="""
+    WITH feats AS (
+        SELECT source, lang,
+               MD5(TRIM(LOWER(text))) AS h,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe_tokens,
+               LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS n_words,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' ')))
+                    AS BIGINT) AS n_unique
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+           CAST(ROUND((COUNT(*) - COUNT(DISTINCT h)) * 1000000.0 / COUNT(*))
+                AS BIGINT) AS dup_ppm,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 1000
+                          AND n_unique * 10 >= n_words * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+    FROM feats
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card — the governance summary a dataset release
+    ships (datasheet/data-card practice, Gebru et al. 2021): document
+    and language counts, exact near-line dup rate (distinct normalized
+    text hashes), total BPE-estimate tokens, and the quality-gate keep
+    count (same length-band + lexical-diversity rule as
+    q_text_quality, restated as the integer comparison
+    n_unique·10 ≥ n_words·3 so the card is all-integer).
+
+    Scale shape: ONE scan, one hash aggregate keyed by source; the two
+    COUNT(DISTINCT ...) expand per Spark's multi-distinct rewrite but
+    stay keyed on (source, value) — no global distinct, and source
+    cardinality bounds the output. dup_ppm is scale-0 ROUND of an
+    identically derived int ratio (portable class)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), " ")
+    n_words = F.size(words)
+    n_unique = F.size(F.array_distinct(words)).cast("long")
+    feats = d.select(
+        "source",
+        "lang",
+        F.md5(F.trim(F.lower(F.col("text")))).alias("h"),
+        F.ceil(F.length("text") / 4.0).alias("bpe_tokens"),
+        n_words.alias("n_words"),
+        n_unique.alias("n_unique"),
+    )
+    quality_keep = (
+        F.col("n_words").between(20, 1000)
+        & (F.col("n_unique") * 10 >= F.col("n_words") * 3)
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            F.count_distinct(F.col("h")).alias("n_distinct_texts"),
+            F.sum(F.when(quality_keep, 1).otherwise(0)).alias("n_quality_keep"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "n_distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts"))
+                * 1000000.0
+                / F.col("n_docs"),
+                0,
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+            "total_bpe_tokens",
+            "n_quality_keep",
+        )
+        .orderBy("source")
+    )
