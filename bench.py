@@ -105,6 +105,9 @@ LLM_SECONDARY = [
     "q_join_asof_tolerance",
     "q_dedup_incremental_fuzzy",
     "q_corpus_card",
+    "q_text_perplexity_bigram",
+    "q_text_bpe_fertility",
+    "q_privacy_kanon",
 ]
 
 

@@ -287,3 +287,101 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).alias("n_chars"),
         )
     )
+
+def _fertility_oracle(k: int) -> str:
+    """DuckDB oracle for q_text_bpe_fertility: the trainer CTE chain up
+    to s{k} (as in _encode_oracle), rolled up per LANGUAGE instead of
+    per document."""
+    trainer = _bpe_oracle(k)
+    head = trainer[: trainer.rindex("\n    SELECT * FROM (")]
+    return (
+        head
+        + f""",
+    vocab AS (
+        SELECT REPLACE(TRIM(syms), ' ', '') AS word,
+               CAST(LEN(STRING_SPLIT(TRIM(syms), ' ')) AS BIGINT) AS n_syms
+        FROM s{k}
+    ),
+    tok AS (
+        SELECT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_syms) AS BIGINT) AS n_subwords,
+           CAST(SUM(LENGTH(t.word)) AS BIGINT) AS n_chars,
+           CAST(ROUND(SUM(v.n_syms) * 1000000.0 / COUNT(*)) AS BIGINT)
+               AS fertility_ppm,
+           CAST(ROUND(SUM(LENGTH(t.word)) * 1000000.0 / SUM(v.n_syms))
+                AS BIGINT) AS chars_per_subword_ppm
+    FROM tok t JOIN vocab v USING (word)
+    WHERE LENGTH(t.word) > 0
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """
+    )
+
+
+@register("q_text_bpe_fertility", oracle=_fertility_oracle(K_MERGES))
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY audit — subwords emitted per
+    whitespace word under the trained merges. Multilingual pipelines run
+    exactly this check after tokenizer training (tokenizer-parity /
+    premium studies, e.g. Rust et al. 2021; Petrov et al. 2023): a
+    tokenizer trained on skewed data segments under-represented
+    languages into more pieces, inflating their effective sequence
+    length and training cost. Emits per-language word/subword/char
+    totals plus fertility and compression ratios in integer ppm.
+
+    Scale shape: identical to q_text_bpe_encode (memoized merges,
+    vocabulary-bounded encode table, AQE-decided token-stream join) —
+    the only difference is the rollup key (lang, cardinality ~dozens,
+    vs doc_id), so the final aggregate is map-side-combinable down to a
+    handful of rows. fertility/compression are scale-0 ROUNDs of
+    identically derived int ratios (the portable class)."""
+    merges = quant_memo(
+        quant_key(spark, sf_dir, "bpe", table="documents", k=K_MERGES),
+        lambda: train_bpe_merges(spark, sf_dir),
+    )
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    syms = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for _, left, right, merged, _cnt in merges:
+        hit, rep = F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+        syms = F.replace(F.replace(syms, hit, rep), hit, rep)
+    vocab = (
+        tok.select("word")
+        .distinct()
+        .select(
+            "word", F.size(F.split(F.trim(syms), " ")).cast("long").alias("n_syms")
+        )
+    )
+    return (
+        tok.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_subwords"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            "n_chars",
+            F.round(F.col("n_subwords") * 1000000.0 / F.col("n_words"), 0)
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.round(F.col("n_chars") * 1000000.0 / F.col("n_subwords"), 0)
+            .cast("long")
+            .alias("chars_per_subword_ppm"),
+        )
+        .orderBy("lang")
+    )

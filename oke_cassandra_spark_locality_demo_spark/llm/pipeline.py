@@ -578,3 +578,66 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_privacy_kanon",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS n_risk_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM classes
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
+    privacy gate a training-data release runs before shipping any
+    user-derived table: rows whose quasi-identifier combination
+    (nation, market segment, account-balance band) matches fewer than
+    k=5 records are re-identifiable and must be generalized or
+    suppressed. Emits the per-nation exposure summary: equivalence
+    classes, small (k<5) classes, at-risk row count, and the worst
+    (minimum) class size.
+
+    Scale shape: two chained hash aggregates — classes on the
+    quasi-id key, then the rollup on its nation prefix — both with
+    map-side partial aggregation; no joins, no window, one shuffle
+    each. The balance band is FLOOR(x/1000) on the parquet double:
+    IEEE division and floor are exactly-rounded deterministic ops, so
+    both engines derive the identical band from the identical bits
+    (integer-only emissions thereafter)."""
+    c = load(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    small = F.col("k") < 5
+    return (
+        classes.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(small, 1).otherwise(0)).alias("n_small_classes"),
+            F.sum(F.when(small, F.col("k")).otherwise(0)).alias("n_risk_rows"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1093,3 +1093,98 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_boiler") * 10 < F.col("n_grams")).alias("keep"),
         )
     )
+
+
+@register(
+    "q_text_perplexity_bigram",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(TRIM(LOWER(text)), ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM wds
+        ) WHERE w2 IS NOT NULL
+    ),
+    lm2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    lm1 AS (SELECT w, COUNT(*) AS c1 FROM wds GROUP BY w),
+    voc AS (SELECT COUNT(*) AS v FROM lm1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(-(LN((l2.c2 + 1.0) / (l1.c1 + voc.v))
+                                  / LN(2.0)) * 1000000.0) AS BIGINT))
+                AS BIGINT) / 1000000.0 / COUNT(*) AS cross_entropy2
+    FROM bg b
+    JOIN lm2 l2 ON b.w1 = l2.w1 AND b.w2 = l2.w2
+    JOIN lm1 l1 ON b.w1 = l1.w
+    CROSS JOIN voc
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against a corpus BIGRAM language model
+    (add-one smoothed conditional p(w2|w1) = (c2+1)/(c1+V)) — the
+    KenLM-style perplexity filter (CCNet, Wenzek et al. 2020) one order
+    up from `q_text_perplexity`'s unigram typicality: it also penalizes
+    improbable word ORDER, not just improbable vocabulary, so shuffled
+    or machine-mangled text scores high even when its unigram profile
+    is normal.
+
+    Scale shape: bigrams form NARROWLY inside each row (zip_with over
+    two array slices, the q_text_pmi construction — no per-token
+    shuffle); the LM is one (w1,w2) hash aggregate; scoring joins the
+    bigram stream to the bigram and unigram dictionaries on their keys
+    — both vocabulary-bounded, never pinned-broadcast (unbounded worst
+    case at 100 TB; AQE broadcasts at runtime when actually small, the
+    q_text_pmi/tfidf policy). Only the 1-row vocabulary scalar is a
+    pinned broadcast. Float parity: each -ln-ratio term is rounded
+    once to integer MICRO-units (coarse ≫ the 1-ulp ln() divergence
+    across libm/fdlibm), summed exactly as BIGINT, and the mean is
+    derived from exact integers — the q_text_perplexity discipline."""
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.withColumn("ws", _words(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),"
+                    " (a, b) -> named_struct('w1', a, 'w2', b))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    lm2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    voc = lm1.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bg.join(lm2, ["w1", "w2"])
+        .join(lm1.select(F.col("w").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.round(
+                -(
+                    F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+                    / F.log(F.lit(2.0))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("nll_e6") / 1000000.0 / F.count(F.lit(1))
+        ).alias("cross_entropy2"),
+    )
