@@ -108,6 +108,8 @@ LLM_SECONDARY = [
     "q_text_perplexity_bigram",
     "q_text_bpe_fertility",
     "q_privacy_kanon",
+    "q_select_dsir",
+    "q_order_curriculum",
 ]
 
 

@@ -503,3 +503,209 @@ def q_sample_ppl_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (10 * F.col("rn") <= 9 * F.col("n_lang"))
         ).alias("keep"),
     )
+
+
+_DSIR_B = 256  #: hashed-feature buckets (2^32-safe md5 prefix mod B)
+_DSIR_TARGET = "src0"  #: stand-in high-quality target domain
+_DSIR_K = 100  #: selected pool documents
+
+
+@register(
+    "q_select_dsir",
+    oracle=f"""
+    WITH tokt AS (
+        SELECT CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT % {_DSIR_B}
+                    AS BIGINT) AS b
+        FROM (SELECT UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+              FROM documents WHERE source = '{_DSIR_TARGET}')
+        WHERE LENGTH(w) > 0
+    ),
+    tokp AS (
+        SELECT doc_id, source,
+               CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT % {_DSIR_B}
+                    AS BIGINT) AS b
+        FROM (SELECT doc_id, source,
+                     UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+              FROM documents WHERE source <> '{_DSIR_TARGET}')
+        WHERE LENGTH(w) > 0
+    ),
+    ct AS (SELECT b, COUNT(*) AS c FROM tokt GROUP BY b),
+    cp AS (SELECT b, COUNT(*) AS c FROM tokp GROUP BY b),
+    nt AS (SELECT COUNT(*) AS n FROM tokt),
+    np AS (SELECT COUNT(*) AS n FROM tokp),
+    lr AS (
+        SELECT cp.b,
+               CAST(ROUND((LN((COALESCE(ct.c, 0) + 1.0) / (nt.n + {_DSIR_B}))
+                         - LN((cp.c + 1.0) / (np.n + {_DSIR_B})))
+                          * 1000000.0) AS BIGINT) AS lr_e6
+        FROM cp LEFT JOIN ct ON cp.b = ct.b CROSS JOIN nt CROSS JOIN np
+    )
+    SELECT t.doc_id,
+           ANY_VALUE(t.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr.lr_e6) AS BIGINT) AS logw_e6
+    FROM tokp t JOIN lr ON t.b = lr.b
+    GROUP BY t.doc_id
+    ORDER BY logw_e6 DESC, t.doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    document by how much its HASHED-unigram feature distribution looks
+    like the target domain — log importance weight
+    Σ_tokens ln(p_target(bucket)/p_pool(bucket)), add-one smoothed over
+    256 md5 buckets — and keep the top-100. This is the
+    published scalable recipe for "find me more data like Wikipedia in
+    Common Crawl"; the deterministic top-k is DSIR's argmax variant
+    (the stochastic resample would add a Gumbel draw from the same
+    portable-md5 uniforms `q_sample_weighted` uses).
+
+    Scale shape: the feature space is CONSTANT-sized (B=256
+    buckets — DSIR's own trick for corpus-scale tractability), so both
+    n-gram models aggregate to ≤B rows and the per-bucket log-ratio
+    table is a justified PINNED broadcast (bounded by construction,
+    unlike vocabulary tables); the pool token stream joins it
+    map-side — zero shuffle — and the per-doc rollup is one hash
+    aggregate; top-k is TakeOrderedAndProject. Portability: the bucket
+    is a shared md5-prefix hash, each log-ratio is rounded ONCE per
+    bucket to integer micro-nats, per-doc sums are exact BIGINT."""
+    d = load(spark, sf_dir, "documents")
+
+    def toks(df):
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
+        ).filter(F.length("w") > 0).withColumn(
+            "b",
+            (F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+             % _DSIR_B),
+        )
+
+    tokt = toks(d.filter(F.col("source") == _DSIR_TARGET))
+    tokp = toks(d.filter(F.col("source") != _DSIR_TARGET))
+    ct = tokt.groupBy("b").agg(F.count(F.lit(1)).alias("ctc"))
+    cp = tokp.groupBy("b").agg(F.count(F.lit(1)).alias("cpc"))
+    nt = tokt.agg(F.count(F.lit(1)).alias("nt"))
+    np_ = tokp.agg(F.count(F.lit(1)).alias("np"))
+    lr = (
+        cp.join(ct, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ctc"), F.lit(0)) + 1.0)
+                        / (F.col("nt") + _DSIR_B)
+                    )
+                    - F.log((F.col("cpc") + 1.0) / (F.col("np") + _DSIR_B))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    return (
+        tokp.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_e6").alias("logw_e6"),
+        )
+        .orderBy(F.col("logw_e6").desc(), "doc_id")
+        .limit(_DSIR_K)
+    )
+
+
+@register(
+    "q_order_curriculum",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens, doc_id) AS rl
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, CAST(rl AS BIGINT) AS round_idx,
+           CAST(ROW_NUMBER() OVER (ORDER BY rl, lang) AS BIGINT)
+               AS global_ord
+    FROM ranked
+    """,
+)
+def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order construction: a short-to-long
+    LENGTH curriculum (sequence-length curricula à la Shortformer,
+    Press et al. 2021) interleaved ROUND-ROBIN across languages so no
+    language is ghettoized at either end of an epoch — round r of the
+    schedule is "every language's r-th shortest document", languages in
+    lexicographic order within a round.
+
+    Scale shape: the per-language rank is one lang-partitioned window
+    (language-sized partitions, AQE-split if one dominates). The GLOBAL
+    ordinal is then a CLOSED FORM, not a window: with the per-language
+    size histogram broadcast as a ~|langs|-row array,
+        global_ord(rl, lang) = Σ_l min(n_l, rl-1)            (full+partial
+                                                              earlier rounds)
+                             + rank of lang among {l : n_l ≥ rl}  (position
+                                                              in own round)
+    — a single-partition ROW_NUMBER() over the whole corpus (what the
+    DuckDB oracle does, and what a naive port would do) is the classic
+    scale-killer this avoids; the oracle equivalence IS the proof the
+    closed form computes the same total order. Companion of
+    `q_shuffle_epoch` (random order) and `q_ordinal_assign`
+    (bucket+offset ordinals for arbitrary keys); all-integer emissions.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens"),
+    )
+    rl = (
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_tokens", "doc_id"))
+        .cast("long")
+    )
+    ranked = scored.withColumn("round_idx", rl)
+    sizes = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("lang").alias("l"), F.col("n_l")))
+            ).alias("ls")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "round_idx",
+            (
+                F.expr(
+                    "aggregate(ls, 0L, (acc, x) ->"
+                    " acc + least(x.n_l, round_idx - 1))"
+                )
+                + F.expr(
+                    "size(filter(ls, x -> x.n_l >= round_idx AND x.l < lang))"
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("global_ord"),
+        )
+    )
