@@ -586,3 +586,36 @@ def test_shuffle_epoch_has_no_unpartitioned_data_window(spark, sf_dir):
     plan = simple_plan(df)
     for m in re.finditer(r"row_number\(\)[^\n]*windowspecdefinition\(([^\n]*)", plan):
         assert "bucket" in m.group(1), m.group(0)[:200]
+
+
+def test_dsir_scores_through_broadcast_ratio_table(spark, sf_dir):
+    """q_select_dsir's pool-token scoring join must consume the 256-row
+    log-ratio table as a BROADCAST (constant-sized by construction —
+    the one case where pinning is justified), its final selection must
+    be a TakeOrderedAndProject (never a global sort), and no
+    single-partition window may appear anywhere."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_select_dsir").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_curriculum_global_ordinal_is_closed_form(spark, sf_dir):
+    """q_order_curriculum's global ordinal must come from the broadcast
+    language-histogram closed form: the ONLY window allowed is the
+    lang-partitioned per-language rank — a global (unpartitioned)
+    row_number over the corpus is the scale-killer this op exists to
+    avoid."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_order_curriculum").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    wins = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert wins, "expected the lang-partitioned rank window"
+    for w in wins:
+        assert "lang" in w, f"unpartitioned window in plan: {w[:200]}"
