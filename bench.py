@@ -110,6 +110,7 @@ LLM_SECONDARY = [
     "q_privacy_kanon",
     "q_select_dsir",
     "q_order_curriculum",
+    "q_multimodal_phash",
 ]
 
 

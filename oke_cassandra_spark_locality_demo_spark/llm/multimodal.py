@@ -319,3 +319,172 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(resize_media, schema=RESIZE_SCHEMA).select(
         "doc_id", "orig_len", "resized_checksum", "first_byte", "last_byte"
     )
+
+
+_PHASH_BITS = 64  #: aHash grid size (64 sampled "pixels" → 64-bit hash)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: average-hash each image payload. Sample 64
+    "pixels" with the same NN index arithmetic as `resize_media`
+    (byte i·len//64), threshold each against the mean of the samples
+    (integer form 64·p_i > Σp — no division), and pack the 64 bits as
+    FOUR 16-bit band integers (b0..b3) — packed this way the banded
+    near-dup join downstream needs no 64-bit sign games. A real
+    pipeline swaps a decoded-grayscale 8×8 mean filter into the same
+    contract (pHash/aHash practice, e.g. LAION dedup)."""
+    import numpy as np
+
+    n = _PHASH_BITS
+    for pdf in batches:
+        rows = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [], "b3": []}
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype="uint8")
+            if len(arr) == 0:
+                for c in ("b0", "b1", "b2", "b3"):
+                    rows[c].append(None)
+                continue
+            idx = (np.arange(n, dtype="int64") * len(arr)) // n
+            p = arr[idx].astype("int64")
+            bits = n * p > int(p.sum())
+            for b in range(4):
+                rows[f"b{b}"].append(
+                    int(sum(1 << r for r in range(16) if bits[b * 16 + r]))
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_phash",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx,
+               OCTET_LENGTH(ENCODE(text)) AS blen
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, 64),
+                 i -> CAST('0x' || SUBSTRING(hx,
+                      CAST(((i * blen) // 64) * 2 + 1 AS INTEGER), 2)
+                      AS INTEGER)) AS p
+        FROM b WHERE blen > 0
+    ),
+    hs AS (SELECT doc_id, p, LIST_SUM(p) AS tot FROM px),
+    bands AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(0, 4), bb ->
+                 CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16), r ->
+                   CASE WHEN 64 * p[CAST(bb*16 + r + 1 AS INTEGER)] > tot
+                        THEN CAST(1 AS BIGINT) << CAST(r AS INTEGER)
+                        ELSE 0 END)) AS BIGINT)) AS bs
+        FROM hs
+    ),
+    w AS (SELECT doc_id, bs[1] AS b0, bs[2] AS b1, bs[3] AS b2, bs[4] AS b3
+          FROM bands),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+            AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        WHERE BIT_COUNT(XOR(a.b0, b.b0)) + BIT_COUNT(XOR(a.b1, b.b1))
+            + BIT_COUNT(XOR(a.b2, b.b2)) + BIT_COUNT(XOR(a.b3, b.b3)) <= 3
+    ),
+    deg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b FROM pairs
+        ) GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.b0, w.b1, w.b2, w.b3,
+           COALESCE(deg.n_near, 0) AS n_near
+    FROM w LEFT JOIN deg ON w.doc_id = deg.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the image payloads — the
+    multimodal counterpart of the text dedup ladder (LAION-style
+    image dedup by aHash/pHash): mapInPandas computes each image's
+    64-bit average-hash as four 16-bit bands, and the EXACT d ≤ 3
+    near-dup tier comes from a banded self-join — by pigeonhole, any
+    pair within Hamming distance 3 of a 4-band split agrees on ≥ 1
+    whole band, so unlike `q_dedup_simhash`'s best-effort d ≤ 6 tier
+    this output is complete (recall 1.0) and fully oracle-checkable.
+    Emits per image: the fingerprint bands and its exact near-dup
+    degree.
+
+    Scale shape: hashing is one Arrow-batched pass over the media
+    table (the decode seam — a real pipeline drops a grayscale 8×8
+    mean filter into `phash_bands`); candidates come from a 4×
+    (band_idx, band_val)-keyed equi-join — bucketed, never all-pairs —
+    then distinct + exact Hamming verify on the 4-int fingerprints;
+    the degree rollup and the left join back are doc-keyed hash
+    operations. The oracle recomputes the identical integer pipeline
+    from the hex-rendered payload bytes (multibyte-safe, the
+    q_multimodal_resize convention)."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    w = media.mapInPandas(phash_bands, schema=PHASH_SCHEMA).filter(
+        F.col("b0").isNotNull()
+    )
+    long = w.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("val")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.val")
+    cand = (
+        long.alias("x")
+        .join(long.alias("y"), ["band_idx", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = w.select(F.col("doc_id").alias("doc_a"), *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)])
+    fb = w.select(F.col("doc_id").alias("doc_b"), *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"c{b}"))) for b in range(4)
+    )
+    pairs = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b")
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        w.join(deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .orderBy("doc_id")
+    )
