@@ -111,6 +111,7 @@ LLM_SECONDARY = [
     "q_select_dsir",
     "q_order_curriculum",
     "q_multimodal_phash",
+    "q_drift_ks",
 ]
 
 

@@ -641,3 +641,124 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q_drift_ks",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(SUM(1 - g) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+        FROM pv
+    ),
+    d AS (
+        SELECT v, ABS(f1 * tot.n2 - f2 * tot.n1) AS dn
+        FROM cum CROSS JOIN tot
+    )
+    SELECT tot.n1, tot.n2,
+           CAST((SELECT MAX(dn) FROM d) AS BIGINT) AS d_num,
+           CAST(ROUND((SELECT MAX(dn) FROM d) * 1000000.0
+                      / (tot.n1 * tot.n2)) AS BIGINT) AS d_ppm,
+           (SELECT MIN(CAST(ROUND(v * 100) AS BIGINT)) FROM d
+            WHERE dn = (SELECT MAX(dn) FROM d)) AS at_cents
+    FROM tot
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic on a NUMERIC
+    column (order value, urgent vs low priority) — the distribution-
+    drift companion of `q_split_drift_chisq`'s categorical chi-square:
+    D = sup_v |F1(v) − F2(v)|, the canonical test a data pipeline runs
+    to detect covariate shift between two corpus slices or dataset
+    versions. Exact integer form: the supremum is computed on the
+    cross-multiplied numerator |f1·n2 − f2·n1| so no ECDF division
+    ever happens; d_ppm and the argmax value (integer cents, min over
+    ties) are derived from exact integers only at emission.
+
+    Scale shape: the ECDF needs a GLOBAL prefix sum over distinct
+    values — the naive form is one unpartitioned window over O(n)
+    rows (what the DuckDB oracle does, and the classic scale-killer).
+    Here it decomposes TeraSort-style, the `q_shuffle_epoch` /
+    `q_ordinal_assign` pattern: values range-bucket into 256 fixed
+    bands, local cumulative counts run inside each band
+    (band-partitioned window), and band OFFSETS come from one window
+    over the ≤256-row band-total table — the only unpartitioned
+    window touches a constant-sized input. Ties concentrate at a
+    value key, handled by the pre-aggregation; the final max/argmax
+    are ordinary hash aggregates."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
+    )
+    tot = pv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    banded = pv.withColumn(
+        "b", F.width_bucket(F.col("v"), F.lit(0.0), F.lit(512000.0), F.lit(256))
+    )
+    wloc = (
+        W.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = banded.select(
+        "v",
+        "b",
+        F.sum("c1").over(wloc).alias("l1"),
+        F.sum("c2").over(wloc).alias("l2"),
+    )
+    bt = banded.groupBy("b").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    woff = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "b",
+        F.coalesce(F.sum("t1").over(woff), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(woff), F.lit(0)).alias("o2"),
+    )
+    cum = loc.join(F.broadcast(off), "b").select(
+        "v",
+        (F.col("o1") + F.col("l1")).alias("f1"),
+        (F.col("o2") + F.col("l2")).alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dn"),
+    )
+    dmax = d.agg(F.max("dn").alias("d_num"))
+    at = (
+        d.join(F.broadcast(dmax), d.dn == dmax.d_num)
+        .agg(
+            F.min(F.round(F.col("v") * 100, 0).cast("long")).alias("at_cents")
+        )
+    )
+    return (
+        tot.crossJoin(dmax)
+        .crossJoin(at)
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.round(F.col("d_num") * 1000000.0 / (F.col("n1") * F.col("n2")), 0)
+            .cast("long")
+            .alias("d_ppm"),
+            "at_cents",
+        )
+    )

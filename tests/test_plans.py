@@ -619,3 +619,22 @@ def test_curriculum_global_ordinal_is_closed_form(spark, sf_dir):
     assert wins, "expected the lang-partitioned rank window"
     for w in wins:
         assert "lang" in w, f"unpartitioned window in plan: {w[:200]}"
+
+
+def test_drift_ks_prefix_sum_is_band_partitioned(spark, sf_dir):
+    """q_drift_ks' ECDF must decompose into band-partitioned local
+    cumulative sums plus a constant-size band-offset window: no window
+    may order directly over the raw value stream without the band
+    partition (the naive unpartitioned global prefix sum —
+    `windowspecdefinition(v# ...)` — is the scale-killer this op
+    avoids), and the offset/total sides must come back as broadcasts."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_drift_ks").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert not re.search(r"windowspecdefinition\(v#", plan), (
+        "unpartitioned window over the value stream"
+    )
+    assert "BroadcastHashJoin" in plan
