@@ -325,3 +325,25 @@ def test_bpe_training_partition_invariant(spark, sf_dir):
         assert len(outs[0]) == 2 and all(len(m) == 5 for m in outs[0])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_phash_banded_degree_equals_all_pairs(spark, sf_dir):
+    """The pigeonhole completeness claim behind q_multimodal_phash: the
+    banded candidate join must find EVERY pair within Hamming distance 3
+    (4 bands × 16 bits ⇒ any d ≤ 3 pair shares a whole band). Verified
+    independently of the DuckDB oracle by brute-forcing all fingerprint
+    pairs driver-side and comparing per-doc degrees."""
+    from itertools import combinations
+
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    rows = get("q_multimodal_phash").fn(spark, sf_dir).collect()
+    fps = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in rows}
+    deg = {doc_id: 0 for doc_id in fps}
+    for a, b in combinations(sorted(fps), 2):
+        d = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+        if d <= 3:
+            deg[a] += 1
+            deg[b] += 1
+    got = {r.doc_id: r.n_near for r in rows}
+    assert got == deg
