@@ -112,6 +112,7 @@ LLM_SECONDARY = [
     "q_order_curriculum",
     "q_multimodal_phash",
     "q_drift_ks",
+    "q_classify_nb",
 ]
 
 

@@ -762,3 +762,141 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_cents",
         )
     )
+
+
+@register(
+    "q_classify_nb",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, lang AS c, COUNT(*) AS cnt FROM tok GROUP BY w, lang),
+    cls AS (
+        SELECT lang AS c, COUNT(*) AS n_docs,
+               SUM(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' '))) AS t_c
+        FROM documents GROUP BY lang
+    ),
+    voc AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    n AS (SELECT COUNT(*) AS n_all FROM documents),
+    lp AS (
+        SELECT vw.w, cls.c,
+               CAST(ROUND(LN((COALESCE(wc.cnt, 0) + 1.0) / (cls.t_c + voc.v))
+                          * 1000000.0) AS BIGINT) AS lp_e6
+        FROM (SELECT DISTINCT w FROM tok) vw
+        CROSS JOIN cls CROSS JOIN voc
+        LEFT JOIN wc ON wc.w = vw.w AND wc.c = cls.c
+    ),
+    prior AS (
+        SELECT c, CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / n.n_all)
+                             * 1000000.0) AS BIGINT) AS prior_e6
+        FROM cls CROSS JOIN n
+    ),
+    score AS (
+        SELECT t.doc_id, t.lang, lp.c,
+               CAST(SUM(lp.lp_e6) AS BIGINT) + ANY_VALUE(prior.prior_e6)
+                   AS s_e6
+        FROM tok t
+        JOIN lp ON t.w = lp.w
+        JOIN prior ON lp.c = prior.c
+        GROUP BY t.doc_id, t.lang, lp.c
+    ),
+    pred AS (
+        SELECT doc_id, lang, c AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s_e6 DESC, c) AS rn
+        FROM score
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def q_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the corpus
+    itself (add-one smoothing) and evaluated as a CONFUSION MATRIX over
+    the labeled `lang` column — the trainable counterpart of
+    `q_text_langid`'s fixed marker heuristic, and the shape of every
+    counting-based quality/domain classifier a data pipeline trains
+    (fastText-style filters are this plus hashed bigrams). Per class c:
+    score(d,c) = ln(n_c/N) + Σ_{w∈d} ln((cnt(w,c)+1)/(T_c+V)), each log
+    term rounded ONCE to integer micro-nats (house log rule), summed
+    exactly; argmax per document breaks ties by class name, so the
+    prediction is engine-portable integer arithmetic end-to-end.
+
+    Scale shape: training is two hash aggregates ((w,c) counts and
+    per-class totals); the model table vocab×|classes| is
+    vocabulary-bounded and its build is a broadcast of the |classes|-row
+    and scalar tables onto the distinct-word frame; scoring joins the
+    token stream to the model on the word key (AQE-decided, same
+    policy as tfidf/pmi — ×|classes| fanout bounded by the constant
+    class count), rolls up (doc,class), and takes the per-doc argmax
+    with a doc-keyed WindowGroupLimit; the confusion rollup is a
+    ≤|classes|²-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
+    )
+    wc = tok.groupBy("w", F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cls = d.select(
+        F.col("lang").alias("c"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("nw"),
+    ).groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("t_c")
+    )
+    voc = tok.select("w").distinct()
+    v = voc.agg(F.count(F.lit(1)).alias("v"))
+    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
+    lp = (
+        voc.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(v))
+        .join(wc, ["w", "c"], "left")
+        .select(
+            "w",
+            "c",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("t_c") + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("lp_e6"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(n_all)).select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("n_all")) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("prior_e6"),
+    )
+    score = (
+        tok.join(lp, "w")
+        .join(F.broadcast(prior), "c")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            (F.sum("lp_e6") + F.any_value(F.col("prior_e6"))).alias("s_e6")
+        )
+    )
+    pred = score.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("s_e6").desc(), "c")
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("lang", F.col("c").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )

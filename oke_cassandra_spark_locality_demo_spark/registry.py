@@ -245,7 +245,7 @@ _MODIFIED_THIS_ROUND = [
 #: q_win_rolling_median, q_sim_ivf_index, q_sample_ppl_band,
 #: q_corpus_card, q_text_perplexity_bigram, q_privacy_kanon,
 #: q_text_bpe_fertility, q_select_dsir, q_order_curriculum,
-#: q_multimodal_phash, q_drift_ks) — that exhausts every
+#: q_multimodal_phash, q_drift_ks, q_classify_nb) — that exhausts every
 #: never-adjudicated key to within a couple spilling to r7, after
 #: which the rotation retires.
 _ROUND_PRIORITY = [
