@@ -178,6 +178,13 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         # the bitmap words are OR-merged (order-free) by construction
         "q_sample_temperature",
         "q_agg_bitmap_distinct",
+        # late-r5 continuation: every new op that sums rounded log
+        # terms (bigram perplexity, DSIR weights, NB scores) or crosses
+        # an ECDF (KS) must emit identical integers under any layout
+        "q_text_perplexity_bigram",
+        "q_select_dsir",
+        "q_drift_ks",
+        "q_classify_nb",
     ]
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: time each headline/TPC-H/LLM query at
+sf0.01 and sf0.1 (10× the rows) and report the wall-time ratio.
+
+Reading the ratio at fixture scale:
+- ratio ≪ 10: fixed job overhead dominates — the query's data-dependent
+  cost is still invisible at this size (most point lookups/aggregates).
+- ratio ≈ 10: linear in input — the expected asymptote for scans, hash
+  aggregates, and well-bucketed joins.
+- ratio ≫ 10: SUPERLINEAR — the red flag this tool exists to catch
+  (pair blowup in candidate joins, accidental cross products, windows
+  that stopped partitioning). Anything over SUPERLINEAR_RATIO prints a
+  warning line and exits non-zero so CI can gate on it.
+
+Run: python tools/scaling_probe.py  (add --suite llm|headline|tpch)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oke_cassandra_spark_locality_demo_spark import registry
+from oke_cassandra_spark_locality_demo_spark.session import build_session
+
+from bench import HEADLINE, LLM_SECONDARY
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+#: wall-ratio above which a 10× data step is flagged superlinear. 14 =
+#: 10× linear growth + generous headroom for fixture-scale noise; the
+#: real pathologies this catches (quadratic pair joins, cross products)
+#: land at 30-100×.
+SUPERLINEAR_RATIO = 14.0
+
+
+def time_query(fn, spark, sf_dir: str, repeats: int = 3) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["headline", "tpch", "llm", "all"],
+                    default="all")
+    args = ap.parse_args()
+    spark = build_session(app_name="scaling-probe")
+    qs = registry.all_queries()
+    tpch = sorted(
+        (q for q in qs if q.startswith("q_tpch_q")),
+        key=lambda s: int(s[len("q_tpch_q"):]),
+    )
+    suites = {"headline": HEADLINE, "tpch": tpch, "llm": LLM_SECONDARY}
+    names = (
+        suites[args.suite]
+        if args.suite != "all"
+        else HEADLINE + tpch + LLM_SECONDARY
+    )
+    rows, flagged = [], []
+    for name in names:
+        fn = qs[name]
+        # warm both paths once so codegen/IO caches and any trained-state
+        # memos (BPE/IVF) are charged to neither measurement
+        fn(spark, SF_SMALL).count()
+        fn(spark, SF_BIG).count()
+        t_small = time_query(fn, spark, SF_SMALL)
+        t_big = time_query(fn, spark, SF_BIG)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        rows.append({"query": name, "sf001_sec": round(t_small, 3),
+                     "sf01_sec": round(t_big, 3), "ratio": round(ratio, 2)})
+        if ratio > SUPERLINEAR_RATIO:
+            flagged.append((name, ratio))
+    print(json.dumps({"probe": "scaling_10x", "queries": rows,
+                      "superlinear": [n for n, _ in flagged]}))
+    for name, ratio in flagged:
+        print(f"WARNING superlinear: {name} {ratio:.1f}x wall for 10x data",
+              file=sys.stderr)
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
