@@ -227,7 +227,8 @@ _MODIFIED_THIS_ROUND = [
 #: ROUND-6 PLAYBOOK (for the next session, after CORRECTNESS_r05
 #: lands): (1) append r5's 50 sampled keys to _DRIVER_ADJUDICATED;
 #: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r6;
-#: (3) replace this list with the ~52 still-never-adjudicated keys —
+#: (3) replace this list with 50 of the ~68 still-never-adjudicated
+#: keys —
 #: the remaining 15 q_tpch_* (q2/q4/q7/q8/q10/q11/q12/q13/q14/q15/q16/
 #: q17/q19/q20/q22), the late-r4 operator additions (q_sessionize,
 #: q_join_bloom, q_join_bucketed, q_agg_sketch_cms, q_agg_sketch_theta,
@@ -245,9 +246,10 @@ _MODIFIED_THIS_ROUND = [
 #: q_win_rolling_median, q_sim_ivf_index, q_sample_ppl_band,
 #: q_corpus_card, q_text_perplexity_bigram, q_privacy_kanon,
 #: q_text_bpe_fertility, q_select_dsir, q_order_curriculum,
-#: q_multimodal_phash, q_drift_ks, q_classify_nb) — that exhausts every
-#: never-adjudicated key to within a couple spilling to r7, after
-#: which the rotation retires.
+#: q_multimodal_phash, q_drift_ks, q_classify_nb). 50 slots cover all
+#: but ~18 — prioritize the oracle-backed TPC-H tail and late-r4
+#: blocks first; the remainder (and the rows-only stragglers) front in
+#: r7, after which the rotation retires.
 _ROUND_PRIORITY = [
     # streaming block — never graded by the driver (VERDICT r4 gap #1)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
