@@ -113,6 +113,7 @@ LLM_SECONDARY = [
     "q_multimodal_phash",
     "q_drift_ks",
     "q_classify_nb",
+    "q_split_leakage",
 ]
 
 

@@ -1321,3 +1321,133 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab.unionByName(ba).filter(
         F.col("containment") >= CONTAINMENT_THRESHOLD
     )
+
+
+@register(
+    "q_split_leakage",
+    oracle="""
+    WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN SUBSTRING(MD5(source), 1, 2) < 'cc' THEN 'train'
+                    WHEN SUBSTRING(MD5(source), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - 3, 0) + 1),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+3], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    common AS (
+        SELECT e.doc_id AS ev_id, t.doc_id AS tr_id, COUNT(*) AS n_common
+        FROM shingled e
+        JOIN sp se ON e.doc_id = se.doc_id AND se.split <> 'train'
+        JOIN shingled t ON e.shingle = t.shingle
+        JOIN sp st ON t.doc_id = st.doc_id AND st.split = 'train'
+        GROUP BY e.doc_id, t.doc_id
+    ),
+    leaks AS (
+        SELECT c.ev_id, c.tr_id,
+               CAST(c.n_common AS DOUBLE)
+                 / (se.n_sh + st.n_sh - c.n_common) AS jac,
+               c.n_common, se.n_sh + st.n_sh - c.n_common AS denom
+        FROM common c
+        JOIN sizes se ON c.ev_id = se.doc_id
+        JOIN sizes st ON c.tr_id = st.doc_id
+    )
+    SELECT l.ev_id AS doc_id, ANY_VALUE(sp.split) AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+           CAST(MAX(CAST(ROUND(l.n_common * 1000000.0 / l.denom) AS BIGINT))
+                AS BIGINT) AS max_jac_ppm
+    FROM leaks l JOIN sp ON l.ev_id = sp.doc_id
+    WHERE l.jac >= 0.6
+    GROUP BY l.ev_id
+    ORDER BY l.ev_id
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit: every val/test document with a
+    near-duplicate (3-shingle Jaccard ≥ 0.6) in the train split — the
+    silent evaluation-inflation bug every serious pipeline audits for
+    (the provenance-keyed split of `q_split_train_test` stops
+    SAME-source near-dups from straddling, but cross-source
+    near-duplication leaks anyway; this measures exactly that
+    residual). Emits each leaked eval doc with its split, the count of
+    train-side near-dups, and the worst Jaccard in integer ppm.
+
+    Exactness + scale shape: identical to `q_dedup_incremental_fuzzy`
+    with the batch/history roles played by eval/train — the PPJoin
+    rarity-prefix filter is computed over the whole corpus, candidate
+    generation joins only EVAL prefixes against TRAIN prefixes (work
+    scales with the eval slice, ~20% of the corpus, and no train×train
+    or eval×eval pair ever forms; the prefix-filter theorem keeps the
+    cross-restriction exact), and candidates get the full intersection
+    verify under the counted broadcast cap. All-integer emissions
+    (ppm is a scale-0 ROUND of an int-ratio double)."""
+    d = load(spark, sf_dir, "documents")
+    t = 0.6
+    pfx = F.substring(F.md5(F.col("source")), 1, 2)
+    split = (
+        F.when(pfx < "cc", "train").when(pfx < "e6", "val").otherwise("test")
+    )
+    sp = d.select("doc_id", split.alias("split"))
+    sh = _shared_shingles(spark, sf_dir, d)
+    memo = _ngram_memo_get(spark, sf_dir, variant="leakage")
+    if memo is not None:
+        (cand,) = memo
+    else:
+        prefix = _rarity_prefix(sh, t).join(sp, "doc_id")
+        pe = prefix.filter(F.col("split") != "train").select(
+            F.col("doc_id").alias("ev_id"),
+            "shingle",
+            F.col("n_sh").alias("ne"),
+            "split",
+        )
+        pt = prefix.filter(F.col("split") == "train").select(
+            F.col("doc_id").alias("tr_id"), "shingle", F.col("n_sh").alias("nt")
+        )
+        cand = (
+            pe.join(
+                pt,
+                (pe.shingle == pt.shingle)
+                & (F.col("ne") >= t * F.col("nt"))
+                & (F.col("nt") >= t * F.col("ne")),
+            )
+            .select("ev_id", "tr_id", "ne", "nt", "split")
+            .distinct()
+            .cache()
+        )
+        _ngram_memo_put(spark, sf_dir, (cand,), variant="leakage")
+    a = sh.select(F.col("doc_id").alias("ev_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("tr_id"), "shingle")
+    common = (
+        _capped_broadcast(cand)
+        .join(a, "ev_id")
+        .join(b, ["tr_id", "shingle"])
+        .groupBy("ev_id", "tr_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("ne").alias("ne"),
+            F.first("nt").alias("nt"),
+            F.first("split").alias("split"),
+        )
+    )
+    denom = F.col("ne") + F.col("nt") - F.col("n_common")
+    jac = F.col("n_common").cast("double") / denom
+    return (
+        common.filter(jac >= t)
+        .groupBy(F.col("ev_id").alias("doc_id"))
+        .agg(
+            F.any_value(F.col("split")).alias("split"),
+            F.count(F.lit(1)).alias("n_train_dups"),
+            F.max(
+                F.round(F.col("n_common") * 1000000.0 / denom, 0).cast("long")
+            ).alias("max_jac_ppm"),
+        )
+        .orderBy("doc_id")
+    )
