@@ -114,6 +114,8 @@ LLM_SECONDARY = [
     "q_drift_ks",
     "q_classify_nb",
     "q_split_leakage",
+    "q_text_novelty",
+    "q_quality_gopher",
 ]
 
 

@@ -1188,3 +1188,163 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_e6") / 1000000.0 / F.count(F.lit(1))
         ).alias("cross_entropy2"),
     )
+
+
+@register(
+    "q_text_novelty",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                   LIST_TRANSFORM(
+                       RANGE(0, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - 3, 0) + 1),
+                       i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i+1:i+3], ' ')
+                   ))) AS shingle
+        FROM documents
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS novelty_ppm
+    FROM shingled s JOIN df d USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram NOVELTY score per document — the share of a
+    doc's distinct 3-word shingles that occur in NO other document
+    (document frequency 1), the "creativity index" shape (Lu et al.
+    2024, public literature) used to find template/boilerplate-heavy
+    docs (low novelty) vs genuinely fresh text (high novelty) before
+    training. Complements `q_text_repetition` (INTRA-doc duplication)
+    with the CROSS-doc axis, without materializing any pair.
+
+    Scale shape: reuses the cached corpus shingle table
+    (`dedup._shared_shingles`), collapses shingles to 64-bit xxhash64
+    keys before the two shuffles (df-count groupBy and the join back),
+    so all wide stages move 8-byte longs — the same trick as the
+    production jaccard op; the collision argument is documented there
+    (dedup.py q_dedup_ngram_jaccard). No broadcast of anything
+    data-sized; per-doc aggregation is a plain map-side-combinable
+    count. All-integer emissions (ppm is a scale-0 ROUND of an
+    int-ratio double)."""
+    from .dedup import _shared_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shared_shingles(spark, sf_dir, d).select(
+        "doc_id", F.xxhash64("shingle").alias("k")
+    )
+    df_counts = sh.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(uniq * 1000000.0 / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_quality_gopher",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               TRIM(LOWER(text)) AS norm,
+               STRING_SPLIT(TRIM(LOWER(text)), ' ') AS words
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(LEN(words) AS INTEGER) AS n_words,
+               CAST(ROUND(LENGTH(REPLACE(norm, ' ', '')) * 1000.0
+                          / LEN(words)) AS BIGINT) AS mean_wlen_milli,
+               CAST(ROUND(LEN(LIST_FILTER(words,
+                          w -> REGEXP_FULL_MATCH(w, '[a-z]+'))) * 1000.0
+                          / LEN(words)) AS BIGINT) AS alpha_milli,
+               CAST(LEN(LIST_FILTER(words,
+                    w -> LIST_CONTAINS(['the','and','of','to','a','in','is'], w)))
+                    AS INTEGER) AS stop_hits,
+               CAST((LENGTH(norm) - LENGTH(REPLACE(norm, '#', '')))
+                    + (LENGTH(norm) - LENGTH(REPLACE(norm, '...', ''))) / 3
+                    AS BIGINT) AS sym_count
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_wlen_milli, alpha_milli, stop_hits,
+           CAST(  CASE WHEN n_words BETWEEN 20 AND 500 THEN 1 ELSE 0 END
+                + CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 2 ELSE 0 END
+                + CASE WHEN alpha_milli >= 800 THEN 4 ELSE 0 END
+                + CASE WHEN stop_hits >= 2 THEN 8 ELSE 0 END
+                + CASE WHEN sym_count * 10 < n_words THEN 16 ELSE 0 END
+             AS INTEGER) AS rules,
+           (n_words BETWEEN 20 AND 500)
+             AND mean_wlen_milli BETWEEN 3000 AND 10000
+             AND alpha_milli >= 800 AND stop_hits >= 2
+             AND sym_count * 10 < n_words AS keep
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 Table A1,
+    public literature) as a PER-RULE BITMASK, not just a verdict: word
+    count band, mean-word-length band, alphabetic-word ratio, required
+    stopwords, symbol ratio — each rule is one bit, so a corpus owner
+    can ask "which rule kills my docs" with one groupBy on `rules`
+    (the full-cascade sibling of `q_text_quality`'s 2-rule score;
+    bounds adapted to the fixture corpus' 10-99-word docs).
+
+    Exactness: every rule compares INTEGERS — ratios are pre-rounded
+    to milli-units (scale-0 ROUND of int-ratio doubles, portable) and
+    the symbol rule is the cross-multiplied `sym*10 < n_words`, so no
+    float threshold ever decides a bit. One narrow projection, no
+    shuffle at all (groupBy-free): the plan is a single codegen'd scan
+    stage."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.col("text")))
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    chars = F.length(F.translate(norm, " ", ""))
+    mean_wlen = F.round(chars * 1000.0 / n_words, 0).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
+    alpha = F.round(n_alpha * 1000.0 / n_words, 0).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stops = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    sym = (
+        (F.length(norm) - F.length(F.translate(norm, "#", "")))
+        + (F.length(norm) - F.length(F.regexp_replace(norm, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen_milli"),
+        alpha.alias("alpha_milli"),
+        stops.alias("stop_hits"),
+        sym.alias("sym_count"),
+    )
+    r_len = F.col("n_words").between(20, 500)
+    r_wlen = F.col("mean_wlen_milli").between(3000, 10000)
+    r_alpha = F.col("alpha_milli") >= 800
+    r_stop = F.col("stop_hits") >= 2
+    r_sym = F.col("sym_count") * 10 < F.col("n_words")
+    bit = lambda cond, w: F.when(cond, w).otherwise(0)  # noqa: E731
+    return c.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_milli",
+        "alpha_milli",
+        "stop_hits",
+        (
+            bit(r_len, 1) + bit(r_wlen, 2) + bit(r_alpha, 4)
+            + bit(r_stop, 8) + bit(r_sym, 16)
+        ).cast("int").alias("rules"),
+        (r_len & r_wlen & r_alpha & r_stop & r_sym).alias("keep"),
+    ).orderBy("doc_id")
