@@ -1826,3 +1826,108 @@ def q_agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.bit_count(c.bitwiseAND(p).bitwiseAND(s))).alias("all_three"),
     )
+
+
+@register(
+    "q_rank_wilson",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS part, l_suppkey AS supp,
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    pm AS (SELECT part, MIN(cents) AS mc FROM ps GROUP BY part),
+    winner AS (
+        SELECT ps.part, MIN(ps.supp) AS win_supp
+        FROM ps JOIN pm ON ps.part = pm.part AND ps.cents = pm.mc
+        GROUP BY ps.part
+    ),
+    trials AS (SELECT supp, COUNT(*) AS n FROM ps GROUP BY supp),
+    wins AS (SELECT win_supp AS supp, COUNT(*) AS w FROM winner GROUP BY supp),
+    scored AS (
+        SELECT t.supp, t.n, COALESCE(ws.w, 0) AS w,
+               CAST(COALESCE(ws.w, 0) AS DOUBLE) / t.n AS p
+        FROM trials t LEFT JOIN wins ws ON t.supp = ws.supp
+    )
+    SELECT s.supp AS s_suppkey, su.s_name,
+           CAST(n AS BIGINT) AS trials, CAST(w AS BIGINT) AS wins,
+           CAST(ROUND(w * 1000000.0 / n) AS BIGINT) AS winrate_ppm,
+           CAST(ROUND(
+               (p + 3.8416 / (2 * n)
+                  - 1.96 * SQRT((p * (1 - p) + 3.8416 / (4 * n)) / n))
+               / (1 + 3.8416 / n) * 1000000.0) AS BIGINT) AS wilson_lb_ppm
+    FROM scored s JOIN supplier su ON s.supp = su.s_suppkey
+    ORDER BY wilson_lb_ppm DESC, s_suppkey
+    """,
+)
+def q_rank_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-competitiveness RANKING with a Wilson lower confidence
+    bound: per part, the supplier shipping it cheapest "wins"; each
+    supplier is then ranked not by raw win rate (which over-rewards a
+    1-for-1 fluke) but by the Wilson score interval's lower bound at
+    z = 1.96 — the standard small-sample-honest ranking statistic
+    (Wilson 1927; the idiom popularized by Miller's "How Not To Sort
+    By Average Rating", public literature).
+
+    Exactness across engines: prices collapse to integer CENTS first
+    (scale-0 ROUND of an identically derived double — dyadic-midpoint
+    safe); winners are exact integer argmins with a deterministic
+    lowest-suppkey tiebreak (two groupBys, no window over the big
+    side); and the Wilson formula is evaluated in the SAME operation
+    order on both engines from the same two integers (wins, trials) —
+    per-row scalar IEEE arithmetic with no float AGGREGATION anywhere,
+    and SQRT is correctly rounded on both engines (unlike ln/log2, see
+    FIXTURES.md), so the pre-round double is bit-identical; emission is
+    the portable scale-0 micro-unit round.
+
+    Scale shape: everything keys on (part, supp) or supp — map-side
+    combinable aggregations; the only join against a non-aggregated
+    table is the final supplier-name lookup, which AQE broadcasts
+    (suppliers ≪ lineitem). No data-sized broadcast, no window over
+    an unpartitioned set."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    pm = ps.groupBy("part").agg(F.min("cents").alias("mc"))
+    winner = (
+        ps.join(pm, "part")
+        .filter(F.col("cents") == F.col("mc"))
+        .groupBy("part")
+        .agg(F.min("supp").alias("supp"))
+    )
+    trials = ps.groupBy("supp").agg(F.count(F.lit(1)).alias("n"))
+    wins = winner.groupBy("supp").agg(F.count(F.lit(1)).alias("w"))
+    n = F.col("n").cast("double")
+    w = F.coalesce(F.col("w"), F.lit(0))
+    p = w.cast("double") / n
+    z, z2 = 1.96, 3.8416
+    wilson = (
+        (p + z2 / (2 * n) - z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+        / (1 + z2 / n)
+    )
+    return (
+        trials.join(wins, "supp", "left")
+        .select(
+            F.col("supp").alias("s_suppkey"),
+            F.col("n").cast("long").alias("trials"),
+            w.cast("long").alias("wins"),
+            F.round(w * 1000000.0 / n).cast("long").alias("winrate_ppm"),
+            F.round(wilson * 1000000.0).cast("long").alias("wilson_lb_ppm"),
+        )
+        .join(sup.select("s_suppkey", "s_name"), "s_suppkey")
+        .select(
+            "s_suppkey", "s_name", "trials", "wins", "winrate_ppm",
+            "wilson_lb_ppm",
+        )
+        .orderBy(F.desc("wilson_lb_ppm"), "s_suppkey")
+    )

@@ -138,3 +138,141 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pagerank").desc(), "nation")
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    ),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+        FROM e
+        JOIN deg du ON e.u = du.n
+        JOIN deg dv ON e.v = dv.n
+    ),
+    tri AS (
+        SELECT o1.s AS a, o1.t AS b, o2.t AS c
+        FROM o o1
+        JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+        JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t
+    ),
+    tc AS (
+        SELECT n, COUNT(*) AS tri
+        FROM (SELECT a AS n FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY n
+    )
+    SELECT d.n AS part, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(tc.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d >= 2 THEN ROUND(
+                    COALESCE(tc.tri, 0) * 2000000.0 / (d.d * (d.d - 1)))
+                ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM deg d LEFT JOIN tc ON d.n = tc.n
+    ORDER BY part
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node TRIANGLE COUNT + local clustering coefficient on
+    the part co-purchase graph (parts sharing a 1995 order are
+    adjacent) — the canonical one-round distributed graph analytic
+    (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of
+    the Last Reducer", public literature), and the structural sibling
+    of the ITERATIVE loop in `q_graph_pagerank`.
+
+    The scale story IS the algorithm: a naive adjacency self-join
+    enumerates Σ C(deg,2) wedges, which the last hub reducer turns
+    quadratic. Degree-ORIENTATION (each edge directed from its
+    lower-degree endpoint, ties by id) makes every out-degree O(√m),
+    bounding total wedges by O(m^1.5) and counting each triangle
+    exactly once — no hub key ever explodes, no salting needed. Wedge
+    generation + the closing-edge hash join are ordinary shuffles on
+    integer keys; corner counts come from one explode + groupBy.
+    Per-order pair blowup is bounded by TPC-H's ≤7 lineitems/order
+    (C(7,2) = 21 pairs), and the year cut is pushed to the orders scan.
+    All-integer emissions; clustering is the cross-multiplied
+    `tri·2e6 / (d·(d−1))` — no half-integer division anywhere."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_orderkey")
+    )
+    li = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = o.select(F.col("s"), F.col("t").alias("b"))
+    o2 = o.select(F.col("s"), F.col("t").alias("c"))
+    wedges = o1.join(o2, "s").filter(F.col("b") < F.col("c"))
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    t = F.coalesce(F.col("tri"), F.lit(0))
+    d = F.col("d")
+    return (
+        deg.join(corners, "n", "left")
+        .select(
+            F.col("n").alias("part"),
+            d.cast("long").alias("degree"),
+            t.cast("long").alias("n_triangles"),
+            F.when(
+                d >= 2, F.round(t * 2000000.0 / (d * (d - 1)))
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+        .orderBy("part")
+    )
