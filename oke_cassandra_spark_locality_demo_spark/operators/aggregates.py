@@ -1931,3 +1931,125 @@ def q_rank_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("wilson_lb_ppm"), "s_suppkey")
     )
+
+
+@register(
+    "q_agg_percentile_exact",
+    oracle="""
+    WITH o AS (
+        SELECT n.n_name AS nation,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    f AS (SELECT nation, cents, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+    w AS (
+        SELECT nation, cents,
+               SUM(cnt) OVER (PARTITION BY nation ORDER BY cents) AS cum,
+               SUM(cnt) OVER (PARTITION BY nation) AS n
+        FROM f
+    )
+    SELECT nation, CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                         THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+                         THEN cents END) AS BIGINT) AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                         THEN cents END) AS BIGINT) AS p99_cents
+    FROM w GROUP BY nation ORDER BY nation
+    """,
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 of order total, integer
+    cents, per customer nation) by two-pass bucket refinement — the
+    scale-honest exact companion to `q_agg_approx_quantile`: no window
+    function ever sees a data-sized partition.
+
+    Pass 1 histograms rows into $1000 coarse buckets (`cents div
+    100000`) — a map-side-combinable groupBy whose result is
+    nations x ~600 buckets, CONSTANT-size regardless of row count; the
+    prefix sum locating each target rank's bucket runs over that tiny
+    table. Pass 2 re-aggregates only rows inside selected buckets
+    (inner join against the selector prunes the rest) at full cents
+    granularity, and its within-bucket prefix window partitions on
+    (nation, percentile) whose size is bounded by the bucket WIDTH
+    (<= 100,000 distinct cents values) — bounded by construction, not
+    by data volume. A naive single window over (nation, cents) would
+    funnel every order of the largest nation through one reducer at
+    100 TB; both passes here are immune (the classic iterative
+    bucket-refinement selection; one refinement level suffices because
+    the residual domain is the bucket width).
+
+    Rank convention: the p-th percentile is the smallest value whose
+    cumulative count reaches ceil(n*p/100) — pure integer arithmetic
+    (`div` / `//`), identical on both engines; the oracle computes the
+    same statistic with the naive one-window formulation, checking the
+    two-pass refinement against the definition rather than mirroring
+    the plan. All-integer emissions."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("bucket", F.expr("cents div 100000"))
+    )
+    hist = rows.groupBy("nation", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.partitionBy("nation").orderBy("bucket")
+    wn = Window.partitionBy("nation")
+    hist = (
+        hist.withColumn("cum", F.sum("cnt").over(wb))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    # one selector row per (nation, percentile): the bucket holding the
+    # target rank plus the residual rank inside it — <= nations x 3 rows
+    sel = (
+        hist.select(
+            "nation", "bucket", "cum", "cum_before", "n",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p"),
+        )
+        .withColumn("r", F.expr("(n * p + 99) div 100"))
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum_before") < F.col("r")))
+        .select(
+            "nation", "bucket", "p", "n",
+            (F.col("r") - F.col("cum_before")).alias("residual"),
+        )
+    )
+    freq2 = rows.groupBy("nation", "bucket", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # constant-size selector: pinned broadcast is justified (<= 75 rows)
+    joined = freq2.join(F.broadcast(sel), ["nation", "bucket"])
+    wc = Window.partitionBy("nation", "p").orderBy("cents")
+    picked = (
+        joined.withColumn("cumw", F.sum("cnt").over(wc))
+        .groupBy("nation", "p")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("cumw") >= F.col("residual"), F.col("cents"))
+            ).alias("val"),
+        )
+    )
+    return (
+        picked.groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.min(F.when(F.col("p") == 50, F.col("val")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(F.when(F.col("p") == 90, F.col("val")))
+            .cast("long")
+            .alias("p90_cents"),
+            F.min(F.when(F.col("p") == 99, F.col("val")))
+            .cast("long")
+            .alias("p99_cents"),
+        )
+        .orderBy("nation")
+    )

@@ -248,7 +248,7 @@ _MODIFIED_THIS_ROUND = [
 #: q_text_bpe_fertility, q_select_dsir, q_order_curriculum,
 #: q_multimodal_phash, q_drift_ks, q_classify_nb, q_split_leakage,
 #: q_text_novelty, q_quality_gopher, q_rank_wilson,
-#: q_graph_triangles). 50 slots cover all
+#: q_graph_triangles, q_graph_bfs, q_agg_percentile_exact). 50 slots cover all
 #: but ~18 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in
 #: r7, after which the rotation retires.
