@@ -1,0 +1,200 @@
+"""Retrieval ranking beyond BM25: Dirichlet query-likelihood and
+reciprocal-rank fusion.
+
+A curation pipeline rarely trusts one retrieval scorer: eval-set mining
+and quality classification typically fuse a lexical ranker with a second
+signal (Cormack et al. 2009, "Reciprocal Rank Fusion outperforms Condorcet
+and individual rank learning methods"). These ops add the second lexical
+family (query-likelihood language modeling, Zhai & Lafferty 2001) and the
+fusion step over the repo's existing BM25 ranking. The reference executes
+no retrieval workload (SURVEY.md Appendix A); these extend the
+training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import get, register
+from .text import BM25_QUERY, _words, q_text_bm25
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty's recommended
+#: magnitude). Appears as the LITERAL 2000.0 in both the Spark
+#: expression and the oracle SQL — the two texts must stay
+#: digit-identical for bit parity (same rule as BM25's k1/b literals).
+_MU = 2000.0
+
+_QL_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot FROM dl),
+    cf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cf
+        FROM tok WHERE word IN ('spark', 'join', 'window')
+        GROUP BY word
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE word IN ('spark', 'join', 'window')
+        GROUP BY doc_id, word
+    ),
+    base AS (SELECT dl.doc_id, dl.dl, cf.word, cf.cf FROM dl CROSS JOIN cf),
+    j AS (
+        SELECT base.doc_id, base.dl, base.cf, COALESCE(tf.tf, 0) AS tf0
+        FROM base
+        LEFT JOIN tf ON base.doc_id = tf.doc_id AND base.word = tf.word
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(ROUND(LN((tf0 + 2000.0 * (CAST(cf AS DOUBLE) / ctot))
+                             / (dl + 2000.0)) * 1000000.0)
+                    AS BIGINT) AS term_u
+        FROM j CROSS JOIN g
+    )
+    SELECT doc_id, CAST(SUM(term_u) AS BIGINT) AS ql_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY ql_e6 DESC, doc_id LIMIT 20
+    """
+
+
+@register("q_text_ql", oracle=_QL_ORACLE)
+def q_text_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed QUERY-LIKELIHOOD top-20 ranking of `documents`
+    for the same fixed probe as `q_text_bm25` — the language-modeling
+    retrieval family (score = Σ_w ln p(w|doc), p Dirichlet-smoothed
+    toward the collection model), the standard second lexical scorer a
+    pipeline fuses with BM25.
+
+    Unlike BM25, QL scores ALL probe terms per doc (absent terms
+    contribute the smoothed background mass), so the per-doc work is a
+    docs × |probe| cross join against a |probe|-row broadcast — 3 extra
+    rows per doc, not a vocabulary join. Collection stats (ctot, per-term
+    cf) are 1-row / |probe|-row broadcasts; tf and dl are map-side
+    combinable aggregates of one explode; top-20 is a TakeOrdered.
+
+    Float discipline (same as BM25): the smoothed probability is a chain
+    of identically-written IEEE ops on integer-derived operands —
+    bit-identical on both engines — and the single non-portable step
+    (LN, 1-ulp across libm/fdlibm) is rounded ONCE per term to integer
+    micro-units, then summed exactly as BIGINT. Ranking and tie-break
+    are integer-deterministic."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(F.sum("dl").alias("ctot"))
+    cf = (
+        tok.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    tf = (
+        tok.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    base = dl.crossJoin(F.broadcast(cf))
+    j = base.join(tf, ["doc_id", "word"], "left").select(
+        "doc_id", "dl", "cf", F.coalesce(F.col("tf"), F.lit(0)).alias("tf0")
+    )
+    scored = j.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        F.round(
+            F.log(
+                (F.col("tf0") + 2000.0 * (F.col("cf").cast("double") / F.col("ctot")))
+                / (F.col("dl") + 2000.0)
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("term_u"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_u").alias("ql_e6"))
+        .orderBy(F.col("ql_e6").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_rank_rrf",
+    oracle=f"""
+    WITH bm AS ({get("q_text_bm25").oracle}),
+    ql AS ({_QL_ORACLE}),
+    br AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS ra
+        FROM bm
+    ),
+    qr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ql_e6 DESC, doc_id) AS rb
+        FROM ql
+    ),
+    f AS (
+        SELECT COALESCE(br.doc_id, qr.doc_id) AS doc_id,
+               COALESCE(ra, 0) AS ra, COALESCE(rb, 0) AS rb
+        FROM br FULL OUTER JOIN qr ON br.doc_id = qr.doc_id
+    )
+    SELECT doc_id, CAST(ra AS BIGINT) AS rank_bm25,
+           CAST(rb AS BIGINT) AS rank_ql,
+           CAST(ROUND((CASE WHEN ra > 0 THEN 1.0 / (60.0 + ra) ELSE 0.0 END
+                     + CASE WHEN rb > 0 THEN 1.0 / (60.0 + rb) ELSE 0.0 END)
+                      * 1000000.0) AS BIGINT) AS rrf_e6
+    FROM f ORDER BY rrf_e6 DESC, doc_id
+    """,
+)
+def q_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of the BM25 and query-likelihood top-20
+    lists (Cormack et al. 2009): score(d) = Σ_r 1/(k + rank_r(d)) with
+    the canonical k = 60; a doc absent from one list contributes 0 from
+    it (rank emitted as 0). RRF is how hybrid-retrieval pipelines merge
+    incomparable scorers — ranks are fused, never raw scores, so no
+    cross-scorer calibration is needed.
+
+    The rank windows run over the two TOP-20 lists — 20-row constant
+    inputs, so the unpartitioned `row_number` is bounded by construction
+    (the upstream rankers already did their TakeOrdered reduction at
+    scale; fusion cost is independent of corpus size). The fused score
+    is a per-row IEEE chain on two small integers, written
+    digit-identically on both engines (two correctly-rounded divisions,
+    one addition, one exact scaling) and rounded once at scale 0 —
+    portable; everything else is integer."""
+    w = Window.orderBy(F.col("bm25_e6").desc(), "doc_id")
+    br = (
+        q_text_bm25(spark, sf_dir)
+        .select("doc_id", F.row_number().over(w).alias("ra"))
+    )
+    w2 = Window.orderBy(F.col("ql_e6").desc(), "doc_id")
+    qr = (
+        q_text_ql(spark, sf_dir)
+        .select("doc_id", F.row_number().over(w2).alias("rb"))
+    )
+    f = (
+        br.join(qr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ra"), F.lit(0)).alias("ra"),
+            F.coalesce(F.col("rb"), F.lit(0)).alias("rb"),
+        )
+    )
+    contrib_a = F.when(
+        F.col("ra") > 0, F.lit(1.0) / (F.lit(60.0) + F.col("ra"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("rb") > 0, F.lit(1.0) / (F.lit(60.0) + F.col("rb"))
+    ).otherwise(F.lit(0.0))
+    return f.select(
+        "doc_id",
+        F.col("ra").cast("long").alias("rank_bm25"),
+        F.col("rb").cast("long").alias("rank_ql"),
+        F.round((contrib_a + contrib_b) * 1000000.0, 0)
+        .cast("long")
+        .alias("rrf_e6"),
+    ).orderBy(F.col("rrf_e6").desc(), "doc_id")

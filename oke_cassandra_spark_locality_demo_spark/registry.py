@@ -124,7 +124,7 @@ def _load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
     from .streaming import stateful  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
-    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, pq, sampling, bpe  # noqa: F401
+    from .llm import dedup, similarity, text, multimodal, pipeline, ivf, pq, sampling, bpe, rank  # noqa: F401
 
 
 #: Keys already adjudicated by the driver's correctness harness (it
@@ -248,7 +248,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_text_bpe_fertility, q_select_dsir, q_order_curriculum,
 #: q_multimodal_phash, q_drift_ks, q_classify_nb, q_split_leakage,
 #: q_text_novelty, q_quality_gopher, q_rank_wilson,
-#: q_graph_triangles, q_graph_bfs, q_agg_percentile_exact). 50 slots cover all
+#: q_graph_triangles, q_graph_bfs, q_agg_percentile_exact, q_text_ql,
+#: q_rank_rrf). 50 slots cover all
 #: but ~18 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in
 #: r7, after which the rotation retires.
