@@ -1451,3 +1451,62 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dedup_priority",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, text,
+               CAST(SUBSTRING(source, 4) AS INTEGER) % 3 AS tier,
+               TRIM(LOWER(text)) AS norm
+        FROM documents
+    ),
+    g AS (
+        SELECT norm, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM d GROUP BY norm
+    ),
+    keep AS (
+        SELECT doc_id, source, tier, norm
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY norm
+                                   ORDER BY tier, doc_id) = 1
+    )
+    SELECT k.doc_id, k.source, CAST(k.tier AS BIGINT) AS tier, g.n_dups
+    FROM keep k JOIN g USING (norm)
+    ORDER BY k.doc_id
+    """,
+)
+def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-PRIORITY exact dedup: within each duplicate group the kept
+    canonical is chosen by source TIER first (curated beats web — here
+    tier = source index mod 3, a stand-in for the curated/books/web
+    ladder every mixture pipeline maintains), doc_id second — the
+    provenance-aware variant of `q_dedup_exact`'s plain lowest-id rule.
+    Real pipelines need this: when Wikipedia and a crawl dump collide,
+    the curated copy's provenance (and license) must survive.
+
+    Same scale shape as q_dedup_exact — one hash aggregation on the
+    normalized text with `min_by` keyed on the COMPOSITE (tier, doc_id)
+    struct (lexicographic struct ordering gives priority-then-id in a
+    single combinable aggregate; no window over the corpus), plus the
+    group-size count from the same aggregate. The oracle states the
+    rule as a partitioned row_number, checking the min_by against the
+    declarative formulation. All-integer / categorical emissions."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(SUBSTRING(source, 4) AS INT) % 3").alias("tier"),
+        F.trim(F.lower(F.col("text"))).alias("norm"),
+    )
+    keep = d.groupBy("norm").agg(
+        F.min_by(
+            F.struct("doc_id", "source", "tier"),
+            F.struct("tier", "doc_id"),
+        ).alias("r"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return keep.select(
+        "r.doc_id", "r.source", F.col("r.tier").cast("long").alias("tier"),
+        "n_dups",
+    ).orderBy("doc_id")

@@ -10,7 +10,7 @@ scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import TABLES, load, register_views
@@ -210,4 +210,66 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(F.col("_n").alias("n_rows"), stacked).select(
         "column_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+@register(
+    "q_profile_skew",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM f
+    ),
+    top AS (
+        SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rank
+        FROM f QUALIFY rank <= 10
+    )
+    SELECT top.k AS custkey, top.cnt, CAST(top.rank AS BIGINT) AS rank,
+           (top.cnt * 1000000) // t.n_rows AS share_ppm,
+           (top.cnt * t.n_keys * 100) // t.n_rows AS hot_x100
+    FROM top CROSS JOIN t
+    ORDER BY rank
+    """,
+)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW profiler: the top-10 heaviest values of a join key
+    (o_custkey) with each one's row share and its heat relative to a
+    uniform key distribution (`hot_x100` = how many times more rows
+    than an average key carries, x100) — the diagnostic that decides
+    whether a join needs salting or AQE skew handling BEFORE running it
+    at 100 TB, the same per-key frequency pass Spark's own skew-join
+    planner does at runtime.
+
+    One map-side-combinable groupBy builds the key histogram; the
+    totals are a 1-row aggregate of it; top-10 is a TakeOrdered with a
+    deterministic (count desc, key asc) tie-break, and the rank window
+    runs over those 10 rows only — never over the histogram. Shares
+    and heat are integer division (`div` / `//`), identical on both
+    engines; all-integer emissions."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    f = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = f.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = f.orderBy(F.col("cnt").desc(), "k").limit(10)
+    # rank window over the already-reduced 10-row top list, not the histogram
+    w = Window.orderBy(F.col("cnt").desc(), "k")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("k").alias("custkey"),
+            "cnt",
+            F.col("rank").cast("long").alias("rank"),
+            F.expr("(cnt * 1000000) div n_rows").alias("share_ppm"),
+            F.expr("(cnt * n_keys * 100) div n_rows").alias("hot_x100"),
+        )
+        .orderBy("rank")
     )

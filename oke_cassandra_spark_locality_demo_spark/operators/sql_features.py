@@ -255,3 +255,53 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "q_fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                               * (1.0 + l_tax) * 100) AS BIGINT))
+                AS BIGINT) AS charge_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`): the pricing-charge expression is declared once as a named
+    SQL function and reused in a query — the declarative UDF surface
+    that, unlike Python UDFs, stays ENTIRELY inside Catalyst: the
+    function body is inlined into the plan at analysis time, so
+    predicate pushdown, whole-stage codegen, and vectorized evaluation
+    all apply — zero serialization boundary (the top rung of the cost
+    ladder documented in functions/udf.py).
+
+    The oracle inlines the identical expression text — digit-identical
+    IEEE chain on both engines, rounded once at scale 0 to integer
+    cents (the FIXTURES.md convention), summed exactly as BIGINT.
+    `CREATE OR REPLACE` keeps the definition idempotent across repeated
+    invocations in one session."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_cents(
+            p DOUBLE, d DOUBLE, t DOUBLE
+        ) RETURNS BIGINT
+        RETURN CAST(ROUND(p * (1.0 - d) * (1.0 + t) * 100) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(charge_cents(l_extendedprice, l_discount, l_tax))
+                   AS charge_cents,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
