@@ -2053,3 +2053,96 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_join_cardinality_sketch",
+    oracle="""
+    WITH fa AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    fb AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM fa),
+    nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM fb)
+    SELECT na.n AS n_left, nb.n AS n_right,
+           CAST((SELECT SUM(fa.cnt * fb.cnt)
+                 FROM fa JOIN fb ON fa.k = fb.k) AS BIGINT) AS exact_card,
+           TRUE AS est_ge_exact, TRUE AS within_eps
+    FROM na CROSS JOIN nb
+    """,
+)
+def q_join_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches, without executing
+    the join: |A ⋈_k B| = Σ_k cntA(k)·cntB(k) is estimated by the CMS
+    inner product min_r Σ_b cmsA[r,b]·cmsB[r,b] (Cormode &
+    Muthukrishnan 2005, §4.2) — the pre-shuffle planner diagnostic that
+    decides, from two ≤ d·w = 32k-row mergeable sketches, whether an
+    M:N join's output will explode BEFORE moving terabytes. The probe
+    join here is many-to-many (all lineitems vs returned lineitems on
+    l_partkey), exactly the shape whose output size is hard to guess
+    from input sizes alone.
+
+    DERIVED ORACLE VERDICT (same idiom as q_agg_sketch_cms): the exact
+    cardinality Σ cnt·cnt is computed on both engines from the per-key
+    frequency tables; Spark additionally builds both sketches with the
+    shared xxhash64 row-seed geometry and emits the inner-product
+    guarantees as booleans the oracle states as TRUE — `est_ge_exact`
+    (every counter pair overcounts, so each row's inner product ≥
+    truth, hence so is the min) and `within_eps` (min-row error ≤
+    2e·Na·Nb/w w.h.p. — deterministic on the fixed fixtures+seeds).
+    All sketch sums are exact BIGINT; a broken hash, bucket join, or
+    min-of-rows flips a boolean and hash-fails the query."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    a = li.select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("k"), F.lit(r)), F.lit(_CMS_W))
+            for r in range(_CMS_D)
+        ]
+    )
+
+    def cms(side: DataFrame, name: str) -> DataFrame:
+        return (
+            side.select(F.posexplode(buckets).alias("r", "bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    inner = (
+        cms(a, "ca")
+        .join(cms(b, "cb"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("est"))
+    )
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("cnt_a"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cnt_b"))
+    exact = fa.join(fb, "k").agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("exact_card")
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_left"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_right"))
+    eps_bound = F.ceil(
+        2.0 * 2.718281828 * F.col("n_left") * F.col("n_right") / _CMS_W
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(inner))
+        .select(
+            "n_left",
+            "n_right",
+            "exact_card",
+            (F.col("est") >= F.col("exact_card")).alias("est_ge_exact"),
+            ((F.col("est") - F.col("exact_card")) <= eps_bound).alias(
+                "within_eps"
+            ),
+        )
+    )

@@ -638,3 +638,46 @@ def test_drift_ks_prefix_sum_is_band_partitioned(spark, sf_dir):
         "unpartitioned window over the value stream"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangles_no_nested_loop_or_cartesian(spark, sf_dir):
+    """q_graph_triangles' wedge and closing-edge joins must all be hash
+    joins on integer keys: a BroadcastNestedLoopJoin or CartesianProduct
+    would mean the degree-orientation decomposition silently degraded to
+    an all-pairs comparison (the quadratic hub blowup it exists to
+    avoid)."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_graph_triangles").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_percentile_exact_windows_are_bounded(spark, sf_dir):
+    """q_agg_percentile_exact must never window directly over the raw
+    cents stream: every windowspecdefinition partitions on nation (pass
+    1, constant-size histogram) or (nation, p) (pass 2, bounded by the
+    bucket's distinct-value width). An unpartitioned or cents-leading
+    spec would be the single-reducer-per-nation global prefix sum the
+    two-pass refinement avoids."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_agg_percentile_exact").fn(spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(cents#", plan), (
+        "window ordered over raw cents without a bounding partition"
+    )
+    assert re.search(r"windowspecdefinition\(nation#", plan), plan[:2000]
+
+
+def test_profile_skew_rank_window_after_limit(spark, sf_dir):
+    """q_profile_skew's rank window must consume the already-reduced
+    top-10 list (a GlobalLimit appears in the plan), not the full key
+    histogram — the TakeOrdered reduction is what keeps the
+    unpartitioned row_number constant-bounded."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_profile_skew").fn(spark, sf_dir))
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan[:2000]
+    assert "windowspecdefinition" in plan, plan[:2000]
