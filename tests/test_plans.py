@@ -681,3 +681,16 @@ def test_profile_skew_rank_window_after_limit(spark, sf_dir):
     plan = simple_plan(get("q_profile_skew").fn(spark, sf_dir))
     assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan[:2000]
     assert "windowspecdefinition" in plan, plan[:2000]
+
+
+def test_win_sketch_distinct_remerges_broadcast_fan(spark, sf_dir):
+    """q_win_sketch_distinct must answer trailing windows by re-merging
+    daily HLL partials (hll_union_agg over the explode fan-out), with
+    the day-list side of the fan join broadcast — a plan that instead
+    re-aggregated raw user_ids per window would lose the 7x-scan saving
+    the sketch re-merge exists for."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_win_sketch_distinct").fn(spark, sf_dir))
+    assert "hll_union_agg" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
