@@ -378,3 +378,214 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("n").alias("part"), F.col("hop").cast("long").alias("hop")
     ).orderBy("part")
+
+
+_CC_CAP = 20
+
+# January-1995 co-purchase subgraph: sparser than the full-1995 graph
+# (which is one giant component at both fixture scales), so connected
+# components are NON-VACUOUS — measured 59 components / 619 parts at
+# sf0.01, 560 / 6,111 at sf0.1.
+_JAN_EDGES_SQL = """
+    li AS (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+    ),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+"""
+
+
+def _jan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected Jan-1995 co-purchase edges, both directions."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-01-31"))
+        .select("o_orderkey")
+    )
+    li = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+@register(
+    "q_graph_cc",
+    oracle=f"""
+    WITH RECURSIVE {_JAN_EDGES_SQL},
+    nodes AS (SELECT DISTINCT u AS n FROM ed),
+    r AS (
+        SELECT n, n AS m FROM nodes
+        UNION
+        SELECT r.n, ed.v FROM r JOIN ed ON r.m = ed.u
+    ),
+    cc AS (SELECT n, MIN(m) AS comp FROM r GROUP BY n)
+    SELECT c.n AS part,
+           CAST(c.comp AS BIGINT) AS component,
+           CAST(s.sz AS BIGINT) AS comp_size
+    FROM cc c
+    JOIN (SELECT comp, COUNT(*) AS sz FROM cc GROUP BY comp) s USING (comp)
+    ORDER BY part
+    """,
+)
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS on the January-1995 part co-purchase graph
+    via min-label propagation with POINTER JUMPING — the missing member
+    of the graph triad (pagerank = dense fixpoint, BFS = frontier
+    expansion, CC = label fixpoint with path shortcutting). Plain
+    hash-to-min needs diameter rounds (measured 14 / 28 at sf0.01 /
+    sf0.1); interleaving a pointer-jump step (lbl <- lbl[lbl], the
+    shortcutting that powers Kiveris et al. 2014's large-star /
+    small-star and classic PRAM CC) flattens label chains
+    geometrically, so the loop converges in O(log diameter) rounds —
+    the difference between 28 and ~6 shuffle rounds at 100 TB. Each
+    round is two key-partitioned hash joins (neighbor-min, then jump);
+    convergence is detected by the monotone label-sum scalar (labels
+    only ever decrease, so an unchanged SUM(lbl) IS a fixpoint — one
+    cheap agg action per round, no changed-row join). localCheckpoint
+    per round truncates the iterative lineage. At the steps-1-2
+    fixpoint every edge (u,v) has lbl(u) = lbl(v), and since labels are
+    only ever component-member minima the shared label is the component
+    min — asserted against the oracle's transitive-closure formulation
+    (recursive CTE reach-pairs, MIN per node), which checks the
+    iteration against the DEFINITION rather than a re-implementation.
+    All-integer emissions (part, component = min part id, comp_size)."""
+    ed = _jan_edges(spark, sf_dir).localCheckpoint()
+    lbl = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(_CC_CAP):
+        nbr = (
+            ed.join(lbl, ed.v == lbl.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        stepped = (
+            lbl.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+        )
+        jt = stepped.select(
+            F.col("node").alias("jn"), F.col("lbl").alias("jl")
+        )
+        lbl = (
+            stepped.join(jt, stepped.lbl == jt.jn, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur = lbl.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(f"q_graph_cc: no fixpoint within {_CC_CAP} rounds")
+    sizes = lbl.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        lbl.select(F.col("node").alias("part"), F.col("lbl").alias("component"))
+        .join(sizes, "component")
+        .select("part", "component", "comp_size")
+        .orderBy("part")
+    )
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle=f"""
+    WITH {_JAN_EDGES_SQL},
+    deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+    wedge AS (
+        SELECT a.v AS u, b.v AS v, a.u AS w
+        FROM ed a JOIN ed b ON a.u = b.u AND a.v < b.v
+    ),
+    cand AS (
+        SELECT wg.u, wg.v, wg.w FROM wedge wg
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.u = wg.u AND e.v = wg.v
+        )
+    )
+    SELECT c.u AS part_a, c.v AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_micro
+    FROM cand c JOIN deg d ON c.w = d.u
+    GROUP BY c.u, c.v
+    ORDER BY common_neighbors DESC, ra_micro DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the January-1995 co-purchase graph: top-20
+    non-adjacent part pairs by common-neighbor count, tie-broken by the
+    RESOURCE-ALLOCATION index (Zhou et al. 2009) — the third one-round
+    graph analytic after triangles (closed wedges) and CC: here the
+    OPEN wedges are the signal. Wedges are enumerated by the same
+    center-keyed self-join as q_graph_triangles (sum-of-degrees-squared
+    work, measured 22k wedges at sf0.01 — bounded because the Jan
+    co-purchase graph's max degree is 21); existing edges are removed
+    with a LEFT ANTI hash join (never a NOT-EXISTS nested loop), and
+    the RA score sums 1e6 DIV deg(w) over shared neighbors — integer
+    division on both engines, so the score is exact and hash-portable
+    where the classical Adamic-Adar 1/ln(deg) would hit the
+    cross-engine log divergence documented in FIXTURES.md. The final
+    top-20 is a TakeOrdered over the aggregated pair list, total-ordered
+    by (cn, ra, pair) so ties are deterministic. At 100x scale the hot
+    path is the wedge explosion: it is bounded by the degree cap the
+    skew profiler (q_profile_skew) measures, and a production run would
+    apply the same degree-threshold split GraphFrames uses — here the
+    max degree makes the plain self-join the right plan."""
+    ed = _jan_edges(spark, sf_dir)
+    e = ed.filter(F.col("u") < F.col("v"))
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = ed.select(F.col("u").alias("w"), F.col("v").alias("pa"))
+    b = ed.select(F.col("u").alias("w2"), F.col("v").alias("pb"))
+    wedge = a.join(b, (a.w == b.w2) & (a.pa < b.pb)).select(
+        "pa", "pb", "w"
+    )
+    cand = wedge.join(
+        e.select(F.col("u").alias("pa"), F.col("v").alias("pb")),
+        ["pa", "pb"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg, cand.w == deg.u)
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr("1000000 DIV d")).alias("ra_micro"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "common_neighbors",
+            "ra_micro",
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("ra_micro"), "part_a", "part_b"
+        )
+        .limit(20)
+    )
