@@ -694,3 +694,40 @@ def test_win_sketch_distinct_remerges_broadcast_fan(spark, sf_dir):
     plan = simple_plan(get("q_win_sketch_distinct").fn(spark, sf_dir))
     assert "hll_union_agg" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_pareto_frontier_is_window_not_self_join(spark, sf_dir):
+    """q_pareto_frontier must run as the sort-based skyline (two window
+    passes over the nation partitioning), never the quadratic
+    NOT-EXISTS self-join the oracle states: no nested-loop or
+    cartesian join may appear, and both windows must partition on the
+    nation key."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_pareto_frontier").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "windowspecdefinition(c_nationkey#" in plan, plan[:2000]
+
+
+def test_phrase_search_is_scan_side_no_explode_no_join(spark, sf_dir):
+    """q_text_phrase_search must stay a narrow higher-order-function
+    scan: no Generate (explode) and no join of positional postings —
+    the only exchange allowed is the final sort's range partitioning."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_text_phrase_search").fn(spark, sf_dir))
+    assert "Generate" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_common_neighbors_hash_joins_and_topk(spark, sf_dir):
+    """q_graph_common_neighbors' wedge enumeration and adjacency
+    anti-join must be hash joins (a nested-loop fallback means the
+    bounded-degree self-join degraded to all-pairs), and the top-20
+    must be a TakeOrdered, not a global sort."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_graph_common_neighbors").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrdered" in plan or "GlobalLimit" in plan, plan[:2000]
