@@ -1209,3 +1209,153 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "custkey")
     )
+
+
+@register(
+    "q_ts_downsample_m4",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               epoch_us(ts) AS t_us, event_id,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v_u
+        FROM {EVENTS_US}
+    ),
+    rn AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                  ORDER BY t_us, event_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                  ORDER BY t_us DESC, event_id DESC) AS rl
+        FROM pts
+    )
+    SELECT event_type, bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v_u) AS v_min_u, MAX(v_u) AS v_max_u,
+           MAX(CASE WHEN rf = 1 THEN v_u END) AS v_first_u,
+           MAX(CASE WHEN rl = 1 THEN v_u END) AS v_last_u,
+           MIN(t_us) AS t_first_us, MAX(t_us) AS t_last_us
+    FROM rn GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+)
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 VISUALIZATION DOWNSAMPLING (Jugel et al., VLDB 2014) of the
+    events stream: per (series, pixel-bucket) emit exactly the four
+    value-extrema a line renderer needs — first, last, min, max — plus
+    the bucket's time extent. M4 is the error-free downsampling TSDBs
+    special-case (a width-w chart drawn from the 4w-point M4 reduction
+    is PIXEL-IDENTICAL to one drawn from all N points); here it is one
+    hash aggregation: min/max are plain partial-aggregable extrema and
+    first/last are `min_by`/`max_by` on the (t_us, event_id) composite
+    struct — all map-side combinable, so at 100 TB the reduction runs
+    at scan speed with a single shuffle of 4-value partials, no window
+    sort and no per-series collect. The oracle states first/last
+    positionally (double ROW_NUMBER + conditional aggregate) rather
+    than re-using the struct-min_by formulation, so the two engines
+    cross-check different plans for the same semantics. Values are
+    ROUND(value*1e6)->BIGINT micro-units (scale-0 round of the
+    identical IEEE product — the portable class per FIXTURES.md),
+    times exact integer epoch-us; deterministic under ties via the
+    event_id tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    pts = ev.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", ts)).alias("bucket_us"),
+        F.unix_micros(ts).alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("v_u"),
+    )
+    ordkey = F.struct("t_us", "event_id")
+    return (
+        pts.groupBy("event_type", "bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_u").alias("v_min_u"),
+            F.max("v_u").alias("v_max_u"),
+            F.min_by("v_u", ordkey).alias("v_first_u"),
+            F.max_by("v_u", ordkey).alias("v_last_u"),
+            F.min("t_us").alias("t_first_us"),
+            F.max("t_us").alias("t_last_us"),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+@register(
+    "q_drift_cusum",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS dy,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM {EVENTS_US} GROUP BY 1, 2
+    ),
+    k AS (
+        SELECT event_type,
+               SUM(x) // COUNT(*) AS mu
+        FROM d GROUP BY event_type
+    ),
+    p AS (
+        SELECT d.event_type, d.dy, d.x, k.mu,
+               CAST(SUM(d.x - k.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.dy
+               ) AS BIGINT) AS pt
+        FROM d JOIN k USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, dy, x, mu, pt,
+               pt - LEAST(CAST(0 AS BIGINT), CAST(MIN(pt) OVER (
+                   PARTITION BY event_type ORDER BY dy
+               ) AS BIGINT)) AS st
+        FROM p
+    )
+    SELECT event_type, dy AS day, x AS n_events,
+           CAST(st AS BIGINT) AS cusum,
+           st >= mu // 2 AS alarm
+    FROM s ORDER BY event_type, day
+    """,
+)
+def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM CHANGEPOINT DETECTION (Page 1954) on daily event
+    counts per series — the drift monitor that reacts to small
+    sustained shifts the per-day KS/chi-sq snapshots
+    (q_drift_ks/q_split_drift_chisq) integrate away. The textbook
+    recurrence S_t = max(0, S_{t-1} + (x_t - mu)) is SEQUENTIAL — the
+    naive port is an applyInPandas per-series scan in Python — but it
+    has the exact closed form S_t = P_t - min(0, min_{j<=t} P_j) over
+    the deviation prefix sums P, so the whole detector becomes two
+    cumulative windows on one (event_type) partitioning: a running SUM
+    and a running MIN — whole-stage-codegen JVM ops, one shuffle, no
+    Python, and at 100 TB each series' window is independent and the
+    partitions are day-count-bounded. All-integer math: mu is the
+    integer-division mean daily count (total DIV days), deviations and
+    prefix sums are exact BIGINTs, and the alarm threshold is mu DIV 2
+    — the oracle's windowed SUM is CAST to BIGINT before arithmetic
+    (the DuckDB HUGEINT/pandas-float64 hazard, CORRECTNESS r4)."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("dy")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    k = d.groupBy("event_type").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("mu")
+    )
+    byday = W.partitionBy("event_type").orderBy("dy")
+    p = (
+        d.join(k, "event_type")
+        .withColumn("pt", F.sum(F.col("x") - F.col("mu")).over(byday))
+    )
+    st = F.col("pt") - F.least(F.lit(0).cast("long"), F.min("pt").over(byday))
+    return (
+        p.select(
+            "event_type",
+            F.col("dy").alias("day"),
+            F.col("x").alias("n_events"),
+            st.alias("cusum"),
+            (st >= F.expr("mu DIV 2")).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )

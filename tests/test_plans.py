@@ -731,3 +731,32 @@ def test_common_neighbors_hash_joins_and_topk(spark, sf_dir):
     plan = simple_plan(get("q_graph_common_neighbors").fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "TakeOrdered" in plan or "GlobalLimit" in plan, plan[:2000]
+
+
+def test_m4_downsample_is_one_hash_agg_no_window(spark, sf_dir):
+    """q_ts_downsample_m4 must reduce via a single map-side-combinable
+    hash aggregation (min/max/min_by/max_by partials) — a
+    windowspecdefinition in the plan would mean the positional
+    first/last fell back to the oracle's double-ROW_NUMBER shape,
+    which sorts every bucket instead of merging 4-value partials."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_ts_downsample_m4").fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    # partial_min_by proves the 4-value reduction combines map-side
+    # (Spark plans SortAggregate for struct-ordered min_by buffers)
+    assert "partial_min_by" in plan, plan[:2000]
+
+
+def test_cusum_is_windowed_jvm_no_python(spark, sf_dir):
+    """q_drift_cusum's closed form must stay in JVM cumulative windows
+    partitioned on the series key — the sequential recurrence it
+    replaces would appear as a Python eval node (applyInPandas), and
+    an unpartitioned window would be the single-reducer global scan."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_drift_cusum").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+    assert re.search(r"windowspecdefinition\(event_type#", plan), plan[:2000]
