@@ -266,3 +266,102 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_rank_eval",
+    oracle=f"""
+    WITH bm AS ({get("q_text_bm25").oracle}),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rnk
+        FROM bm
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    ),
+    tcnt AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM tok WHERE word IN ('spark', 'join', 'window')
+        GROUP BY doc_id, word
+    ),
+    rel AS (
+        SELECT doc_id FROM tcnt WHERE c >= 3
+        GROUP BY doc_id HAVING COUNT(*) = 3
+    ),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel),
+    j AS (SELECT r.rnk FROM ranked r JOIN rel ON r.doc_id = rel.doc_id)
+    SELECT (SELECT n_rel FROM nrel) AS n_rel,
+           CAST(COUNT(CASE WHEN rnk <= 5 THEN 1 END) AS BIGINT) AS hits5,
+           CAST(COUNT(CASE WHEN rnk <= 10 THEN 1 END) AS BIGINT) AS hits10,
+           CAST(COUNT(*) AS BIGINT) AS hits20,
+           CAST(COUNT(CASE WHEN rnk <= 5 THEN 1 END) * 200000 AS BIGINT)
+               AS p5_e6,
+           CAST(COUNT(CASE WHEN rnk <= 10 THEN 1 END) * 100000 AS BIGINT)
+               AS p10_e6,
+           CAST(COUNT(*) * 1000000 // (SELECT n_rel FROM nrel) AS BIGINT)
+               AS recall20_e6,
+           CAST(COALESCE(1000000 // MIN(rnk), 0) AS BIGINT) AS mrr_e6
+    FROM j
+    """,
+)
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION of the BM25 ranker against a set-algebraic
+    relevance truth (docs containing EVERY probe term at least 3 times —
+    a conjunctive-frequency criterion strict enough that the top-20 is
+    only partially relevant, so the metrics actually discriminate): precision@5/@10, recall@20, and MRR over the top-20 list.
+    Every metric is EXACT integer arithmetic — precision@k is
+    hits*1e6/k with k|1e6, recall and MRR use integer DIV — so the
+    scorecard is hash-portable with no float canon at all (NDCG is
+    deliberately absent: its log2 discount is the cross-engine
+    divergence documented in FIXTURES.md; rank-reciprocal metrics
+    carry the same signal exactly). Scale shape: the ranked list is a
+    constant 20 rows (the upstream TakeOrdered already reduced it), so
+    the rank window, the relevance join (broadcast by size), and the
+    final single-row aggregate are all corpus-size-independent — the
+    only corpus-scale work is the relevance scan, one token explode ->
+    conjunctive groupBy, the same pruned shuffle BM25 itself does.
+    Oracle: composed from the registered BM25 oracle CTE (the
+    q_rank_rrf composition pattern), so both engines evaluate the SAME
+    ranking they already cross-checked."""
+    bm = q_text_bm25(spark, sf_dir)
+    w = Window.orderBy(F.col("bm25_e6").desc(), "doc_id")
+    ranked = bm.select("doc_id", F.row_number().over(w).alias("rnk"))
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    rel = (
+        tok.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .filter(F.col("nw") == len(BM25_QUERY))
+        .select("doc_id")
+    )
+    nrel = rel.agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    j = ranked.join(rel, "doc_id")
+    hits5 = F.count(F.when(F.col("rnk") <= 5, 1))
+    hits10 = F.count(F.when(F.col("rnk") <= 10, 1))
+    agg = j.agg(
+        hits5.alias("hits5"),
+        hits10.alias("hits10"),
+        F.count(F.lit(1)).alias("hits20"),
+        F.min("rnk").alias("minrnk"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nrel))
+        .select(
+            "n_rel",
+            "hits5",
+            "hits10",
+            "hits20",
+            (F.col("hits5") * 200000).alias("p5_e6"),
+            (F.col("hits10") * 100000).alias("p10_e6"),
+            F.expr("hits20 * 1000000 DIV n_rel").alias("recall20_e6"),
+            F.coalesce(
+                F.expr("1000000 DIV minrnk"), F.lit(0).cast("long")
+            ).alias("mrr_e6"),
+        )
+    )
