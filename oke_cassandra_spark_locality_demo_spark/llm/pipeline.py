@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 _KEEP_LANGS = ("en", "es", "de", "fr")
 
@@ -900,3 +900,169 @@ def q_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
     )
+
+
+@register(
+    "q_stats_mannwhitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 1000000.0) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM {EVENTS_US} WHERE event_type IN ('purchase', 'click')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM s GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c1, c,
+               CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS ftot
+        FROM pv
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c - c1) AS BIGINT) AS n2 FROM pv),
+    r AS (SELECT CAST(SUM(c1 * (2 * (ftot - c) + c + 1)) AS BIGINT)
+                     AS r1_x2 FROM cum)
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (n1 * n2) - 1000000
+                AS BIGINT) AS effect_e6
+    FROM tot, r
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test between two event populations
+    (purchase vs click values) — the nonparametric location test that
+    completes the drift-test family (q_drift_ks = distribution shape,
+    q_split_drift_chisq = categorical, q_drift_cusum = temporal): U
+    detects a median shift KS can under-weight and makes no normality
+    assumption a t-test would. EXACT INTEGER algebra end to end,
+    midrank tie handling included: for a distinct value with C total
+    rows and L rows strictly below, twice the average rank is
+    2L + C + 1 (integer), so 2-R1 = sum c1 * (2(F - C) + C + 1) over the
+    distinct-value table and 2-U1 = 2R1 - n1(n1+1) — no halves ever
+    materialize, and the rank-biserial effect size is an integer DIV
+    at emission. Values are ROUND(value*1e6) micro-units (scale-0
+    round of the identical IEEE product). Scale shape: ranks need a
+    GLOBAL prefix sum, the classic single-reducer trap the oracle's
+    unpartitioned window embodies; the Spark plan decomposes it
+    TeraSort-style exactly like q_drift_ks — 256 range bands via
+    width_bucket, band-partitioned local cumulative sums, band offsets
+    from one window over the <=257-row band-total table (the only
+    unpartitioned window touches a constant-size input), then one
+    hash aggregate for the rank-sum. Ties (13k distinct micro-values
+    for 40k rows at sf0.1) collapse in the pre-aggregation."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.select(
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.count(F.lit(1)).alias("c")
+    )
+    banded = pv.withColumn(
+        "b",
+        F.width_bucket(
+            F.col("v"), F.lit(0), F.lit(600000000), F.lit(256)
+        ),
+    )
+    wloc = (
+        W.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = banded.select(
+        "v", "b", "c1", "c", F.sum("c").over(wloc).alias("lf")
+    )
+    bt = banded.groupBy("b").agg(F.sum("c").alias("tc"))
+    woff = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    off = bt.select(
+        "b", F.coalesce(F.sum("tc").over(woff), F.lit(0)).alias("oc")
+    )
+    cum = loc.join(F.broadcast(off), "b").select(
+        "c1", "c", (F.col("oc") + F.col("lf")).alias("ftot")
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (2 * (F.col("ftot") - F.col("c")) + F.col("c") + 1)
+        ).alias("r1_x2")
+    )
+    tot = pv.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(r))
+        .select(
+            "n1",
+            "n2",
+            "r1_x2",
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+            (
+                2 * F.col("n1") * F.col("n2")
+                - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+            ).alias("u2_x2"),
+            (
+                F.expr(
+                    "(r1_x2 - n1 * (n1 + 1)) * 1000000 DIV (n1 * n2)"
+                )
+                - 1000000
+            ).alias("effect_e6"),
+        )
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH cl AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sumsq,
+               CAST(MAX(c) AS BIGINT) AS cmax,
+               CAST(COUNT(*) AS BIGINT) AS n_classes
+        FROM cl GROUP BY source
+    )
+    SELECT source, n, n_classes,
+           CAST((n * n - sumsq) * 1000000 // (n * n) AS BIGINT)
+               AS gini_e6,
+           CAST(cmax * 1000000 // n AS BIGINT) AS dominant_e6
+    FROM agg ORDER BY source
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source label-balance audit: GINI IMPURITY of the language
+    distribution plus dominant-class share — the shard-balance metric
+    a corpus mixer tracks next to q_feature_rare_collapse's rare-class
+    handling and q_mix_sources' quotas (CART's impurity, Breiman et
+    al. 1984, as a data-quality statistic). Gini = 1 - sum p_i^2 is an
+    exact RATIONAL with denominator n^2, so it is emitted as the
+    integer (n^2 - sum c^2)*1e6 DIV n^2 — no floats anywhere, unlike
+    the entropy variant whose ln() is the documented cross-engine
+    divergence. Two chained hash aggregations ((source, lang) then
+    source), both map-side combinable, one shuffle each — at 100 TB
+    this is scan-bound with 5x25-cardinality aggregate states."""
+    d = load(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    agg = cl.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+        F.max("c").alias("cmax"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_classes",
+        F.expr("(n * n - sumsq) * 1000000 DIV (n * n)").alias("gini_e6"),
+        F.expr("cmax * 1000000 DIV n").alias("dominant_e6"),
+    ).orderBy("source")

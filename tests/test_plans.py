@@ -760,3 +760,31 @@ def test_cusum_is_windowed_jvm_no_python(spark, sf_dir):
     plan = simple_plan(get("q_drift_cusum").fn(spark, sf_dir))
     assert "Python" not in plan, plan[:2000]
     assert re.search(r"windowspecdefinition\(event_type#", plan), plan[:2000]
+
+
+def test_mannwhitney_prefix_sum_is_band_partitioned(spark, sf_dir):
+    """q_stats_mannwhitney's rank prefix sums must follow the banded
+    decomposition: cumulative windows partition on the band key, never
+    an unpartitioned window over the distinct-value stream (the
+    single-reducer global rank the closed form exists to avoid)."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_stats_mannwhitney").fn(spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(v#", plan), (
+        "rank window runs over raw values without a band partition"
+    )
+    assert re.search(r"windowspecdefinition\(b#", plan), plan[:2000]
+
+
+def test_audio_energy_is_map_in_pandas(spark, sf_dir):
+    """q_multimodal_audio_energy must reach Python exactly once, as an
+    Arrow-batched MapInPandas over the modality-filtered payloads —
+    a row-at-a-time PythonUDF (BatchEvalPython) would be the 10-100x
+    slow path the multimodal module exists to avoid."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_multimodal_audio_energy").fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
