@@ -1348,3 +1348,70 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("rules"),
         (r_len & r_wlen & r_alpha & r_stop & r_sym).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_text_rake",
+    oracle=r"""
+    WITH seg AS (
+        SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\b(?:a|the)\b')) AS s
+        FROM documents
+    ),
+    ph AS (
+        SELECT TRIM(REGEXP_REPLACE(s, '\s+', ' ', 'g')) AS p FROM seg
+    ),
+    pw AS (
+        SELECT UNNEST(STR_SPLIT(p, ' ')) AS word,
+               LEN(STR_SPLIT(p, ' ')) AS plen
+        FROM ph WHERE p <> ''
+    ),
+    sc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM pw GROUP BY word
+    )
+    SELECT word, freq, degree, degree * 1000000 // freq AS score_micro
+    FROM sc ORDER BY score_micro DESC, freq DESC, word LIMIT 25
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE KEYWORD EXTRACTION (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs (split on the
+    fixture's function words 'a'/'the' at word boundaries), each word
+    scores freq = phrase-occurrence count and degree = Σ length of the
+    phrases it appears in, and the RAKE score degree/freq favors words
+    that co-occur inside long phrases — the classic cheap keyword
+    extractor corpus pipelines run where TF-IDF needs a second corpus
+    pass. Dataflow: one regexp split per document (no Python), explode
+    to phrase segments, squish+trim, explode to words carrying the
+    phrase length, then a single hash aggregation keyed on word —
+    map-side combinable, one shuffle, and the word-boundary regex
+    behaves identically in Java regex and RE2 so the split is fully
+    oracle-checkable. Score emitted as integer micro-units via BIGINT
+    floor division (the 1000000 DIV idiom — hash-portable, no float
+    division anywhere). Top-25 with the deterministic
+    (score, freq, word) tiebreak. Reference analog: none —
+    target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    seg = d.select(
+        F.explode(F.split(F.col("text"), r"\b(?:a|the)\b")).alias("s")
+    )
+    ph = seg.select(
+        F.trim(F.regexp_replace(F.col("s"), r"\s+", " ")).alias("p")
+    ).filter(F.col("p") != "")
+    pw = ph.select(
+        F.explode(F.split(F.col("p"), " ")).alias("word"),
+        F.size(F.split(F.col("p"), " ")).alias("plen"),
+    )
+    sc = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    return (
+        sc.select(
+            "word", "freq", "degree",
+            F.expr("(degree * 1000000) DIV freq").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.desc("freq"), "word")
+        .limit(25)
+    )

