@@ -1066,3 +1066,152 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * n - sumsq) * 1000000 DIV (n * n)").alias("gini_e6"),
         F.expr("cmax * 1000000 DIV n").alias("dominant_e6"),
     ).orderBy("source")
+
+
+@register(
+    "q_stats_welch_ttest",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+        FROM orders
+    ),
+    c AS (SELECT SUM(x) // COUNT(*) AS mu FROM base),
+    s AS (
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(x - (SELECT mu FROM c)) AS BIGINT) AS sx,
+               CAST(SUM((x - (SELECT mu FROM c))
+                        * (x - (SELECT mu FROM c))) AS BIGINT) AS sxx
+        FROM base GROUP BY grp
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(ROUND(1000000.0 * (
+               (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+               / SQRT(
+                   (CAST(a.sxx AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)
+                      / CAST(a.n AS DOUBLE))
+                   / (CAST(a.n AS DOUBLE) - 1.0) / CAST(a.n AS DOUBLE)
+                 + (CAST(b.sxx AS DOUBLE)
+                    - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)
+                      / CAST(b.n AS DOUBLE))
+                   / (CAST(b.n AS DOUBLE) - 1.0) / CAST(b.n AS DOUBLE))
+           ), 0) AS BIGINT) AS t_micro
+    FROM s a JOIN s b ON a.grp < b.grp
+    ORDER BY grp_a, grp_b
+    """,
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST over every pair of order
+    priorities — the parametric complement to q_stats_mannwhitney's
+    rank test, and the A/B-style mean-shift check a data pipeline runs
+    across cohorts. Same exact-parity engineering as q_ts_autocorr:
+    revenue is integerized per order (scale-0 ROUND, dyadic midpoints),
+    shifted by the integer floor-mean of the union (the t statistic is
+    shift-invariant; centering keeps SUM(x*x) in int64 headroom at
+    1000x this fixture), the per-group moments (n, Sx, Sxx) are exact
+    int64 hash aggregates, and the t statistic is ONE identical IEEE
+    double expression over those scalars (-, *, /, SQRT all correctly
+    rounded) emitted as scale-0-rounded micro-units. Dataflow: one
+    map-side-combinable aggregation to 5 group rows, then a trivial
+    5x5 self-join on the driver-side broadcast — the heavy work is a
+    single scan + one shuffle regardless of data volume. Reference
+    analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice", 0).cast("long").alias("x"),
+    )
+    mu = base.agg(F.expr("sum(x) DIV count(*)").alias("mu")).collect()[0][0]
+    s = base.select(
+        "grp", (F.col("x") - F.lit(mu)).alias("x")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    a = s.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("n_a"),
+        F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"),
+    )
+    b = s.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("n_b"),
+        F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"),
+    )
+    p = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    var_a = (d("sxxa") - d("sxa") * d("sxa") / d("n_a")) / (
+        d("n_a") - F.lit(1.0)
+    ) / d("n_a")
+    var_b = (d("sxxb") - d("sxb") * d("sxb") / d("n_b")) / (
+        d("n_b") - F.lit(1.0)
+    ) / d("n_b")
+    t = (d("sxa") / d("n_a") - d("sxb") / d("n_b")) / F.sqrt(var_a + var_b)
+    return (
+        p.select(
+            "grp_a", "grp_b", "n_a", "n_b",
+            F.round(F.lit(1000000.0) * t, 0).cast("long").alias("t_micro"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+@register(
+    "q_privacy_ldiversity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_band,
+               COUNT(*) AS k,
+               COUNT(DISTINCT c_mktsegment) AS l_distinct
+        FROM qi GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(k AS BIGINT) AS k,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           l_distinct >= 3 AS l_diverse
+    FROM cls
+    ORDER BY c_nationkey, bal_band
+    """,
+)
+def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a quasi-identifier class can satisfy k >= 5
+    yet still leak the sensitive attribute if all its members SHARE
+    one sensitive value (the homogeneity attack). Quasi-identifiers
+    here are (nation, account-balance band) — the q_privacy_kanon
+    bands — and the sensitive attribute is the market segment; a class
+    is l-diverse when it contains >= 3 distinct segments. Dataflow:
+    one hash aggregation with an exact COUNT(DISTINCT) expansion —
+    Spark plans it as the standard two-phase distinct-expand, map-side
+    partial on (QI, segment) first, so the shuffle carries at most
+    |QI classes| x 5 rows at any corpus size. All-integer emissions
+    plus the boolean verdict. Reference analog: none — target-only
+    capability."""
+    c = load(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+    )
+    return cls.select(
+        "c_nationkey", "bal_band", "k", "l_distinct",
+        (F.col("l_distinct") >= 3).alias("l_diverse"),
+    ).orderBy("c_nationkey", "bal_band")

@@ -1415,3 +1415,123 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.desc("freq"), "word")
         .limit(25)
     )
+
+
+_HH_SHARDS = 32
+_HH_LOCAL_M = 200
+_HH_K = 10
+
+
+def exact_topk_candidate_prune(partial, k: int, m: int):
+    """Exact top-k from per-shard partial counts via the THRESHOLD
+    (TPUT, Cao & Fang 2004) candidate-prune: take each shard's local
+    top-m as candidates and recount only those, then CERTIFY the prune
+    with the upper bound U = sum over shards of the m-th largest local
+    count — a non-candidate is outside every shard's top-m, so its
+    global count is <= U. If U < the k-th candidate count the pruned
+    result is provably the exact top-k (final exchange carries at most
+    shards x m rows instead of the full vocabulary); otherwise fall
+    back to the exact full aggregation of the same partials (no second
+    corpus scan either way). Returns (result_df, certified: bool).
+
+    ``partial`` must have columns (shard, item, pc)."""
+    rk = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.desc("pc"), "item")
+    )
+    ranked = partial.withColumn("rk", rk)
+    cands = ranked.filter(F.col("rk") <= m).select("item").distinct()
+    cand_counts = (
+        partial.join(cands, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.sum("pc").alias("cnt"))
+        .localCheckpoint()
+    )
+    # U: each shard contributes its m-th largest local count (0 when the
+    # shard holds fewer than m items — then nothing was pruned there).
+    u_rows = (
+        ranked.groupBy("shard")
+        .agg(F.max(F.when(F.col("rk") == m, F.col("pc"))).alias("mth"))
+        .agg(F.sum(F.coalesce("mth", F.lit(0))).alias("u"))
+        .collect()
+    )
+    u = u_rows[0][0] or 0
+    kth_rows = (
+        cand_counts.orderBy(F.desc("cnt"), "item").limit(k)
+        .agg(F.min("cnt").alias("t"))
+        .collect()
+    )
+    t = kth_rows[0][0] or 0
+    if u < t:
+        return cand_counts.orderBy(F.desc("cnt"), "item").limit(k), True
+    # Uncertified (flat distribution): exact fallback over the SAME
+    # partials — still no second scan, just a vocabulary-sized exchange.
+    full = partial.groupBy("item").agg(F.sum("pc").alias("cnt"))
+    return full.orderBy(F.desc("cnt"), "item").limit(k), False
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS w,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    tg AS (
+        SELECT w || ' ' || w2 || ' ' || w3 AS trigram FROM (
+            SELECT w,
+                   LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                   LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+            FROM wds
+        ) WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tg GROUP BY trigram
+    ORDER BY cnt DESC, trigram
+    LIMIT 10
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT TOP-K HEAVY HITTERS over corpus trigrams with a CERTIFIED
+    candidate prune (TPUT threshold algorithm, Cao & Fang 2004): one
+    corpus scan builds per-shard partial counts; each shard's local
+    top-m become candidates and only they are re-aggregated — the
+    final exchange carries at most shards x m rows instead of the
+    unbounded trigram vocabulary, which is the difference that matters
+    at 100 TB. The prune is not a heuristic: U = sum over shards of
+    the m-th largest local count upper-bounds every non-candidate's
+    global count, so U < (k-th candidate count) CERTIFIES the pruned
+    answer exact; when the certificate fails (this fixture's trigram
+    distribution is deliberately flat — ties at the cut, measured
+    U=32 vs t=7 at sf0.001) the operator falls back to the exact
+    full aggregation of the SAME partials, so the emitted counts are
+    exact either way and the oracle is the plain global top-10. The
+    certified branch is exercised by the skewed-input unit test
+    (tests/test_plans.py::test_heavy_hitters_certificate). Trigrams
+    are built row-locally with nested zip_with over three array
+    slices — no per-token shuffle, no Python. Reference analog: none —
+    target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    tg = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+            F.explode(
+                F.expr(
+                    "zip_with(zip_with(slice(ws, 1, size(ws)-2),"
+                    " slice(ws, 2, size(ws)-2), (a, b) -> concat(a, ' ', b)),"
+                    " slice(ws, 3, size(ws)-2),"
+                    " (ab, c) -> concat(ab, ' ', c))"
+                )
+            ).alias("item"),
+        )
+    )
+    partial = tg.groupBy("shard", "item").agg(
+        F.count(F.lit(1)).alias("pc")
+    ).localCheckpoint()
+    result, _certified = exact_topk_candidate_prune(
+        partial, k=_HH_K, m=_HH_LOCAL_M
+    )
+    return result.select(F.col("item").alias("trigram"), "cnt")

