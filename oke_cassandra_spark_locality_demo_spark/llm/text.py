@@ -1535,3 +1535,111 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial, k=_HH_K, m=_HH_LOCAL_M
     )
     return result.select(F.col("item").alias("trigram"), "cnt")
+
+
+@register(
+    "q_text_dechunk",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws,
+               LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(t.i AS INTEGER) AS chunk_id,
+               ws[t.i*{_STRIDE}+1 : t.i*{_STRIDE}+{_CHUNK}] AS cw
+        FROM w, UNNEST(RANGE(0,
+            CASE WHEN n <= {_CHUNK} THEN 1
+                 ELSE CAST(CEIL((n - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1
+            END)) AS t(i)
+    ),
+    contrib AS (
+        SELECT doc_id, chunk_id,
+               CASE WHEN chunk_id = 0 THEN ARRAY_TO_STRING(cw, ' ')
+                    ELSE ARRAY_TO_STRING(cw[{_CHUNK - _STRIDE + 1}:], ' ')
+               END AS piece
+        FROM chunks
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               STRING_AGG(piece, ' ' ORDER BY chunk_id) AS joined,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM contrib WHERE piece <> '' GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_chunks,
+           r.joined = TRIM(LOWER(d.text)) AS roundtrip_ok
+    FROM rebuilt r JOIN documents d ON r.doc_id = d.doc_id
+    ORDER BY r.doc_id
+    """,
+)
+def q_text_dechunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK REASSEMBLY — the inverse of q_text_chunk and the proof of
+    its overlap bookkeeping: rebuild each document from its overlapping
+    40/30 chunk stream by taking chunk 0 whole and, for every later
+    chunk, only the words past the {_CHUNK - _STRIDE}-word overlap,
+    then verify the reconstruction equals the normalized original.
+    This is the round-trip a sequence-packing pipeline owes its users:
+    chunking must be lossless up to normalization or training data
+    silently duplicates/drops overlap windows. Dataflow: the chunk
+    fan-out is the same narrow posexplode map as q_text_chunk; the
+    inverse is ONE hash aggregation per document — collect_list of
+    (chunk_id, piece) structs, array_sort (order-insensitive to shuffle
+    arrival, the standard distributed reassembly idiom), then
+    array_join — followed by a key join back to the original text for
+    the equality verdict. Emissions: doc_id, n_chunks, roundtrip_ok
+    (TRUE for every fixture doc). Reference analog: none — target-only
+    capability."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    n_chunks = (
+        F.when(n <= _CHUNK, F.lit(1))
+        .otherwise(F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))) + 1)
+        .cast("int")
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * _STRIDE, F.lit(_STRIDE))
+    chunks = (
+        d.select(
+            "doc_id",
+            words.alias("ws"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .withColumn("cw", F.slice(F.col("ws"), F.col("start") + 1, _CHUNK))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.when(
+                F.col("chunk_id") == 0, F.concat_ws(" ", "cw")
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.expr(f"slice(cw, {_CHUNK - _STRIDE + 1}, {_STRIDE})"),
+                )
+            ).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+    )
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "piece"))
+                ),
+                lambda s: s.piece,
+            ),
+            " ",
+        ).alias("joined"),
+    )
+    orig = d.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("norm_text")
+    )
+    return (
+        rebuilt.join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("joined") == F.col("norm_text")).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,137 @@
+"""Geospatial blocking operators.
+
+The reference ships no spatial workload (SURVEY.md Appendix A), but a
+100 TB analytics engine needs the grid-cell blocking pattern these ops
+exercise: bucketize points to radius-sized cells, explode one side to
+its 3x3 cell neighborhood, equi-join on the cell key (a plain shuffle
+join Catalyst can plan), and apply the exact distance predicate only
+inside candidate cells — turning an O(n*m) theta-join into a keyed join
+whose fan-out is bounded by local point density. Coordinates are
+synthesized deterministically from the fixture keys with the portable
+md5-prefix hash idiom (FIXTURES.md) in integer MICRO-DEGREES, and the
+distance test is exact int64 planar squared distance — no trig, no
+floats, fully oracle-checkable (haversine's sin/cos are not
+bit-portable across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+#: 2-degree city box, radius 0.1 degree, both in micro-degrees.
+_BOX = 2_000_000
+_RADIUS = 100_000
+
+
+def _coord(prefix: str, key_expr: str) -> str:
+    """Portable micro-degree coordinate from a key (Spark SQL text)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{prefix}', "
+        f"CAST({key_expr} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {_BOX}"
+    )
+
+
+def _coord_sql(prefix: str, key_expr: str) -> str:
+    """The identical coordinate in DuckDB SQL."""
+    return (
+        f"CAST(('0x' || SUBSTRING(MD5('{prefix}' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::UBIGINT % {_BOX} AS BIGINT)"
+    )
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey AS cid,
+               {_coord_sql("lat", "c_custkey")} AS lat,
+               {_coord_sql("lon", "c_custkey")} AS lon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey AS sid,
+               {_coord_sql("lat", "-s_suppkey")} AS lat,
+               {_coord_sql("lon", "-s_suppkey")} AS lon
+        FROM supplier
+    )
+    SELECT s.sid AS supplier, CAST(COUNT(c.cid) AS BIGINT) AS n_within,
+           MIN((s.lat - c.lat) * (s.lat - c.lat)
+               + (s.lon - c.lon) * (s.lon - c.lon)) AS min_d2
+    FROM s LEFT JOIN c
+      ON (s.lat - c.lat) * (s.lat - c.lat)
+         + (s.lon - c.lon) * (s.lon - c.lon)
+         <= CAST({_RADIUS} AS BIGINT) * {_RADIUS}
+    GROUP BY s.sid ORDER BY supplier
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS JOIN with GRID-CELL BLOCKING: for every supplier, count
+    the customers within 0.1 degree and the exact squared distance to
+    the nearest one. Points get deterministic micro-degree coordinates
+    inside a 2x2-degree box (portable md5-prefix hash of the key);
+    customers bucketize to radius-sized grid cells, each supplier
+    explodes to its 3x3 cell NEIGHBORHOOD, and the join is a plain
+    equi-join on the cell key — candidate pairs are bounded by local
+    density (~9 cells x ~14 customers/cell here) instead of the
+    O(|c| x |s|) theta-join the oracle runs, which is the difference
+    between a keyed shuffle and a broadcast-nested-loop at 100 TB. The
+    exact predicate (int64 planar squared distance, no trig/floats) is
+    applied inside candidate cells only; correctness does not depend
+    on the blocking because any point within R of a supplier lies in
+    one of its 9 neighbor cells (cell edge = R). Suppliers with no
+    customer in range are preserved by a final left join (n_within 0,
+    min_d2 NULL). Reference analog: none — target-only capability."""
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS cid",
+        _coord("lat", "c_custkey") + " AS lat",
+        _coord("lon", "c_custkey") + " AS lon",
+    )
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        _coord("lat", "-s_suppkey") + " AS lat",
+        _coord("lon", "-s_suppkey") + " AS lon",
+    )
+    c = cust.select(
+        "cid", "lat", "lon",
+        F.expr(f"lat DIV {_RADIUS}").alias("cell_lat"),
+        F.expr(f"lon DIV {_RADIUS}").alias("cell_lon"),
+    )
+    s9 = (
+        supp.select(
+            "sid",
+            F.col("lat").alias("slat"),
+            F.col("lon").alias("slon"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "sid", "slat", "slon",
+            (F.expr(f"slat DIV {_RADIUS}") + F.col("dx")).alias("cell_lat"),
+            (F.expr(f"slon DIV {_RADIUS}") + F.col("dy")).alias("cell_lon"),
+        )
+    )
+    d2 = (F.col("slat") - F.col("lat")) * (F.col("slat") - F.col("lat")) + (
+        F.col("slon") - F.col("lon")
+    ) * (F.col("slon") - F.col("lon"))
+    matched = (
+        s9.join(c, ["cell_lat", "cell_lon"])
+        .filter(d2 <= F.lit(_RADIUS * _RADIUS).cast("long"))
+        .groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(d2).alias("min_d2"),
+        )
+    )
+    return (
+        supp.select("sid")
+        .join(matched, "sid", "left")
+        .select(
+            F.col("sid").alias("supplier"),
+            F.coalesce("n_within", F.lit(0)).alias("n_within"),
+            "min_d2",
+        )
+        .orderBy("supplier")
+    )

@@ -1469,3 +1469,89 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@register(
+    "q_ts_seasonal_dow",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT day, yr, rev,
+               SUM(rev) OVER (
+                   PARTITION BY yr ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS sum7,
+               COUNT(*) OVER (
+                   PARTITION BY yr ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS w
+        FROM daily
+    ),
+    det AS (
+        SELECT (day - DATE '1970-01-01') % 7 AS dow,
+               7 * rev - sum7 AS det7
+        FROM ma WHERE w = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(det7) AS BIGINT) AS sum_det7,
+           CAST(SUM(det7) * 1000000 // (7 * COUNT(*)) AS BIGINT)
+               AS seasonal_micro
+    FROM det GROUP BY dow ORDER BY dow
+    """,
+)
+def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL DECOMPOSITION of daily order revenue — the
+    classical moving-average decomposition (trend = centered 7-day MA,
+    seasonal index = mean deviation from trend per weekday) in EXACT
+    RATIONAL ALGEBRA: instead of the float trend rev - sum7/7, the
+    deviation is kept as the integer 7*rev - sum7 (scaled by 7) so the
+    per-weekday aggregation is exact int64 arithmetic end to end, and
+    the final index divides by 7*n once, as integer micro-unit floor
+    division. Weekday is epoch-day mod 7 (portable across engines —
+    named DOW functions disagree on week start). The centered window
+    partitions by YEAR, so at scale the sort is per-year-partition
+    rather than one global ordered reducer; boundary days without a
+    full 7-day window inside their year are excluded (w = 7), which
+    also removes the asymmetric-window bias at the series edges.
+    Emissions all-integer. TPC-H order dates are synthetic-uniform, so
+    indices hover near zero — the operator's value is the exact
+    decomposition dataflow, documented against the fixture. Reference
+    analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.sum(F.round("o_totalprice", 0).cast("long")).alias("rev"))
+    w7 = W.partitionBy("yr").orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day", "rev",
+        F.sum("rev").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    ).filter(F.col("w") == 7)
+    det = ma.select(
+        (F.datediff("day", F.lit("1970-01-01")) % 7).cast("long").alias("dow"),
+        (F.lit(7) * F.col("rev") - F.col("sum7")).alias("det7"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("det7").alias("sum_det7"),
+        )
+        .select(
+            "dow", "n_days", "sum_det7",
+            # sum_det7 can be NEGATIVE: both Spark DIV and DuckDB //
+            # truncate toward zero on integers (verified: -7//2 = -3 in
+            # DuckDB), so plain integer division is portable even here
+            F.expr("sum_det7 * 1000000 DIV (7 * n_days)").alias(
+                "seasonal_micro"
+            ),
+        )
+        .orderBy("dow")
+    )

@@ -118,6 +118,7 @@ def _load_all() -> None:
         sql_features,
         graph,
         tpch,
+        geo,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest, pyds  # noqa: F401
@@ -256,7 +257,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_stats_mannwhitney, q_agg_gini, q_multimodal_audio_energy,
 #: q_graph_kcore, q_ts_autocorr, q_dedup_url, q_text_rake,
 #: q_stats_welch_ttest, q_privacy_ldiversity, q_graph_assortativity,
-#: q_agg_heavy_hitters).
+#: q_agg_heavy_hitters, q_geo_radius_join, q_ts_seasonal_dow,
+#: q_text_dechunk).
 #: 50 slots cover all
 #: but ~25 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in

@@ -903,3 +903,66 @@ def test_assortativity_single_row_moments(spark, sf_dir):
     rows = get("q_graph_assortativity").fn(spark, sf_dir).collect()
     assert len(rows) == 1
     assert -1000000 <= rows[0].assortativity_micro <= 1000000
+
+
+def test_geo_radius_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """q_geo_radius_join's blocking must turn the distance theta-join
+    into an equi-join on the grid-cell key: no nested-loop/cartesian
+    operator anywhere in the plan, no Python."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_geo_radius_join").fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_geo_radius_blocking_is_exact(spark, sf_dir):
+    """Grid blocking must not change results: every emitted n_within
+    must equal the exact per-supplier count (cell edge = R guarantees
+    any in-radius point is in the 3x3 neighborhood). Spot-checked by
+    re-deriving counts from the coordinates with a plain driver-side
+    quadratic pass."""
+    rows = get("q_geo_radius_join").fn(spark, sf_dir).collect()
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.operators.geo import (
+        _BOX, _RADIUS, _coord,
+    )
+
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        _coord("lat", "c_custkey") + " AS lat",
+        _coord("lon", "c_custkey") + " AS lon",
+    ).collect()
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        _coord("lat", "-s_suppkey") + " AS lat",
+        _coord("lon", "-s_suppkey") + " AS lon",
+    ).collect()
+    r2 = _RADIUS * _RADIUS
+    exact = {
+        s.sid: sum(
+            1
+            for c in cust
+            if (s.lat - c.lat) ** 2 + (s.lon - c.lon) ** 2 <= r2
+        )
+        for s in supp
+    }
+    assert {r.supplier: r.n_within for r in rows} == exact
+
+
+def test_seasonal_dow_window_partitioned_by_year(spark, sf_dir):
+    """q_ts_seasonal_dow's centered MA must partition by year — never
+    an unpartitioned global-order window over the daily series."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_ts_seasonal_dow").fn(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(yr#", plan), plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_dechunk_roundtrip_all_ok(spark, sf_dir):
+    """Chunk→reassemble must be lossless for every fixture document."""
+    rows = get("q_text_dechunk").fn(spark, sf_dir).collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
