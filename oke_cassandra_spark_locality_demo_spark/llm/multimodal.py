@@ -596,3 +596,77 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(audio_energy, schema=_AUDIO_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_multimodal_dedup_bytes",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               MD5(text) AS digest,  -- VARCHAR md5 == md5 of its utf-8 bytes
+               OCTET_LENGTH(ENCODE(text)) AS payload_len
+        FROM documents
+    ),
+    grp AS (
+        SELECT media_type, digest,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS keeper_id,
+               CAST(MIN(payload_len) AS BIGINT) AS payload_len
+        FROM media GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT) AS n_total,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant,
+           CAST(SUM((n_copies - 1) * payload_len) AS BIGINT)
+               AS bytes_reclaimed
+    FROM grp GROUP BY media_type ORDER BY media_type
+    """,
+)
+def q_multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BINARY DEDUP over the opaque media payloads — the
+    content-addressed-storage pass every multimodal corpus runs before
+    feature extraction: identical bytes (same crawl fetched twice, the
+    same image under two doc ids) collapse to one digest group
+    regardless of metadata. Digest = md5 over the raw payload BYTES
+    (hex-identical in both engines over BLOBs), grouped per media
+    type; emits the dedup ledger — unique payloads, total rows,
+    redundant copies, and bytes reclaimed by keeping one copy per
+    digest. Dataflow: digest is a narrow map over the scan (the
+    payload never shuffles — only the 32-char digest does), then two
+    chained map-side-combinable aggregations; at 100 TB this is the
+    cheapest possible pass over binary columns because the shuffle
+    carries digests, not payloads. The fixture corpus contains exact
+    duplicate texts (the q_dedup_exact 'dup' family), so groups are
+    non-vacuous at sf0.01. Reference analog: none — target-only
+    capability."""
+    media = media_table(spark, sf_dir)
+    grp = (
+        media.select(
+            "media_type",
+            F.md5("payload").alias("digest"),
+            F.col("payload_len").cast("long").alias("payload_len"),
+            "doc_id",
+        )
+        .groupBy("media_type", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("payload_len").alias("payload_len"),
+        )
+    )
+    return (
+        grp.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_copies").alias("n_total"),
+            F.sum(F.col("n_copies") - 1).alias("n_redundant"),
+            F.sum(
+                (F.col("n_copies") - 1) * F.col("payload_len")
+            ).alias("bytes_reclaimed"),
+        )
+        .orderBy("media_type")
+    )

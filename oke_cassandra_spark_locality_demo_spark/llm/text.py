@@ -1643,3 +1643,46 @@ def q_text_dechunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_langid_eval",
+    oracle=f"""
+    WITH p AS ({_LANGID_ORACLE}
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER (
+               PARTITION BY labeled_lang) AS BIGINT) AS row_share_ppm
+    FROM p
+    GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the q_text_langid heuristic against the
+    fixture's ground-truth language labels — the eval every classifier
+    in a data pipeline owes its users before its predictions gate
+    anything (here: which rows a lang filter would mis-route). Rows
+    are (true label, predicted) with exact counts and the per-true-row
+    share in exact ppm (integer division over the row total — a window
+    over the tiny confusion table, not the corpus). Dataflow: the
+    classifier is the registered scoring cascade (shared code path, so
+    the eval grades EXACTLY what production runs), one hash
+    aggregation to <= |langs|^2 rows. The oracle composes the
+    registered langid oracle verbatim for the same
+    same-code-both-sides property. Reference analog: none —
+    target-only capability."""
+    preds = q_text_langid(spark, sf_dir)
+    conf = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        conf.select(
+            "labeled_lang", "predicted_lang", "n",
+            F.expr(
+                "n * 1000000 DIV sum(n) OVER (PARTITION BY labeled_lang)"
+            ).alias("row_share_ppm"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

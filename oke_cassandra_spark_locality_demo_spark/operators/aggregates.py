@@ -2223,3 +2223,102 @@ def q_win_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("end_day")
     )
+
+
+@register(
+    "q_agg_abc_pareto",
+    oracle="""
+    WITH pr AS (
+        SELECT c.c_nationkey AS nation, l.l_partkey AS part,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nation, part, rev,
+               SUM(rev) OVER (
+                   PARTITION BY nation ORDER BY rev DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(rev) OVER (PARTITION BY nation) AS total
+        FROM pr
+    ),
+    cls AS (
+        SELECT nation, rev, total,
+               CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                    WHEN 100 * cum <= 95 * total THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT nation, abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS class_rev_cents,
+           CAST(SUM(rev) * 1000000 // MAX(total) AS BIGINT) AS rev_share_ppm
+    FROM cls GROUP BY nation, abc ORDER BY nation, abc
+    """,
+)
+def q_agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO (80-95) CLASSIFICATION of parts by revenue within
+    each customer nation — the inventory-analytics classic (A: parts
+    covering the first 80% of revenue, B: to 95%, C: tail). The
+    thresholds are exact integer cross-multiplications
+    (100*cum <= 80*total — no percentage floats anywhere), revenue is
+    per-row integerized cents so all sums are exact int64. Dataflow:
+    fact join with both dim joins AQE-broadcast, one hash aggregation
+    to (nation, part) revenue, then BOTH windows (running cumulative
+    and nation total) share the single nation-keyed sort/exchange, and
+    the final class rollup reuses the same partitioning — one fact
+    shuffle + one nation shuffle at any scale. Per-class revenue share
+    emitted in exact ppm via integer division. Reference analog: none
+    — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    pr = (
+        li.select(
+            "l_orderkey", "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("nation")
+        .orderBy(F.desc("rev"), "part")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("nation")
+    ranked = pr.select(
+        "nation", "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_tot).alias("total"),
+    )
+    cls = ranked.select(
+        "nation", "rev", "total",
+        F.when(100 * F.col("cum") <= 80 * F.col("total"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("nation", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("class_rev_cents"),
+            F.expr("sum(rev) * 1000000 DIV max(total)").alias(
+                "rev_share_ppm"
+            ),
+        )
+        .orderBy("nation", "abc")
+    )

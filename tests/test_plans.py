@@ -966,3 +966,50 @@ def test_dechunk_roundtrip_all_ok(spark, sf_dir):
     """Chunk→reassemble must be lossless for every fixture document."""
     rows = get("q_text_dechunk").fn(spark, sf_dir).collect()
     assert rows and all(r.roundtrip_ok for r in rows)
+
+
+def test_abc_pareto_reuses_nation_partitioning(spark, sf_dir):
+    """q_agg_abc_pareto: both windows and the final class rollup must
+    share ONE nation-keyed exchange — exactly 3 exchanges total (fact
+    pre-aggregation, nation window, final sort), windows partitioned
+    on nation only, dim joins broadcast."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import (
+        count_exchanges,
+        simple_plan,
+    )
+
+    df = get("q_agg_abc_pareto").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert count_exchanges(df) <= 3, plan[:2000]
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "nation"
+    }, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "Python" not in plan
+
+
+def test_multimodal_dedup_bytes_payload_never_shuffles(spark, sf_dir):
+    """q_multimodal_dedup_bytes must shuffle digests, not payloads: no
+    Exchange may carry the binary payload column."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_multimodal_dedup_bytes").fn(spark, sf_dir))
+    assert "Python" not in plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0), m.group(0)
+
+
+def test_langid_eval_shares_classifier_code(spark, sf_dir):
+    """The confusion matrix must be consistent with the classifier:
+    diagonal + off-diagonal counts sum to the corpus size, and every
+    predicted label comes from the 4-language cascade."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    rows = get("q_text_langid_eval").fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    assert {r.predicted_lang for r in rows} <= {"en", "es", "de", "fr"}
