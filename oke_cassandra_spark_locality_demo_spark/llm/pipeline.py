@@ -1215,3 +1215,138 @@ def q_privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "bal_band", "k", "l_distinct",
         (F.col("l_distinct") >= 3).alias("l_diverse"),
     ).orderBy("c_nationkey", "bal_band")
+
+
+_PERM_N = 64
+
+
+@register(
+    "q_stats_permutation",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN x END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN g = 0 THEN x END) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM base
+    ),
+    perms AS (
+        SELECT base.k, base.x,
+               CAST(p.p AS BIGINT) AS p,
+               CAST(('0x' || SUBSTRING(MD5(CAST(base.k AS VARCHAR) || '|'
+                    || CAST(p.p AS VARCHAR)), 1, 8))::UBIGINT % 2 AS BIGINT)
+                   AS g
+        FROM base, RANGE(0, {_PERM_N}) AS p(p)
+    ),
+    ps AS (
+        SELECT p,
+               CAST(SUM(CASE WHEN g = 1 THEN x END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN g = 0 THEN x END) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM perms GROUP BY p
+    ),
+    verdicts AS (
+        SELECT ps.p,
+               CASE WHEN ABS(CAST(ps.sa AS DOUBLE) / CAST(ps.na AS DOUBLE)
+                             - CAST(ps.sb AS DOUBLE) / CAST(ps.nb AS DOUBLE))
+                         >= ABS(CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE)
+                                - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE))
+                    THEN 1 ELSE 0 END AS ge
+        FROM ps CROSS JOIN obs o
+    )
+    SELECT CAST({_PERM_N} AS BIGINT) AS n_perms,
+           CAST(ROUND(1000000.0 * (
+               CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE)
+               - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE)), 0) AS BIGINT)
+               AS obs_diff_micro,
+           (SELECT CAST(SUM(ge) AS BIGINT) FROM verdicts) AS n_ge,
+           (SELECT CAST((SUM(ge) + 1) * 1000000 // ({_PERM_N} + 1) AS BIGINT)
+            FROM verdicts) AS p_ppm
+    FROM obs o
+    """,
+)
+def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION (permutation-style) TEST for the urgent-vs-low
+    mean revenue difference, fully deterministic and cross-engine
+    exact: 64 pseudo-random relabelings assign each order to a
+    group by one bit of md5(orderkey || perm) (the portable hash-draw
+    idiom — Fisher randomization with Bernoulli(1/2) reassignment),
+    the per-permutation group sums are EXACT int64 conditional
+    aggregates over a single exploded scan (one shuffle to
+    64 x 2 cells — embarrassingly parallel at 100 TB), and the
+    two-sided p-value is the exact integer count of permutations whose
+    |mean difference| >= |observed|, with the add-one estimator
+    emitted in exact ppm. Mean differences are compared as IEEE
+    doubles derived identically from the exact integer scalars on both
+    engines, so even the >= boundary is bit-deterministic. The
+    observed gap is ~0 on the fixture (priorities are assigned
+    uniformly), so p sits high — the operator's value is the exact
+    distributed inference harness, not this particular verdict.
+    Companion to q_stats_welch_ttest (parametric) and
+    q_stats_mannwhitney (rank): the three standard two-sample tests,
+    all exact. Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 0).cast("long").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("g") == 1, F.col("x"))).alias("sa"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == 0, F.col("x"))).alias("sb"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nb"),
+    )
+    perms = base.select(
+        "k", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_N - 1))).alias("p"),
+    ).select(
+        "x", "p",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|',"
+            " CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+        ).alias("g"),
+    )
+    ps = perms.groupBy("p").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("x"))).alias("sa"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == 0, F.col("x"))).alias("sb"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nb"),
+    )
+
+    def diff(pre: str, df_prefix=""):
+        return F.col(f"{pre}sa").cast("double") / F.col(
+            f"{pre}na"
+        ).cast("double") - F.col(f"{pre}sb").cast("double") / F.col(
+            f"{pre}nb"
+        ).cast("double")
+
+    o = obs.select(
+        F.col("sa").alias("osa"), F.col("na").alias("ona"),
+        F.col("sb").alias("osb"), F.col("nb").alias("onb"),
+    )
+    verdicts = ps.crossJoin(F.broadcast(o)).select(
+        F.when(
+            F.abs(diff("")) >= F.abs(diff("o")), 1
+        ).otherwise(0).alias("ge")
+    )
+    agg = verdicts.agg(F.sum("ge").alias("n_ge")).crossJoin(o)
+    return agg.select(
+        F.lit(_PERM_N).cast("long").alias("n_perms"),
+        F.round(F.lit(1000000.0) * diff("o"), 0)
+        .cast("long")
+        .alias("obs_diff_micro"),
+        F.col("n_ge"),
+        F.expr(f"(n_ge + 1) * 1000000 DIV ({_PERM_N} + 1)").alias("p_ppm"),
+    )

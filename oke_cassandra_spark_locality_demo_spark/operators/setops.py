@@ -158,3 +158,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("new_total").isNull()
         | (F.col("old_total") != F.col("new_total"))
     ).select("o_orderkey", change.alias("change"), "old_total", "new_total")
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    ORDER BY custkey
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a custkey appearing m times on
+    the left and n times on the right survives min(m, n) times, which
+    DISTINCT-based intersect silently collapses. Spark plans
+    intersectAll as a counted hash aggregation per side + generate —
+    one shuffle per side on the compare key, no row explosion beyond
+    the multiplicity floor. Multiplicities matter here: customers
+    place many orders, so both sides are genuine bags (reference
+    analog: SURVEY §2.3 set-op row; the ALL variants complete it)."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.intersectAll(right).orderBy("custkey")
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    ORDER BY custkey
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each right-side occurrence cancels
+    ONE left-side occurrence (m - n copies survive), the multiset
+    difference DISTINCT-based except cannot express. Same counted-
+    aggregation plan shape as q_intersect_all."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    right = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right).orderBy("custkey")

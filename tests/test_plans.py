@@ -1013,3 +1013,49 @@ def test_langid_eval_shares_classifier_code(spark, sf_dir):
     n_docs = load(spark, sf_dir, "documents").count()
     assert sum(r.n for r in rows) == n_docs
     assert {r.predicted_lang for r in rows} <= {"en", "es", "de", "fr"}
+
+
+def test_permutation_test_single_pass_no_python(spark, sf_dir):
+    """q_stats_permutation: the 64 relabelings must be one exploded
+    scan + one hash aggregation keyed on the permutation id — no
+    Python, no window, no per-permutation job."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_stats_permutation").fn(spark, sf_dir))
+    assert "Python" not in plan, plan[:2000]
+    assert not re.search(r"windowspecdefinition", plan), plan[:2000]
+    assert "Generate explode" in plan or "Generate" in plan, plan[:2000]
+
+
+def test_setop_all_bag_semantics(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL multiplicities must satisfy the bag
+    identities: for every key, |intersectAll| = min(m, n) and
+    |exceptAll| = max(m - n, 0)."""
+    from collections import Counter
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    orders = load(spark, sf_dir, "orders")
+    left = Counter(
+        r.o_custkey
+        for r in orders.filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .collect()
+    )
+    right = Counter(
+        r.o_custkey
+        for r in orders.filter("o_totalprice > 200000")
+        .select("o_custkey")
+        .collect()
+    )
+    inter = Counter(
+        r.custkey for r in get("q_intersect_all").fn(spark, sf_dir).collect()
+    )
+    exc = Counter(
+        r.custkey for r in get("q_except_all").fn(spark, sf_dir).collect()
+    )
+    for k in set(left) | set(right):
+        assert inter[k] == min(left[k], right[k]), k
+        assert exc[k] == max(left[k] - right[k], 0), k
