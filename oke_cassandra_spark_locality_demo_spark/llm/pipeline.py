@@ -1350,3 +1350,134 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ge"),
         F.expr(f"(n_ge + 1) * 1000000 DIV ({_PERM_N} + 1)").alias("p_ppm"),
     )
+
+
+_BOOT_N = 64
+#: floor(CDF_Poisson(1)(k) * 2^32) for k = 0..6: exact integer
+#: inverse-CDF cutoffs on the 32-bit md5 draw; w = 7 beyond the last.
+_BOOT_CUTS = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+)
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Poisson(1) weight from a 32-bit uniform (portable SQL CASE)."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "q_stats_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    draws AS (
+        SELECT b.x, CAST(r.b AS BIGINT) AS b,
+               {_boot_weight_sql(
+                   "(('0x' || SUBSTRING(MD5(CAST(b.k AS VARCHAR) || '#' "
+                   "|| CAST(r.b AS VARCHAR)), 1, 8))::UBIGINT)"
+               )} AS w
+        FROM base b, RANGE(0, {_BOOT_N}) AS r(b)
+    ),
+    reps AS (
+        SELECT b, CAST(SUM(w * x) AS BIGINT) AS swx,
+               CAST(SUM(w) AS BIGINT) AS sw
+        FROM draws GROUP BY b
+    ),
+    means AS (
+        SELECT CAST(SWX AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), b
+               ) AS rk
+        FROM reps
+    ),
+    obs AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n FROM base
+    )
+    SELECT CAST({_BOOT_N} AS BIGINT) AS n_boot,
+           CAST(ROUND(1000000.0 * (SELECT CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE) FROM obs), 0) AS BIGINT) AS mean_micro,
+           CAST(ROUND(1000000.0 * MAX(CASE WHEN rk = 4 THEN m END), 0)
+               AS BIGINT) AS ci_lo_micro,
+           CAST(ROUND(1000000.0 * MAX(CASE WHEN rk = 61 THEN m END), 0)
+               AS BIGINT) AS ci_hi_micro
+    FROM means
+    """,
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP CONFIDENCE INTERVAL for mean urgent-order revenue,
+    deterministic and cross-engine exact: the classic Poisson(1)
+    bootstrap (each row enters replicate b with weight ~ Poisson(1) —
+    the streaming/distributed approximation of multinomial resampling,
+    per Chamandy et al. 2012 / the Google "Poisson bootstrap") with
+    weights drawn by EXACT integer inverse-CDF cutoffs on a 32-bit
+    md5(row, replicate) draw — floor(CDF * 2^32) constants, so both
+    engines produce identical integer weights with no float RNG
+    anywhere. 64 replicates in ONE exploded scan + one hash
+    aggregation to 64 (sum(w*x), sum(w)) int64 cell pairs; replicate
+    means are identically derived doubles, ranked deterministically
+    ((mean, b) tiebreak) to read the empirical 5%/95% CI bounds
+    (ranks 4 and 61 of 64), emitted as scale-0-rounded micro-units.
+    At 100 TB this is the textbook mergeable-uncertainty pattern: the
+    shuffle carries 64 pairs per partial regardless of data volume.
+    Completes the inference suite: welch (parametric), mannwhitney
+    (rank), permutation (randomization), bootstrap (resampling).
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 0).cast("long").alias("x"),
+    )
+    draws = base.select(
+        "k", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_N - 1))).alias("b"),
+    ).select(
+        "x", "b",
+        F.expr(
+            _boot_weight_sql(
+                "CAST(conv(substring(md5(concat(CAST(k AS STRING), '#',"
+                " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+        ).alias("w"),
+    )
+    reps = draws.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum("w").alias("sw"),
+    )
+    m = F.col("swx").cast("double") / F.col("sw").cast("double")
+    means = reps.select(
+        "b", m.alias("m")
+    ).withColumn(
+        "rk",
+        F.row_number().over(W.orderBy("m", "b")),
+    )
+    obs = base.agg(
+        (
+            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("om")
+    )
+    return (
+        means.agg(
+            F.max(F.when(F.col("rk") == 4, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rk") == 61, F.col("m"))).alias("hi"),
+        )
+        .crossJoin(obs)
+        .select(
+            F.lit(_BOOT_N).cast("long").alias("n_boot"),
+            F.round(F.lit(1000000.0) * F.col("om"), 0)
+            .cast("long")
+            .alias("mean_micro"),
+            F.round(F.lit(1000000.0) * F.col("lo"), 0)
+            .cast("long")
+            .alias("ci_lo_micro"),
+            F.round(F.lit(1000000.0) * F.col("hi"), 0)
+            .cast("long")
+            .alias("ci_hi_micro"),
+        )
+    )

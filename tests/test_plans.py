@@ -1059,3 +1059,15 @@ def test_setop_all_bag_semantics(spark, sf_dir):
     for k in set(left) | set(right):
         assert inter[k] == min(left[k], right[k]), k
         assert exc[k] == max(left[k] - right[k], 0), k
+
+
+def test_bootstrap_ci_brackets_mean_no_python(spark, sf_dir):
+    """q_stats_bootstrap_ci: one exploded pass, no Python; the CI must
+    bracket the observed mean and be properly ordered."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_stats_bootstrap_ci").fn(spark, sf_dir)
+    assert "Python" not in simple_plan(df)
+    r = df.collect()[0]
+    assert r.ci_lo_micro <= r.mean_micro <= r.ci_hi_micro
+    assert r.n_boot == 64
