@@ -545,3 +545,52 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("total").alias("total"),
         F.length(xml).alias("xml_len"),
     )
+
+
+@register(
+    "q_fn_editdistance",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)
+    SELECT a.c_custkey AS custkey,
+           CAST(LEVENSHTEIN(a.c_name, b.c_name) AS BIGINT) AS lev_next,
+           CAST(LEVENSHTEIN(a.c_mktsegment, b.c_mktsegment) AS BIGINT)
+               AS lev_segment,
+           CAST(LEVENSHTEIN(a.c_name,
+                UPPER(a.c_name)) AS BIGINT) AS lev_case
+    FROM c a JOIN c b ON b.c_custkey = a.c_custkey + 1
+    ORDER BY custkey
+    """,
+)
+def q_fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENSHTEIN EDIT DISTANCE — the fuzzy-match scalar every entity-
+    resolution pass leans on (q_dedup_entity's blocking would call it
+    inside buckets at scale): distance from each customer name to the
+    next key's name (digit-position differences), between the two
+    market-segment strings, and against the uppercased self (case
+    edits). The metric's definition is engine-independent, so all
+    values are exact-integer oracle-checked; the self-join on
+    custkey+1 is a keyed equi-join (no quadratic pair space — at scale
+    the pairing always comes from a blocking key, never a cross
+    join). Reference analog: none — target-only capability."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k2"),
+        F.col("c_name").alias("name2"),
+        F.col("c_mktsegment").alias("seg2"),
+    )
+    return (
+        c.join(b, F.col("c_custkey") == F.col("k2"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.levenshtein("c_name", "name2").cast("long").alias("lev_next"),
+            F.levenshtein("c_mktsegment", "seg2")
+            .cast("long")
+            .alias("lev_segment"),
+            F.levenshtein("c_name", F.upper("c_name"))
+            .cast("long")
+            .alias("lev_case"),
+        )
+        .orderBy("custkey")
+    )

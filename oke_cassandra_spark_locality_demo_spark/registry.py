@@ -260,7 +260,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_agg_heavy_hitters, q_geo_radius_join, q_ts_seasonal_dow,
 #: q_text_dechunk, q_multimodal_dedup_bytes, q_agg_abc_pareto,
 #: q_text_langid_eval, q_intersect_all, q_except_all,
-#: q_stats_permutation, q_stats_bootstrap_ci).
+#: q_stats_permutation, q_stats_bootstrap_ci, q_graph_sssp,
+#: q_fn_editdistance).
 #: 50 slots cover all
 #: but ~25 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in

