@@ -1481,3 +1481,99 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ci_hi_micro"),
         )
     )
+
+
+#: floor(CDF_Geometric(1-e^-1)(k) * 2^32) for k = 0..15 — exact integer
+#: inverse-CDF cutoffs; two independent geometric draws difference to a
+#: discrete Laplace (two-sided geometric) with epsilon = 1.
+_DP_GEO_CUTS = (
+    2714937127, 3713706680, 4081133465, 4216302225, 4266028033,
+    4284321136, 4291050792, 4293526494, 4294437254, 4294772304,
+    4294895562, 4294940906, 4294957587, 4294963724, 4294965982,
+    4294966812,
+)
+
+
+def _geo_draw_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_DP_GEO_CUTS)
+    )
+    return f"CASE {branches} ELSE 16 END"
+
+
+@register(
+    "q_privacy_dp_count",
+    oracle=f"""
+    WITH counts AS (
+        SELECT c_nationkey AS nation, COUNT(*) AS n_true
+        FROM customer GROUP BY 1
+    ),
+    noised AS (
+        SELECT nation, n_true,
+               {_geo_draw_sql(
+                   "(('0x' || SUBSTRING(MD5('dpA|' || "
+                   "CAST(nation AS VARCHAR)), 1, 8))::UBIGINT)"
+               )}
+               - {_geo_draw_sql(
+                   "(('0x' || SUBSTRING(MD5('dpB|' || "
+                   "CAST(nation AS VARCHAR)), 1, 8))::UBIGINT)"
+               )} AS z
+        FROM counts
+    )
+    SELECT nation, CAST(n_true AS BIGINT) AS n_true,
+           CAST(z AS BIGINT) AS z_noise,
+           CAST(GREATEST(n_true + z, 0) AS BIGINT) AS n_noisy
+    FROM noised ORDER BY nation
+    """,
+)
+def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE COUNT MECHANISM (geometric / discrete
+    Laplace, epsilon = 1) over per-nation customer counts — the release
+    mechanism a privacy-gated aggregation endpoint runs (Ghosh,
+    Roughgarden & Sundararajan 2009: the two-sided geometric is the
+    universally optimal epsilon-DP mechanism for counts). Noise is the
+    difference of two Geometric(1 - e^-1) draws realized by EXACT
+    integer inverse-CDF cutoffs (floor(CDF * 2^32)) on 32-bit md5
+    draws — the q_stats_bootstrap_ci idiom — so both engines produce
+    identical noise with no float RNG; negatives clamp at 0
+    (post-processing preserves DP). SEEDED-DEMO CAVEAT, documented: a
+    production release derives the draw from a secret per-release
+    nonce instead of the public group key (deterministic public draws
+    are NOT private; the mechanism, sensitivity-1 dataflow, and
+    clamping are what this operator demonstrates, and the nonce slots
+    into the hash preimage without touching the plan). Dataflow: one
+    map-side-combinable count aggregation, noise as a narrow
+    25-row map — nothing about the mechanism touches the corpus scan.
+    Emissions all-integer; n_true is emitted alongside for
+    verifiability on fixtures (a real release omits it). Reference
+    analog: none — target-only capability."""
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+
+    def draw(tag: str) -> str:
+        u = (
+            f"CAST(conv(substring(md5(concat('{tag}|',"
+            f" CAST(nation AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        branches = " ".join(
+            f"WHEN {u} < {cut} THEN {k}"
+            for k, cut in enumerate(_DP_GEO_CUTS)
+        )
+        return f"CASE {branches} ELSE 16 END"
+
+    return (
+        counts.withColumn(
+            "z_noise", F.expr(f"({draw('dpA')}) - ({draw('dpB')})")
+        )
+        .select(
+            "nation",
+            "n_true",
+            F.col("z_noise").cast("long").alias("z_noise"),
+            F.greatest(
+                F.col("n_true") + F.col("z_noise"), F.lit(0)
+            ).cast("long").alias("n_noisy"),
+        )
+        .orderBy("nation")
+    )

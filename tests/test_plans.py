@@ -1101,3 +1101,37 @@ def test_editdistance_metric_axioms(spark, sf_dir):
         name_b, seg_b = seg[r.custkey + 1]
         assert (r.lev_segment == 0) == (seg_a == seg_b), r.custkey
         assert r.lev_next >= abs(len(name_a) - len(name_b)), r.custkey
+
+
+def test_scenecut_modality_filter_before_python(spark, sf_dir):
+    """q_multimodal_scenecut: exactly one MapInPandas, no row-at-a-time
+    Python, and the video filter must prune before the Python stage."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_multimodal_scenecut").fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_dp_count_noise_matches_mechanism(spark, sf_dir):
+    """The emitted noise must equal the documented geometric-difference
+    mechanism recomputed driver-side from the same cutoffs, and the
+    clamp must hold."""
+    import hashlib
+
+    from oke_cassandra_spark_locality_demo_spark.llm.pipeline import _DP_GEO_CUTS
+
+    def geo(tag, nation):
+        u = int(
+            hashlib.md5(f"{tag}|{nation}".encode()).hexdigest()[:8], 16
+        )
+        for k, c in enumerate(_DP_GEO_CUTS):
+            if u < c:
+                return k
+        return 16
+
+    rows = get("q_privacy_dp_count").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.z_noise == geo("dpA", r.nation) - geo("dpB", r.nation)
+        assert r.n_noisy == max(r.n_true + r.z_noise, 0)
