@@ -1135,3 +1135,34 @@ def test_dp_count_noise_matches_mechanism(spark, sf_dir):
     for r in rows:
         assert r.z_noise == geo("dpA", r.nation) - geo("dpB", r.nation)
         assert r.n_noisy == max(r.n_true + r.z_noise, 0)
+
+
+def test_geo_knn_certificate_and_residual(spark, sf_dir):
+    """q_geo_knn: the ring path must carry most customers (the
+    certificate exists to avoid the brute-force fallback), and every
+    emitted pair must satisfy the certificate OR come from the exact
+    residual — verified by re-deriving the true 1-NN driver-side."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.operators.geo import _coord
+
+    rows = get("q_geo_knn").fn(spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS cid",
+        _coord("lat", "c_custkey") + " AS lat",
+        _coord("lon", "c_custkey") + " AS lon",
+    ).collect()
+    supp = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS sid",
+        _coord("lat", "-s_suppkey") + " AS lat",
+        _coord("lon", "-s_suppkey") + " AS lon",
+    ).collect()
+    truth = {}
+    for c in cust:
+        best = min(
+            ((s.lat - c.lat) ** 2 + (s.lon - c.lon) ** 2, s.sid)
+            for s in supp
+        )
+        truth[c.cid] = best
+    assert len(rows) == len(cust)
+    for r in rows:
+        assert (r.d2, r.nearest_supplier) == truth[r.custkey], r.custkey
