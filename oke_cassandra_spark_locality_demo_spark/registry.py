@@ -262,7 +262,7 @@ _MODIFIED_THIS_ROUND = [
 #: q_text_langid_eval, q_intersect_all, q_except_all,
 #: q_stats_permutation, q_stats_bootstrap_ci, q_graph_sssp,
 #: q_fn_editdistance, q_multimodal_scenecut, q_privacy_dp_count,
-#: q_geo_knn).
+#: q_geo_knn, q_source_xml).
 #: 50 slots cover all
 #: but ~25 — prioritize the oracle-backed TPC-H tail and late-r4
 #: blocks first; the remainder (and the rows-only stragglers) front in

@@ -764,3 +764,39 @@ def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register("q_source_xml", oracle="SELECT * FROM nation ORDER BY n_nationkey")
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's NATIVE xml data source (the
+    spark-xml package folded into core) with a declared schema on the
+    read side — no inference pass, same policy as q_source_csv/_json.
+    XML is the interchange format enterprise feeds still arrive in;
+    rowTag framing makes the read splittable per row element. The
+    nation dimension keeps the demo's round-trip exact (int/string
+    columns only — XML has no binary/decimal fidelity story worth
+    relying on at 100 TB; heavy tables belong in parquet, which is the
+    documented catalog policy)."""
+    path = _out("nation_xml")
+    n = load(spark, sf_dir, "nation")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .orderBy("n_nationkey")
+    )
