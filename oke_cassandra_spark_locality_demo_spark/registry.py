@@ -228,8 +228,9 @@ _MODIFIED_THIS_ROUND = [
 #: ROUND-6 PLAYBOOK (for the next session, after CORRECTNESS_r05
 #: lands): (1) append r5's 50 sampled keys to _DRIVER_ADJUDICATED;
 #: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r6;
-#: (3) replace this list with 50 of the ~68 still-never-adjudicated
-#: keys —
+#: (3) replace this list with 50 of the ~109 still-never-adjudicated
+#: keys (302 registered after the late-r5 blocks; 142 adjudicated
+#: through r4 + 50 sampled in r5) —
 #: the remaining 15 q_tpch_* (q2/q4/q7/q8/q10/q11/q12/q13/q14/q15/q16/
 #: q17/q19/q20/q22), the late-r4 operator additions (q_sessionize,
 #: q_join_bloom, q_join_bucketed, q_agg_sketch_cms, q_agg_sketch_theta,
@@ -263,10 +264,10 @@ _MODIFIED_THIS_ROUND = [
 #: q_stats_permutation, q_stats_bootstrap_ci, q_graph_sssp,
 #: q_fn_editdistance, q_multimodal_scenecut, q_privacy_dp_count,
 #: q_geo_knn, q_source_xml).
-#: 50 slots cover all
-#: but ~25 — prioritize the oracle-backed TPC-H tail and late-r4
-#: blocks first; the remainder (and the rows-only stragglers) front in
-#: r7, after which the rotation retires.
+#: 50 slots cover fewer than half — prioritize the oracle-backed
+#: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
+#: commit order; the remainder fronts in r7/r8, after which the
+#: rotation retires.
 _ROUND_PRIORITY = [
     # streaming block — never graded by the driver (VERDICT r4 gap #1)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
