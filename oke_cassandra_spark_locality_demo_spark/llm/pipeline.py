@@ -1577,3 +1577,116 @@ def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_drift_jsd",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, l.lang,
+               COALESCE(ca.n, 0) AS na, ta.t AS ta,
+               COALESCE(cb.n, 0) AS nb, tb.t AS tb
+        FROM tot a
+        JOIN tot b ON a.source < b.source
+        CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        LEFT JOIN c ca ON ca.source = a.source AND ca.lang = l.lang
+        LEFT JOIN c cb ON cb.source = b.source AND cb.lang = l.lang
+    ),
+    terms AS (
+        SELECT src_a, src_b,
+               CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+               CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+        FROM pairs
+    )
+    SELECT src_a, src_b,
+           CAST(SUM(CAST(ROUND((
+               0.5 * (CASE WHEN p > 0 THEN
+                   p * (LN(2.0 * p / (p + q)) / LN(2.0)) ELSE 0 END)
+               + 0.5 * (CASE WHEN q > 0 THEN
+                   q * (LN(2.0 * q / (p + q)) / LN(2.0)) ELSE 0 END)
+           ) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS jsd_micro
+    FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE between every pair of sources'
+    language distributions — the bounded, symmetric drift metric
+    ([0, 1] in bits) corpus monitoring prefers over raw KL (which
+    blows up on unseen labels); completes the drift family
+    (q_drift_ks numeric, q_split_drift_chisq categorical test,
+    q_drift_cusum sequential, THIS distributional distance). Counts
+    and totals are exact int64; the JS terms are computed with the
+    repo's LN(x)/LN(2.0) convention in the SAME expression shape on
+    both engines, each per-language term is micro-rounded BEFORE the
+    sum (per-term integer rounding makes the aggregation
+    order-independent — the q_text_entropy idiom), and the coarse
+    rounding absorbs the documented last-ulp ln() divergence
+    (tests/test_properties float-parity lint policy). Dataflow: one
+    (source, lang) hash aggregation over the corpus — everything
+    after runs on a 5x25-row table, so at 100 TB this is scan-bound.
+    Zero-probability labels contribute exactly 0 by the CASE guard
+    (the JSD limit), keeping pairs with disjoint support finite.
+    Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("t"))
+    langs = d.select("lang").distinct()
+    a = tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    b = tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    grid = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .crossJoin(langs)
+    )
+    ca = c.select(
+        F.col("source").alias("ka"), F.col("lang").alias("la"),
+        F.col("n").alias("na"),
+    )
+    cb = c.select(
+        F.col("source").alias("kb"), F.col("lang").alias("lb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        grid.join(ca, (F.col("src_a") == F.col("ka")) & (F.col("lang") == F.col("la")), "left")
+        .drop("ka", "la")
+        .join(cb, (F.col("src_b") == F.col("kb")) & (F.col("lang") == F.col("lb")), "left")
+        .drop("kb", "lb")
+        .select(
+            "src_a", "src_b",
+            (F.coalesce("na", F.lit(0)).cast("double") / F.col("ta").cast("double")).alias("p"),
+            (F.coalesce("nb", F.lit(0)).cast("double") / F.col("tb").cast("double")).alias("q"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    term_p = F.when(
+        F.col("p") > 0,
+        F.col("p")
+        * (F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q"))) / ln2),
+    ).otherwise(F.lit(0.0))
+    term_q = F.when(
+        F.col("q") > 0,
+        F.col("q")
+        * (F.log(F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q"))) / ln2),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            # per-lang-term micro rounding BEFORE the sum: each term is
+            # an identically derived double (bit-equal across engines up
+            # to ln's last ulp, absorbed by the coarse rounding), and the
+            # integer sum is order-independent — float sums are not
+            F.sum(
+                F.round(
+                    (F.lit(0.5) * term_p + F.lit(0.5) * term_q)
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("long")
+            ).alias("jsd_micro")
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -2322,3 +2322,91 @@ def q_agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "abc")
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l.l_quantity AS BIGINT) AS wgt
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT nation, cents, CAST(SUM(wgt) AS BIGINT) AS w
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT nation, cents, w,
+               SUM(w) OVER (
+                   PARTITION BY nation ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(w) OVER (PARTITION BY nation) AS tw
+        FROM g
+    )
+    SELECT nation,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY nation ORDER BY nation
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN (lower weighted median: smallest value v
+    with cumulative weight >= half the total) of line-item price per
+    customer nation, weighted by quantity — the robust location
+    statistic percentile_approx cannot give exactly and
+    q_agg_percentile_exact covers only unweighted. All-integer: cents
+    per row, int64 quantity weights, the threshold as the cross-
+    multiplication 2*cw >= tw (no halving floats). Dataflow: pre-
+    aggregate to (nation, value) weight cells first — the shuffle
+    carries distinct values per nation, not raw rows — then one
+    nation-keyed sort for the cumulative window and the total window
+    sharing the same exchange (the q_agg_abc_pareto plan shape), and
+    the final MIN-over-CASE rollup reuses the partitioning. At 100 TB
+    the distinct-value cell table is the scalability hinge: value
+    domains compress by orders of magnitude vs row counts. Reference
+    analog: none — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    v = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("wgt"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), "cents"
+        )
+        .agg(F.sum("wgt").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("nation")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("nation")
+    cum = v.select(
+        "nation", "cents", "w",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.groupBy("nation")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+            ).alias("wmedian_cents"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("nation")
+    )

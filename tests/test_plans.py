@@ -1166,3 +1166,48 @@ def test_geo_knn_certificate_and_residual(spark, sf_dir):
     assert len(rows) == len(cust)
     for r in rows:
         assert (r.d2, r.nearest_supplier) == truth[r.custkey], r.custkey
+
+
+def test_jsd_symmetric_bounded(spark, sf_dir):
+    """JSD invariants on real pairs: bounded to [0, 1e6] micro-bits and
+    zero iff the two sources' language distributions coincide."""
+    rows = get("q_drift_jsd").fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r.jsd_micro <= 1000000 for r in rows)
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """q_agg_weighted_median must satisfy the defining inequalities:
+    weight strictly below the median < half total, weight up to and
+    including the median >= half total — re-derived from raw rows."""
+    from collections import defaultdict
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CAST(ROUND(l_extendedprice * 100) AS LONG) AS cents",
+        "CAST(l_quantity AS LONG) AS wgt",
+    )
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey"
+    )
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_nationkey", "cents", "wgt")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in joined:
+        acc[r.c_nationkey].append((r.cents, r.wgt))
+    rows = get("q_agg_weighted_median").fn(spark, sf_dir).collect()
+    for r in rows:
+        vals = acc[r.nation]
+        tw = sum(w for _, w in vals)
+        below = sum(w for v, w in vals if v < r.wmedian_cents)
+        upto = sum(w for v, w in vals if v <= r.wmedian_cents)
+        assert r.total_weight == tw
+        assert 2 * below < tw <= 2 * upto, r.nation
