@@ -116,6 +116,19 @@ LLM_SECONDARY = [
     "q_split_leakage",
     "q_text_novelty",
     "q_quality_gopher",
+    # late-r5 additions: web-corpus URL canonicalization, RAKE keywords,
+    # certified heavy hitters, grid-blocked geo ops, k-core peeling,
+    # randomization inference, video scene cuts, Pareto classes, JSD drift
+    "q_dedup_url",
+    "q_text_rake",
+    "q_agg_heavy_hitters",
+    "q_geo_radius_join",
+    "q_geo_knn",
+    "q_graph_kcore",
+    "q_stats_permutation",
+    "q_multimodal_scenecut",
+    "q_agg_abc_pareto",
+    "q_drift_jsd",
 ]
 
 
