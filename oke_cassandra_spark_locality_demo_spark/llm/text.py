@@ -1686,3 +1686,66 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+@register(
+    "q_text_autocomplete",
+    oracle="""
+    WITH w AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+        SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
+    ),
+    pref AS (
+        SELECT SUBSTRING(word, 1, CAST(p.l AS INTEGER)) AS prefix,
+               word, n
+        FROM wc, RANGE(1, 5) AS p(l)
+        WHERE LENGTH(word) >= p.l
+    ),
+    ranked AS (
+        SELECT prefix, word, CAST(n AS BIGINT) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY prefix ORDER BY n DESC, word) AS rk
+        FROM pref
+    )
+    SELECT prefix, word, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY prefix, rk
+    """,
+)
+def q_text_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCOMPLETE PREFIX INDEX build — the top-3 completions per 1-4
+    character prefix by corpus frequency, the offline artifact behind
+    every search-box suggestion service. Scale design: frequencies
+    aggregate FIRST (one hash agg over the token stream — the shuffle
+    carries the vocabulary, with map-side combine), then prefixes
+    explode from the already-tiny (word, count) table — never from the
+    corpus (4 prefix rows per DISTINCT word, not per token), and the
+    per-prefix top-3 compiles to WindowGroupLimit (per-partition heap,
+    only candidate rows cross the rank shuffle). All-integer counts,
+    deterministic (count DESC, word) tiebreak. Reference analog: none
+    — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pref = wc.select(
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("l"),
+        "word", "n",
+    ).filter(F.length("word") >= F.col("l")).select(
+        F.expr("substring(word, 1, l)").alias("prefix"), "word", "n"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("prefix").orderBy(F.desc("n"), "word")
+    )
+    return (
+        pref.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("prefix", "word", F.col("n").cast("long").alias("n"),
+                F.col("rk").cast("long").alias("rk"))
+        .orderBy("prefix", "rk")
+    )

@@ -1211,3 +1211,19 @@ def test_weighted_median_definition(spark, sf_dir):
         upto = sum(w for v, w in vals if v <= r.wmedian_cents)
         assert r.total_weight == tw
         assert 2 * below < tw <= 2 * upto, r.nation
+
+
+def test_autocomplete_prefix_explode_after_agg(spark, sf_dir):
+    """q_text_autocomplete must explode prefixes from the aggregated
+    vocabulary, never the raw token stream: the Generate node sits
+    ABOVE the word-count HashAggregate in the plan, and the per-prefix
+    top-3 compiles to WindowGroupLimit."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(get("q_text_autocomplete").fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # two Generates exist (token explode feeds the agg; prefix explode
+    # sits above it) — check the prefix Generate consumes agg output
+    gen_idx = [i for i in range(len(plan)) if plan.startswith("Generate", i)]
+    agg_idx = plan.find("HashAggregate")
+    assert len(gen_idx) >= 2 and agg_idx > 0, plan[:2000]
