@@ -1555,3 +1555,83 @@ def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "q_win_rolling_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM {EVENTS_US} GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT event_type, day, y,
+               DATE_DIFF('day', DATE '1970-01-01', day) AS t
+        FROM daily
+    ),
+    w AS (
+        SELECT event_type, day, t, y,
+               SUM(y) OVER win AS a,
+               SUM(t * y) OVER win AS b,
+               COUNT(*) OVER win AS n,
+               MIN(t) OVER win AS t0,
+               MAX(t) OVER win AS t6
+        FROM o
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_type, day,
+           CAST((7 * (b - t0 * a) - 21 * a) * 1000000 // 196 AS BIGINT)
+               AS slope_micro_per_day
+    FROM w
+    WHERE n = 7 AND t6 - t0 = 6
+    ORDER BY event_type, day
+    """,
+)
+def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS TREND SLOPE (trailing 7 days) of daily event counts
+    per event type — the rate-of-change monitor behind every 'is this
+    metric accelerating' alert, in EXACT INTEGER ALGEBRA: with the
+    regressor fixed at offsets 0..6 the OLS denominator is the
+    constant 196 and the numerator reduces to 7*(B - t0*A) - 21*A
+    where A = SUM(y) and B = SUM(t*y) over the trailing window (t =
+    epoch-day ordinal) — two integer window sums, no per-offset
+    weights, no floats; the slope emits as micro-events/day via
+    integer division (both engines truncate signed division toward
+    zero — verified block 7). Windows partition by event type; rows
+    without a full GAPLESS 7-day history (n = 7 AND t-span = 6) are
+    excluded so the closed form's offset assumption holds exactly.
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    o = daily.select(
+        "event_type", "day", "y",
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias("t"),
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = o.select(
+        "event_type", "day",
+        F.sum("y").over(win).alias("a"),
+        F.sum(F.col("t") * F.col("y")).over(win).alias("b"),
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.min("t").over(win).alias("t0"),
+        F.max("t").over(win).alias("t6"),
+    )
+    return (
+        w.filter((F.col("n") == 7) & (F.col("t6") - F.col("t0") == 6))
+        .select(
+            "event_type", "day",
+            F.expr(
+                "(7 * (b - t0 * a) - 21 * a) * 1000000 DIV 196"
+            ).alias("slope_micro_per_day"),
+        )
+        .orderBy("event_type", "day")
+    )

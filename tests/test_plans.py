@@ -1227,3 +1227,45 @@ def test_autocomplete_prefix_explode_after_agg(spark, sf_dir):
     gen_idx = [i for i in range(len(plan)) if plan.startswith("Generate", i)]
     agg_idx = plan.find("HashAggregate")
     assert len(gen_idx) >= 2 and agg_idx > 0, plan[:2000]
+
+
+def test_rolling_slope_windows_partition_by_type(spark, sf_dir):
+    """q_win_rolling_slope: every window partitions by event_type (no
+    global-order window), no Python, and the emitted slope must equal
+    a driver-side numpy polyfit recomputation on a sampled window."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_win_rolling_slope").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "event_type"
+    }, plan[:2000]
+    # spot-check the closed form: slope == 1e6 * OLS slope, truncated
+    rows = df.collect()
+    assert rows
+    from collections import defaultdict
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    daily = defaultdict(dict)
+    for r in (
+        load(spark, sf_dir, "events")
+        .selectExpr("event_type", "to_date(ts) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    ):
+        daily[r.event_type][r.day] = r["count"]
+    import datetime
+
+    for r in rows[:20]:
+        ys = [
+            daily[r.event_type][r.day - datetime.timedelta(days=6 - i)]
+            for i in range(7)
+        ]
+        num = 7 * sum(i * y for i, y in enumerate(ys)) - 21 * sum(ys)
+        expect = int(num * 1000000 / 196)  # trunc toward zero
+        assert r.slope_micro_per_day == expect, (r, ys)
