@@ -365,3 +365,88 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr_e6"),
         )
     )
+
+
+@register(
+    "q_rank_tau",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    top AS (
+        SELECT part, rev_cents, qty,
+               ROW_NUMBER() OVER (ORDER BY rev_cents DESC, part) AS ra,
+               ROW_NUMBER() OVER (ORDER BY qty DESC, part) AS rb
+        FROM m
+        QUALIFY ROW_NUMBER() OVER (ORDER BY rev_cents DESC, part) <= 100
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END AS conc
+        FROM top a JOIN top b ON a.part < b.part
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+           CAST((2 * SUM(conc) - COUNT(*)) * 1000000 // COUNT(*) AS BIGINT)
+               AS tau_micro
+    FROM pairs
+    """,
+)
+def q_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU RANK CORRELATION between two rankings of the top-100
+    parts — by revenue vs by shipped quantity — the ranker-agreement
+    scalar every retrieval/recommendation eval reports next to P@k
+    (q_rank_eval) and RRF fusion (q_rank_rrf). Exact-integer end to
+    end: both metrics integerize per row before summing, both rankings
+    are total orders (metric DESC, part id tiebreak — no tie terms, so
+    tau-a is exact), the concordance test is the sign of the integer
+    product (ra-rb cross-difference), and tau = (2C - P)/P emits in
+    micro-units via integer division. Scale shape: ONE hash
+    aggregation over the fact table builds the metric table; ranking
+    and the P = C(100,2) = 4,950-pair self-join run on the top-100
+    slice only — the pair space is bounded by the ranked-list length,
+    never the corpus (the documented contract of list-level eval
+    metrics). Reference analog: none — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    wa = Window.orderBy(F.desc("rev_cents"), "part")
+    wb = Window.orderBy(F.desc("qty"), "part")
+    top = (
+        m.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("ra") <= 100)
+    )
+    a = top.select(
+        F.col("part").alias("pa"), F.col("ra").alias("raa"),
+        F.col("rb").alias("rba"),
+    )
+    b = top.select(
+        F.col("part").alias("pb"), F.col("ra").alias("rab"),
+        F.col("rb").alias("rbb"),
+    )
+    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
+        F.when(
+            (F.col("raa") - F.col("rab")) * (F.col("rba") - F.col("rbb"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).alias("discordant"),
+        F.expr(
+            "(2 * sum(conc) - count(1)) * 1000000 DIV count(1)"
+        ).alias("tau_micro"),
+    )

@@ -1269,3 +1269,43 @@ def test_rolling_slope_windows_partition_by_type(spark, sf_dir):
         num = 7 * sum(i * y for i, y in enumerate(ys)) - 21 * sum(ys)
         expect = int(num * 1000000 / 196)  # trunc toward zero
         assert r.slope_micro_per_day == expect, (r, ys)
+
+
+def test_rank_tau_scipy_crosscheck(spark, sf_dir):
+    """tau_micro must equal an independent Kendall tau-a recomputation
+    from the two integer metrics (and land in [-1e6, 1e6])."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    r = get("q_rank_tau").fn(spark, sf_dir).collect()[0]
+    import itertools
+
+    base = (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_partkey AS part",
+            "CAST(ROUND(l_extendedprice * 100) AS LONG) AS cents",
+            "CAST(l_quantity AS LONG) AS q",
+        )
+        .groupBy("part")
+        .sum("cents", "q")
+        .collect()
+    )
+    ranked_a = sorted(base, key=lambda x: (-x["sum(cents)"], x.part))[:100]
+    rb = {
+        x.part: i
+        for i, x in enumerate(
+            sorted(base, key=lambda x: (-x["sum(q)"], x.part))
+        )
+    }
+    ra = {x.part: i for i, x in enumerate(ranked_a)}
+    conc = disc = 0
+    for x, y in itertools.combinations(sorted(ra), 2):
+        s = (ra[x] - ra[y]) * (rb[x] - rb[y])
+        conc += s > 0
+        disc += s <= 0
+    n = conc + disc
+    assert r.n_pairs == n and r.concordant == conc
+    tau = (2 * conc - n) * 1000000
+    expect = abs(tau) // n * (1 if tau >= 0 else -1)
+    assert r.tau_micro == expect
+    assert -1000000 <= r.tau_micro <= 1000000
