@@ -893,3 +893,108 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return r.select(F.col("node").alias("part"), F.col("dist").alias("dist_cost")).orderBy("part")
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH li AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+    ),
+    e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    lbl AS (SELECT p_partkey, p_brand FROM part),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    intra AS (
+        SELECT pu.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM e
+        JOIN lbl pu ON e.u = pu.p_partkey
+        JOIN lbl pv ON e.v = pv.p_partkey
+        WHERE pu.p_brand = pv.p_brand GROUP BY 1
+    ),
+    deg AS (
+        SELECT lbl.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) nd
+        JOIN lbl ON nd.n = lbl.p_partkey GROUP BY 1
+    )
+    SELECT d.brand,
+           COALESCE(i.ec, 0) AS intra_edges,
+           d.dc AS degree_sum,
+           CAST(ROUND(1000000.0 *
+               (4.0 * CAST((SELECT m FROM mm) AS DOUBLE)
+                    * CAST(COALESCE(i.ec, 0) AS DOUBLE)
+                - CAST(d.dc AS DOUBLE) * CAST(d.dc AS DOUBLE))
+               / (4.0 * CAST((SELECT m FROM mm) AS DOUBLE)
+                      * CAST((SELECT m FROM mm) AS DOUBLE)), 0)
+               AS BIGINT) AS contrib_micro
+    FROM deg d LEFT JOIN intra i ON d.brand = i.brand
+    ORDER BY d.brand
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the BRAND partition over the January-1995
+    co-purchase graph — the partition-quality audit run before trusting
+    any community assignment: per brand c, the contribution
+    (e_c/m) - (d_c/2m)^2, where e_c = intra-brand edges and d_c = the
+    brand's degree sum. The fixture answer is honestly NEGATIVE
+    (~-0.003 summed): same-brand parts co-purchase LESS than the
+    configuration-model baseline — brands are assigned independently of
+    baskets, and the operator proves it quantitatively. Exact counts
+    (m, e_c, d_c) come from three hash aggregations over the edge
+    table (intra test = one extra equi-join on the vertex label); the
+    per-brand ratio is ONE identical IEEE expression over those exact
+    int64 scalars emitted as scale-0 micro-units — chosen over integer
+    cross-multiplication because (4*m*e_c - d_c^2) * 1e6 overflows
+    int64 past ~1.5M edges, while the double ratio is scale-unbounded
+    and still bit-portable (the q_ts_autocorr idiom; div/mul/round all
+    correctly rounded). Oracle CTEs MATERIALIZED per the kcore lesson.
+    Reference analog: none — target-only capability."""
+    e = (
+        _jan_edges(spark, sf_dir)
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint()
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    m = e.count()
+    lu = part.select(F.col("pk").alias("u"), F.col("brand").alias("bu"))
+    lv = part.select(F.col("pk").alias("v"), F.col("brand").alias("bv"))
+    intra = (
+        e.join(lu, "u").join(lv, "v")
+        .filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    nodes = e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n"))
+    )
+    deg = (
+        nodes.join(part, nodes.n == part.pk)
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    md = float(m)
+    contrib = (
+        F.lit(4.0) * F.lit(md) * F.coalesce("ec", F.lit(0)).cast("double")
+        - F.col("dc").cast("double") * F.col("dc").cast("double")
+    ) / (F.lit(4.0) * F.lit(md) * F.lit(md))
+    return (
+        deg.join(intra, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce("ec", F.lit(0)).alias("intra_edges"),
+            F.col("dc").alias("degree_sum"),
+            F.round(F.lit(1000000.0) * contrib, 0)
+            .cast("long")
+            .alias("contrib_micro"),
+        )
+        .orderBy("brand")
+    )

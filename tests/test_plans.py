@@ -1309,3 +1309,16 @@ def test_rank_tau_scipy_crosscheck(spark, sf_dir):
     expect = abs(tau) // n * (1 if tau >= 0 else -1)
     assert r.tau_micro == expect
     assert -1000000 <= r.tau_micro <= 1000000
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Modularity bookkeeping identities re-derived from the operator's
+    own emissions: sum of degree sums = 2m, intra edges <= m per brand,
+    and each contribution lies in [-1e6, 1e6]."""
+    rows = get("q_graph_modularity").fn(spark, sf_dir).collect()
+    assert rows
+    two_m = sum(r.degree_sum for r in rows)
+    assert two_m % 2 == 0
+    m = two_m // 2
+    assert all(0 <= r.intra_edges <= m for r in rows)
+    assert all(-1000000 <= r.contrib_micro <= 1000000 for r in rows)
