@@ -2410,3 +2410,89 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_agg_heavy_changers",
+    oracle="""
+    WITH r AS (
+        SELECT l.l_partkey AS part,
+               EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT part,
+               CAST(COALESCE(SUM(CASE WHEN yr = 1994 THEN rev END), 0)
+                   AS BIGINT) AS rev_1994,
+               CAST(COALESCE(SUM(CASE WHEN yr = 1995 THEN rev END), 0)
+                   AS BIGINT) AS rev_1995
+        FROM r GROUP BY part
+    )
+    SELECT part, rev_1994, rev_1995,
+           ABS(rev_1995 - rev_1994) AS abs_change_cents,
+           CASE WHEN rev_1995 >= rev_1994 THEN 1 ELSE -1 END AS direction
+    FROM piv
+    ORDER BY abs_change_cents DESC, part
+    LIMIT 20
+    """,
+)
+def q_agg_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY CHANGERS — the top-20 parts by absolute year-over-year
+    revenue movement (1994 vs 1995), the change-detection twin of
+    heavy hitters (Cormode & Muthukrishnan's deltoids problem): a
+    corpus/revenue monitor cares less about what is big than what
+    MOVED. Exact formulation: per-row integer cents, one hash
+    aggregation to (part, year) cells with the year predicate pushed
+    to the scan, a conditional-sum pivot to one row per part (absent
+    years coalesce to 0 so appear/disappear events rank too — a join
+    formulation would silently drop them), and TakeOrderedAndProject
+    for the top-20 by |delta|. At 100 TB this is one fact shuffle on
+    the part key; the sketch-based variant for unbounded keys is
+    q_agg_sketch_cms's deltoid extension, while THIS is the exact
+    path. All-integer emissions. Reference analog: none — target-only
+    capability."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1994-01-01", "1995-12-31")
+    )
+    r = (
+        li.select(
+            "l_orderkey", "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    piv = r.groupBy("part").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("yr") == 1994, F.col("rev"))), F.lit(0)
+        ).alias("rev_1994"),
+        F.coalesce(
+            F.sum(F.when(F.col("yr") == 1995, F.col("rev"))), F.lit(0)
+        ).alias("rev_1995"),
+    )
+    return (
+        piv.select(
+            "part", "rev_1994", "rev_1995",
+            F.abs(F.col("rev_1995") - F.col("rev_1994")).alias(
+                "abs_change_cents"
+            ),
+            F.when(F.col("rev_1995") >= F.col("rev_1994"), 1)
+            .otherwise(-1)
+            .alias("direction"),
+        )
+        .orderBy(F.desc("abs_change_cents"), "part")
+        .limit(20)
+    )

@@ -1322,3 +1322,20 @@ def test_modularity_identities(spark, sf_dir):
     m = two_m // 2
     assert all(0 <= r.intra_edges <= m for r in rows)
     assert all(-1000000 <= r.contrib_micro <= 1000000 for r in rows)
+
+
+def test_heavy_changers_topk_and_pushdown(spark, sf_dir):
+    """q_agg_heavy_changers: date filter pushed to the orders scan,
+    top-20 via TakeOrderedAndProject (never a full sort), no Python."""
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import (
+        pushed_filters,
+        simple_plan,
+    )
+
+    df = get("q_agg_heavy_changers").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Python" not in plan
+    assert any("o_orderdate" in f for f in pushed_filters(df)), (
+        pushed_filters(df)
+    )
