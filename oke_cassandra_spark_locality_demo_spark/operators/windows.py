@@ -1635,3 +1635,94 @@ def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_ts_outlier_rolling",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM {EVENTS_US} GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, y,
+               SUM(y) OVER win AS s,
+               SUM(y * y) OVER win AS sxx,
+               COUNT(*) OVER win AS n
+        FROM daily
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, day, y,
+           CAST(n AS BIGINT) AS baseline_n,
+           CAST(s AS BIGINT) AS baseline_sum,
+           CAST(ROUND(1000000.0 *
+               (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE)
+                    - CAST(s AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(y AS DOUBLE)
+                      - CAST(s AS DOUBLE)))
+               / (CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 0)
+               AS BIGINT) AS z2_micro
+    FROM w
+    WHERE n >= 7
+      AND n * (n * y - s) * (n * y - s) > 4 * n * (n * sxx - s * s)
+    ORDER BY event_type, day
+    """,
+)
+def q_ts_outlier_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Z-SCORE OUTLIER ALARMS on daily event counts — the
+    standard 'is today anomalous vs the trailing baseline' monitor: a
+    day alarms when its count departs the TRAILING 14-day window (the
+    current day is EXCLUDED from its own baseline — 14 PRECEDING TO 1
+    PRECEDING — the self-contamination mistake naive implementations
+    make) by more than 2 sample standard deviations. The alarm
+    predicate is EXACT INTEGER ARITHMETIC via squared
+    cross-multiplication — n*(n*y - s)^2 > k^2 * n*(n*sxx - s^2)
+    with k = 2 — so the decision never touches a float at any scale;
+    the reported z^2 magnitude is the identical-IEEE micro emission
+    (integer cross-mult would overflow int64 at ~1000x this fixture —
+    same analysis as q_graph_modularity). Windows partition by event
+    type; warm-up rows (n < 7) are excluded. 13 alarm rows at sf0.01.
+    Completes the anomaly family: q_agg_mad_outliers (static robust),
+    q_drift_cusum (sequential drift), THIS (rolling z). Reference
+    analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    win = W.partitionBy("event_type").orderBy("day").rowsBetween(-14, -1)
+    w = daily.select(
+        "event_type", "day", "y",
+        F.sum("y").over(win).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("sxx"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    z2 = (
+        d("n") * (d("n") * d("y") - d("s")) * (d("n") * d("y") - d("s"))
+    ) / (d("n") * (d("n") * d("sxx") - d("s") * d("s")))
+    alarm = (
+        F.col("n") * (F.col("n") * F.col("y") - F.col("s"))
+        * (F.col("n") * F.col("y") - F.col("s"))
+        > 4 * F.col("n")
+        * (F.col("n") * F.col("sxx") - F.col("s") * F.col("s"))
+    )
+    return (
+        w.filter((F.col("n") >= 7) & alarm)
+        .select(
+            "event_type", "day", "y",
+            F.col("n").alias("baseline_n"),
+            F.col("s").alias("baseline_sum"),
+            F.round(F.lit(1000000.0) * z2, 0).cast("long").alias("z2_micro"),
+        )
+        .orderBy("event_type", "day")
+    )

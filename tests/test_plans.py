@@ -1339,3 +1339,25 @@ def test_heavy_changers_topk_and_pushdown(spark, sf_dir):
     assert any("o_orderdate" in f for f in pushed_filters(df)), (
         pushed_filters(df)
     )
+
+
+def test_rolling_outlier_trailing_window_excludes_self(spark, sf_dir):
+    """q_ts_outlier_rolling: windows partition by event_type; every
+    alarm's z^2 must exceed 4e6 micro (the k=2 integer predicate and
+    the float report must agree), and the baseline excludes the
+    current day (baseline_sum counts at most 14 prior days)."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_ts_outlier_rolling").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "event_type"
+    }, plan[:2000]
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 7 <= r.baseline_n <= 14
+        assert r.z2_micro > 4_000_000, r
