@@ -1726,3 +1726,86 @@ def q_ts_outlier_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_agg_cohort_ltv",
+    oracle=f"""
+    WITH first_signup AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS cohort
+        FROM {EVENTS_US} WHERE event_type = 'signup' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT f.cohort,
+               DATE_DIFF('day', f.cohort,
+                         CAST(DATE_TRUNC('day', p.ts) AS DATE)) AS age_days,
+               CAST(ROUND(p.value * 10000.0) AS BIGINT) AS v_tt
+        FROM {EVENTS_US} p
+        JOIN first_signup f ON p.user_id = f.user_id
+        WHERE p.event_type = 'purchase' AND p.ts >= CAST(f.cohort AS TIMESTAMP)
+    ),
+    cell AS (
+        SELECT cohort, CAST(age_days AS BIGINT) AS age_days,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(v_tt) AS BIGINT) AS rev_tt
+        FROM purchases GROUP BY 1, 2
+    )
+    SELECT cohort, age_days, n_purchases, rev_tt,
+           CAST(SUM(rev_tt) OVER (
+               PARTITION BY cohort ORDER BY age_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_rev_tt
+    FROM cell ORDER BY cohort, age_days
+    """,
+)
+def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME VALUE — cumulative purchase revenue by signup
+    cohort and account age, the growth-analytics staple beside
+    q_retention_cohorts (which counts activity; THIS sums revenue):
+    each user joins the cohort of their first signup DAY, purchases on
+    or after it bucket by day-age, and per-cohort cumulative revenue
+    runs over the age axis. Revenue integerizes per event (x1e4
+    ten-thousandths, the q_sink_parquet_partitioned convention for the
+    events value column) so every sum is exact int64. Dataflow: one
+    min-aggregation for cohort assignment, a user-keyed equi-join to
+    attribute purchases (the fact shuffle), one (cohort, age) hash
+    aggregation, then the cumulative window partitioned by cohort —
+    cohort cardinality grows with time, not data volume, so the window
+    partitions stay narrow at 100 TB. Pre-signup purchases are
+    excluded (ts >= cohort), matching the LTV definition. All-integer
+    emissions. Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("cohort").cast("timestamp"))
+        .select(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort"))
+            .cast("long")
+            .alias("age_days"),
+            F.round(F.col("value") * 10000.0).cast("long").alias("v_tt"),
+        )
+    )
+    cell = purchases.groupBy("cohort", "age_days").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_tt").alias("rev_tt"),
+    )
+    win = (
+        W.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cell.select(
+            "cohort", "age_days", "n_purchases", "rev_tt",
+            F.sum("rev_tt").over(win).alias("cum_rev_tt"),
+        )
+        .orderBy("cohort", "age_days")
+    )

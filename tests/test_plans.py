@@ -1361,3 +1361,30 @@ def test_rolling_outlier_trailing_window_excludes_self(spark, sf_dir):
     for r in rows:
         assert 7 <= r.baseline_n <= 14
         assert r.z2_micro > 4_000_000, r
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """Per cohort, cum_rev_tt must be strictly increasing in age (all
+    revenue is positive) and its final value must equal the cohort's
+    total rev; windows partition by cohort."""
+    import re
+    from collections import defaultdict
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_agg_cohort_ltv").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "cohort"
+    }, plan[:2000]
+    rows = df.collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_days)
+        running = 0
+        for r in rs:
+            running += r.rev_tt
+            assert r.cum_rev_tt == running, (cohort, r.age_days)
