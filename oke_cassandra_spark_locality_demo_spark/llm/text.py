@@ -1749,3 +1749,62 @@ def q_text_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rk").cast("long").alias("rk"))
         .orderBy("prefix", "rk")
     )
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+    WITH w AS (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM w WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_ppm,
+           CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_ppm
+    FROM wc GROUP BY source ORDER BY source
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA / TYPE-TOKEN profile per source — the vocabulary-
+    growth diagnostics (Heaps-law inputs) a corpus audit reports:
+    token count, vocabulary size, hapax count (words seen exactly
+    once — the OCR-garbage and long-tail indicator; a crawl slice
+    whose hapax share spikes is full of mangled tokens), hapax share
+    and type-token ratio in exact ppm. The fixture's closed 31-word
+    vocabulary drives hapax to ~0 — the honest reading for synthetic
+    text, and exactly the signal shape the audit exists to flag in
+    reverse. Two chained hash aggregations ((source, word), then
+    source) — both map-side combinable; the shuffle carries the
+    per-source vocabulary, never the token stream. All-integer.
+    Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+        )
+        .select(
+            "source", "n_tokens", "vocab", "hapax",
+            F.expr("hapax * 1000000 DIV vocab").alias("hapax_ppm"),
+            F.expr("vocab * 1000000 DIV n_tokens").alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )

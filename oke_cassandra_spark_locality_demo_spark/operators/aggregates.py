@@ -2496,3 +2496,86 @@ def q_agg_heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_change_cents"), "part")
         .limit(20)
     )
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+#: first-digit shares as integer ppm constants (no runtime log10).
+_BENFORD_PPM = (
+    301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757,
+)
+
+
+@register(
+    "q_agg_benford",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice, 0) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+    exp AS (
+        SELECT CAST(e.d AS BIGINT) AS digit, CAST(e.ppm AS BIGINT) AS benford_ppm
+        FROM (VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))})
+             e(d, ppm)
+    )
+    SELECT e.digit,
+           COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(c.n, 0) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS share_ppm,
+           e.benford_ppm,
+           CAST(COALESCE(c.n, 0) * 1000000 // (SELECT t FROM tot)
+                - e.benford_ppm AS BIGINT) AS delta_ppm
+    FROM exp e LEFT JOIN c ON e.digit = c.digit
+    ORDER BY e.digit
+    """,
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT of order totals — the classic
+    fraud/synthetic-data screen: naturally occurring multiplicative
+    amounts put ~30.1% of leading digits at 1, while fabricated or
+    uniformly generated values (TPC-H prices are uniform — this
+    operator DETECTS that honestly, with digit 1 far under 301,029
+    ppm) flatten the curve. The expected shares are precomputed
+    integer ppm constants (floor(log10(1+1/d)*1e6) — no runtime log,
+    nothing float anywhere): observed shares come from one hash
+    aggregation over per-row scale-0-integerized totals, the leading
+    digit extracted by string head on the integer (portable — no
+    log10/pow digit math, which would hit float-parity hazards), and
+    deltas are exact integer ppm. The LEFT join from the constant
+    digit spine keeps never-observed digits as explicit zero rows.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        orders.select(
+            F.substring(
+                F.round("o_totalprice", 0).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = orders.sparkSession.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, benford_ppm long",
+    )
+    t = c.agg(F.sum("n").alias("t"))
+    return (
+        spine.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 DIV t").alias("share_ppm"),
+            "benford_ppm",
+            F.expr(
+                "coalesce(n, 0) * 1000000 DIV t - benford_ppm"
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1388,3 +1388,28 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         for r in rs:
             running += r.rev_tt
             assert r.cum_rev_tt == running, (cohort, r.age_days)
+
+
+def test_benford_spine_and_shares(spark, sf_dir):
+    """Benford audit: always exactly 9 rows (constant digit spine),
+    shares sum to ~1e6 ppm, expected column matches the documented
+    constants."""
+    from oke_cassandra_spark_locality_demo_spark.operators.aggregates import (
+        _BENFORD_PPM,
+    )
+
+    rows = get("q_agg_benford").fn(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert [r.benford_ppm for r in rows] == list(_BENFORD_PPM)
+    assert abs(sum(r.share_ppm for r in rows) - 1000000) <= 9
+    assert all(r.delta_ppm == r.share_ppm - r.benford_ppm for r in rows)
+
+
+def test_hapax_identities(spark, sf_dir):
+    """hapax <= vocab <= n_tokens per source, and ppm fields re-derive."""
+    rows = get("q_text_hapax").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hapax <= r.vocab <= r.n_tokens
+        assert r.hapax_ppm == r.hapax * 1000000 // r.vocab
+        assert r.ttr_ppm == r.vocab * 1000000 // r.n_tokens
