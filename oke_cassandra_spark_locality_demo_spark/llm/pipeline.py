@@ -1690,3 +1690,103 @@ def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "q_stats_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT yr, MIN(rev2) AS med FROM (
+            SELECT yr, rev AS rev2,
+                   2 * (ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev))
+                       >= COUNT(*) OVER (PARTITION BY yr) AS past_half
+            FROM daily
+        ) WHERE past_half GROUP BY yr
+    ),
+    sg AS (
+        SELECT d.yr, d.day,
+               CASE WHEN d.rev >= m.med THEN 1 ELSE 0 END AS s
+        FROM daily d JOIN med m ON d.yr = m.yr
+    ),
+    lagged AS (
+        SELECT yr, s,
+               LAG(s) OVER (PARTITION BY yr ORDER BY day) AS prev
+        FROM sg
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(SUM(s) AS BIGINT) AS n_above,
+           CAST(SUM(1 - s) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+               AS BIGINT) AS runs,
+           CAST(1000000 + 2 * SUM(s) * SUM(1 - s) * 1000000
+                // (SUM(s) + SUM(1 - s)) AS BIGINT) AS expected_runs_micro
+    FROM lagged GROUP BY yr ORDER BY yr
+    """,
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST for serial randomness of the daily
+    revenue series, per year: days flag above/below the year's exact
+    LOWER MEDIAN (the 2*rank >= n cross-multiplication — no float
+    halving of even-count medians), the observed run count is
+    1 + #(sign changes) via one year-partitioned LAG, and the null
+    expectation E[R] = 1 + 2*n1*n2/n emits as exact integer
+    micro-units. Observed ~ expected says the series has no serial
+    clumping — the pre-check before trusting i.i.d.-assuming samplers
+    and the serial complement of q_ts_autocorr's linear lag view. One
+    aggregation + two year-partitioned windows + one LAG, all
+    integer. Rounds out the inference suite (welch, mannwhitney,
+    permutation, bootstrap, THIS). Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.sum(F.round("o_totalprice", 0).cast("long")).alias("rev"))
+    wr = W.partitionBy("yr").orderBy("rev")
+    wn = W.partitionBy("yr")
+    med = (
+        daily.select(
+            "yr", "rev",
+            (
+                2 * F.row_number().over(wr) >= F.count(F.lit(1)).over(wn)
+            ).alias("past_half"),
+        )
+        .filter("past_half")
+        .groupBy("yr")
+        .agg(F.min("rev").alias("med"))
+    )
+    sg = daily.join(med, "yr").select(
+        "yr", "day",
+        F.when(F.col("rev") >= F.col("med"), 1).otherwise(0).alias("s"),
+    )
+    wl = W.partitionBy("yr").orderBy("day")
+    lagged = sg.select(
+        "yr", "s", F.lag("s").over(wl).alias("prev")
+    )
+    return (
+        lagged.groupBy("yr")
+        .agg(
+            F.sum("s").alias("n_above"),
+            F.sum(1 - F.col("s")).alias("n_below"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1
+                ).otherwise(0)
+            ).alias("runs"),
+        )
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            "n_above", "n_below", "runs",
+            F.expr(
+                "1000000 + 2 * n_above * n_below * 1000000"
+                " DIV (n_above + n_below)"
+            ).alias("expected_runs_micro"),
+        )
+        .orderBy("yr")
+    )

@@ -1809,3 +1809,124 @@ def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_days")
     )
+
+
+@register(
+    "q_funnel_multistep",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_US}),
+    s AS (
+        SELECT s.user_id, s.ts,
+               EXISTS (
+                   SELECT 1 FROM ev v
+                   WHERE v.user_id = s.user_id AND v.event_type = 'view'
+                     AND v.ts >= s.ts
+                     AND v.ts <= s.ts + INTERVAL '30 minutes'
+               ) AS reached_view,
+               EXISTS (
+                   SELECT 1 FROM ev v
+                   WHERE v.user_id = s.user_id AND v.event_type = 'view'
+                     AND v.ts >= s.ts
+                     AND v.ts <= s.ts + INTERVAL '30 minutes'
+                     AND EXISTS (
+                         SELECT 1 FROM ev p
+                         WHERE p.user_id = v.user_id
+                           AND p.event_type = 'purchase'
+                           AND p.ts >= v.ts
+                           AND p.ts <= v.ts + INTERVAL '30 minutes'
+                     )
+               ) AS reached_purchase
+        FROM ev s WHERE s.event_type = 'signup'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN reached_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reached_view,
+           CAST(SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reached_purchase
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-STEP FUNNEL (signup -> view within 30 min -> purchase
+    within 30 min OF THAT VIEW), per user — the staged-conversion
+    report q_funnel_conversion's two-step version cannot express.
+    Scalable formulation, zero self-joins: (1) one backward
+    user-timeline pass marks each view CONVERTING if the nearest later
+    purchase falls inside its window; (2) a second backward pass
+    carries, for every signup, the nearest later view AND the nearest
+    later CONVERTING view — 'some view in the signup window converts'
+    is equivalent to 'the NEAREST converting view is in the window'
+    (nearest minimizes the timestamp), which is what makes the carry
+    formulation exact against the doubly-correlated EXISTS oracle.
+    Two shuffles on user_id total, any data size; the oracle's nested
+    EXISTS would be a quadratic correlated scan at scale. All-integer
+    emissions. Reference analog: none — target-only capability."""
+    e = load(spark, sf_dir, "events")
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_view"),
+        F.col("ts").alias("p_ts"),
+    )
+    vw = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("is_view"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+    )
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_view").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    views = (
+        vw.unionByName(pu)
+        .select(
+            "*",
+            F.last("p_ts", ignorenulls=True).over(w1).alias("np"),
+        )
+        .filter(F.col("is_view") == 1)
+        .select(
+            "user_id", "ts",
+            (
+                F.col("np").isNotNull()
+                & (F.col("np") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+            ).alias("v_conv"),
+        )
+    )
+    su = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(1).alias("is_signup"),
+        F.lit(None).cast("timestamp_ntz").alias("v_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("cv_ts"),
+    )
+    vrows = views.select(
+        "user_id", "ts", F.lit(0).alias("is_signup"),
+        F.col("ts").alias("v_ts"),
+        F.when(F.col("v_conv"), F.col("ts")).alias("cv_ts"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_signup").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = su.unionByName(vrows).select(
+        "*",
+        F.last("v_ts", ignorenulls=True).over(w2).alias("nv"),
+        F.last("cv_ts", ignorenulls=True).over(w2).alias("ncv"),
+    )
+    lim = F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    return (
+        carried.filter(F.col("is_signup") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(
+                F.when(
+                    F.col("nv").isNotNull() & (F.col("nv") <= lim), 1
+                ).otherwise(0)
+            ).alias("n_reached_view"),
+            F.sum(
+                F.when(
+                    F.col("ncv").isNotNull() & (F.col("ncv") <= lim), 1
+                ).otherwise(0)
+            ).alias("n_reached_purchase"),
+        )
+        .orderBy("user_id")
+    )

@@ -1413,3 +1413,35 @@ def test_hapax_identities(spark, sf_dir):
         assert r.hapax <= r.vocab <= r.n_tokens
         assert r.hapax_ppm == r.hapax * 1000000 // r.vocab
         assert r.ttr_ppm == r.vocab * 1000000 // r.n_tokens
+
+
+def test_funnel_multistep_monotone(spark, sf_dir):
+    """Funnel stages must be monotone per user: signups >= reached_view
+    >= reached_purchase; windows partition by user_id only."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_funnel_multistep").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "user_id"
+    }, plan[:2000]
+    for r in df.collect():
+        assert r.n_signups >= r.n_reached_view >= r.n_reached_purchase, r
+
+
+def test_runs_test_identities(spark, sf_dir):
+    """Runs bookkeeping: 1 <= runs <= n_above + n_below, lower-median
+    split puts at least half the days at-or-above (n_above >= n_below
+    by the lower-median convention), expectation field re-derives."""
+    rows = get("q_stats_runs_test").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_above + r.n_below
+        assert 1 <= r.runs <= n
+        assert r.n_above >= r.n_below
+        assert r.expected_runs_micro == (
+            1000000 + 2 * r.n_above * r.n_below * 1000000 // n
+        )
