@@ -2579,3 +2579,98 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_agg_lorenz_gini",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey AS cust,
+               CAST(SUM(CAST(ROUND(o.o_totalprice, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT nation, rev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nation ORDER BY rev, cust) AS i,
+               COUNT(*) OVER (PARTITION BY nation) AS n,
+               SUM(rev) OVER (PARTITION BY nation) AS t
+        FROM cr
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(t) AS BIGINT) AS total_rev,
+           CAST(ROUND(1000000.0 *
+               (2.0 * SUM(CAST(i AS DOUBLE) * CAST(rev AS DOUBLE))
+                - (CAST(MAX(n) AS DOUBLE) + 1.0) * CAST(MAX(t) AS DOUBLE))
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(t) AS DOUBLE)), 0)
+               AS BIGINT) AS gini_micro
+    FROM rk GROUP BY nation ORDER BY nation
+    """,
+)
+def q_agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI CONCENTRATION COEFFICIENT of customer revenue per nation —
+    the Lorenz-curve scalar behind every 'top X% of customers drive Y%
+    of revenue' claim, and the formal version of q_agg_abc_pareto's
+    80/95 classes (that op buckets, THIS measures; q_agg_gini is the
+    unrelated label-impurity Gini). Closed form over the rank-ordered
+    revenues: G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) with i
+    the 1-based revenue rank (ties broken by customer id — both
+    engines rank identically). SUM(i*x) is an exact int64 aggregate of
+    exact integers; the final ratio uses the identical-IEEE micro
+    idiom because (2*SUM(i*x))*1e6 overflows int64 near 1000x this
+    fixture (the q_graph_modularity analysis). The double-typed
+    SUM(i*x) in both engines is still ORDER-INDEPENDENT here: every
+    i*x product is an integer-valued double and the running total
+    stays below 2^53 through ~sf1, so the additions are exact; past
+    that the micro rounding absorbs the ulp drift. Dataflow: one fact
+    aggregation to (nation, customer) revenue, then rank/total windows
+    and the final rollup all share ONE nation-keyed exchange (the
+    q_agg_abc_pareto plan shape). TPC-H revenue is near-uniform so
+    fixture Ginis sit ~0.25-0.35 — the honest synthetic-data reading.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cr = (
+        orders.select(
+            "o_custkey",
+            F.round("o_totalprice", 0).cast("long").alias("cents"),
+        )
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_custkey").alias("cust"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    wn = Window.partitionBy("nation")
+    rk = cr.select(
+        "nation", "rev",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy("rev", "cust"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("rev").over(wn).alias("t"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    gini = (
+        F.lit(2.0) * F.sum(d(F.col("i")) * d(F.col("rev")))
+        - (d(F.max("n")) + F.lit(1.0)) * d(F.max("t"))
+    ) / (d(F.max("n")) * d(F.max("t")))
+    return (
+        rk.groupBy("nation")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.max("t").alias("total_rev"),
+            F.round(F.lit(1000000.0) * gini, 0)
+            .cast("long")
+            .alias("gini_micro"),
+        )
+        .orderBy("nation")
+    )

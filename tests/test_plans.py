@@ -1445,3 +1445,23 @@ def test_runs_test_identities(spark, sf_dir):
         assert r.expected_runs_micro == (
             1000000 + 2 * r.n_above * r.n_below * 1000000 // n
         )
+
+
+def test_lorenz_gini_range_and_shared_exchange(spark, sf_dir):
+    """Gini in [0, 1e6] micro; rank/total windows + rollup share one
+    nation exchange (<= 3 exchanges incl. fact agg and final sort)."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import (
+        count_exchanges,
+        simple_plan,
+    )
+
+    df = get("q_agg_lorenz_gini").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
+        "nation"
+    }, plan[:2000]
+    assert count_exchanges(df) <= 3, plan[:2000]
+    rows = df.collect()
+    assert rows and all(0 <= r.gini_micro <= 1000000 for r in rows)
