@@ -1808,3 +1808,62 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT word,
+               CAST(SUM(n) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY word
+    )
+    SELECT word, cf, df,
+           CAST(cf * 1000000 // df AS BIGINT) AS burst_micro
+    FROM agg
+    ORDER BY burst_micro DESC, cf DESC, word
+    LIMIT 25
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (Church & Gale: mean occurrences per CONTAINING
+    document, cf/df) — the corpus-linguistics stat that separates
+    topical words (bursty: absent from most docs, repeated where
+    present) from function words (cf tracks df): the signal behind
+    df-based stop-listing and the q_dedup_ngram_jaccard df-ordered
+    prefix filter. Exact integers: collection frequency and document
+    frequency from two chained hash aggregations ((word, doc) then
+    word — the shuffle carries per-doc distinct words, never the raw
+    token stream), burstiness in exact micro via integer division,
+    deterministic (burst, cf, word) top-25. Reference analog: none —
+    target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per_doc.groupBy("word").agg(
+        F.sum("n").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    return (
+        agg.select(
+            "word", "cf", "df",
+            F.expr("cf * 1000000 DIV df").alias("burst_micro"),
+        )
+        .orderBy(F.desc("burst_micro"), F.desc("cf"), "word")
+        .limit(25)
+    )

@@ -2674,3 +2674,76 @@ def q_agg_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH sr AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nation, CAST(SUM(rev) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM sr GROUP BY nation
+    ),
+    shares AS (
+        SELECT sr.nation, CAST(sr.rev * 10000 // tot.t AS BIGINT) AS bp
+        FROM sr JOIN tot ON sr.nation = tot.nation
+    )
+    SELECT s.nation,
+           CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(SUM(s.bp * s.bp) AS BIGINT) AS hhi
+    FROM shares s JOIN tot t ON s.nation = t.nation
+    GROUP BY s.nation ORDER BY s.nation
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
+    nation — the market-structure scalar (sum of squared basis-point
+    shares, 10000 = monopoly; antitrust thresholds sit at 1500/2500)
+    complementing q_agg_lorenz_gini's inequality view: HHI weights the
+    LARGEST shares quadratically where Gini integrates the whole
+    curve. Integer-exact by construction: shares floor to basis points
+    (rev*10000 DIV total — both engines truncate identically, the
+    test_idioms-covered class), squared and summed as int64 — no
+    ratio ever becomes a float, so there is nothing to round. The
+    floor loses < 1 bp per supplier: bounded, deterministic, and
+    identical across engines — the documented trade for float-free
+    emission. One fact aggregation, one nation total, one keyed join
+    back: two shuffles at any scale. Reference analog: none —
+    target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    sr = (
+        li.select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    tot = sr.groupBy("nation").agg(
+        F.sum("rev").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    shares = sr.join(tot, "nation").select(
+        "nation", "n_suppliers", F.expr("rev * 10000 DIV t").alias("bp")
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.sum(F.col("bp") * F.col("bp")).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -1465,3 +1465,28 @@ def test_lorenz_gini_range_and_shared_exchange(spark, sf_dir):
     assert count_exchanges(df) <= 3, plan[:2000]
     rows = df.collect()
     assert rows and all(0 <= r.gini_micro <= 1000000 for r in rows)
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    """burst_micro >= 1e6 (a word occurs at least once per containing
+    doc) and df <= corpus size."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    rows = get("q_text_burstiness").fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows
+    for r in rows:
+        assert r.burst_micro >= 1000000
+        assert 1 <= r.df <= n_docs
+        assert r.cf >= r.df
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI in (0, 10000^2]; single-supplier nations hit the monopoly
+    bound exactly; floored shares keep HHI <= the true value."""
+    rows = get("q_agg_hhi").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi <= 10000 * 10000
+        if r.n_suppliers == 1:
+            assert r.hhi == 10000 * 10000
