@@ -2747,3 +2747,51 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_agg_log_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    b AS (
+        SELECT CAST(LENGTH(BIN(cents)) AS BIGINT) AS bucket, cents FROM v
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-OF-TWO (log2) HISTOGRAM of order totals — the HDR/latency-
+    histogram bucketing every observability pipeline uses for
+    long-tailed metrics, where equi-width bins (q_agg_hist) waste all
+    their resolution on the head. The bucket is the integer BIT LENGTH
+    of the cent amount (LENGTH(BIN(x)) — floor(log2)+1 computed by
+    string length of the binary rendering, identical in both engines,
+    zero float log anywhere: LOG2 itself is the documented
+    cross-engine ulp hazard). Exponential bins are also the mergeable
+    representation: fixed ~40 buckets regardless of data volume, so
+    the aggregation state is O(1) and map-side combinable at any
+    scale. Emits per-bucket count plus observed min/max (the exact
+    bucket support). Reference analog: none — target-only
+    capability."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    b = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).select(
+        F.length(F.bin("cents")).cast("long").alias("bucket"), "cents"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -305,3 +305,37 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the analyst-ergonomics SQL surface (infer the
+    grouping keys from the non-aggregate select items) that Spark 4
+    and DuckDB both ship with identical inference rules, so the oracle
+    runs the SAME query text modulo dialect casts. Plans identically
+    to an explicit GROUP BY (one hash aggregation with map-side
+    partials) — the feature is parser sugar, and this key pins that
+    equivalence. Companion to q_sql_pipe / q_sql_params /
+    q_sql_scripting in the modern-SQL-surface family."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS rev
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )

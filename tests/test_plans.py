@@ -1490,3 +1490,31 @@ def test_hhi_bounds(spark, sf_dir):
         assert 0 < r.hhi <= 10000 * 10000
         if r.n_suppliers == 1:
             assert r.hhi == 10000 * 10000
+
+
+def test_log_histogram_bucket_supports(spark, sf_dir):
+    """Every bucket's observed min/max must lie inside the power-of-2
+    bucket bounds [2^(b-1), 2^b - 1]."""
+    rows = get("q_agg_log_histogram").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 2 ** (r.bucket - 1) <= r.lo_cents <= r.hi_cents
+        assert r.hi_cents < 2 ** r.bucket
+
+
+def test_group_by_all_matches_explicit(spark, sf_dir):
+    """GROUP BY ALL must be pure sugar: identical rows to the explicit
+    grouping."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    implicit = get("q_sql_group_by_all").fn(spark, sf_dir).collect()
+    explicit = spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS rev
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    ).collect()
+    assert implicit == explicit
