@@ -1930,3 +1930,105 @@ def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_win_time_to_convert",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {EVENTS_US}),
+    su AS (
+        SELECT s.user_id, s.ts,
+               (SELECT MIN(p.ts) FROM ev p
+                WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+                  AND p.ts >= s.ts) AS first_purchase
+        FROM ev s WHERE s.event_type = 'signup'
+    ),
+    lat AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               CAST(DATE_DIFF('second', ts, first_purchase) AS BIGINT)
+                   AS latency_s
+        FROM su WHERE first_purchase IS NOT NULL
+    ),
+    f AS (
+        SELECT day, latency_s, COUNT(*) AS cnt FROM lat GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, latency_s,
+               SUM(cnt) OVER (PARTITION BY day ORDER BY latency_s) AS cw,
+               SUM(cnt) OVER (PARTITION BY day) AS tw
+        FROM f
+    )
+    SELECT day,
+           CAST(MAX(tw) AS BIGINT) AS n_conversions,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN latency_s END) AS BIGINT)
+               AS p50_s,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN latency_s END)
+               AS BIGINT) AS p90_s
+    FROM w GROUP BY day ORDER BY day
+    """,
+)
+def q_win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT DISTRIBUTION — exact p50/p90 of the
+    signup-to-first-purchase latency per signup day, the funnel
+    family's 'how fast' companion (q_funnel_conversion answers
+    'whether'). The nearest later purchase comes from the backward
+    user-timeline carry (one user shuffle — the oracle's correlated
+    MIN subquery is the quadratic formulation this avoids); latencies
+    integerize to whole seconds (timestamps are µs-truncated by the
+    catalog staging, the difference is exact); percentiles are the
+    exact lower-quantile cross-multiplications (2*cw >= tw, 10*cw >=
+    9*tw — no float quantile interpolation) over distinct-latency
+    cells, the q_agg_percentile_exact machinery partitioned by day.
+    All-integer emissions. Reference analog: none — target-only
+    capability."""
+    e = load(spark, sf_dir, "events")
+    su = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(1).alias("is_signup"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+    )
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_signup"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_signup").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lat = (
+        su.unionByName(pu)
+        .select(
+            "*",
+            F.last("p_ts", ignorenulls=True).over(w).alias("np"),
+        )
+        .filter((F.col("is_signup") == 1) & F.col("np").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            (
+                F.unix_timestamp("np") - F.unix_timestamp("ts")
+            ).cast("long").alias("latency_s"),
+        )
+    )
+    f = lat.groupBy("day", "latency_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = W.partitionBy("day").orderBy("latency_s")
+    wt = W.partitionBy("day")
+    ww = f.select(
+        "day", "latency_s",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wt).alias("tw"),
+    )
+    return (
+        ww.groupBy("day")
+        .agg(
+            F.max("tw").alias("n_conversions"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("latency_s"))
+            ).alias("p50_s"),
+            F.min(
+                F.when(
+                    10 * F.col("cw") >= 9 * F.col("tw"), F.col("latency_s")
+                )
+            ).alias("p90_s"),
+        )
+        .orderBy("day")
+    )

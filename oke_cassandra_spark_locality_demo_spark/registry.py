@@ -269,7 +269,7 @@ _MODIFIED_THIS_ROUND = [
 #: q_agg_cohort_ltv, q_agg_benford, q_text_hapax,
 #: q_funnel_multistep, q_stats_runs_test, q_agg_lorenz_gini,
 #: q_text_burstiness, q_agg_hhi, q_sql_group_by_all,
-#: q_agg_log_histogram).
+#: q_agg_log_histogram, q_win_time_to_convert).
 #: 50 slots cover fewer than half — prioritize the oracle-backed
 #: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
 #: commit order; the remainder fronts in r7/r8, after which the

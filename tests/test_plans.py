@@ -1518,3 +1518,21 @@ def test_group_by_all_matches_explicit(spark, sf_dir):
         """
     ).collect()
     assert implicit == explicit
+
+
+def test_time_to_convert_percentile_order(spark, sf_dir):
+    """p50 <= p90 per day, latencies non-negative, user windows only."""
+    import re
+
+    from oke_cassandra_spark_locality_demo_spark.plans.inspect import simple_plan
+
+    df = get("q_win_time_to_convert").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Python" not in plan
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) <= {
+        "user_id", "day"
+    }, plan[:2000]
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_s <= r.p90_s, r
