@@ -1,0 +1,383 @@
+"""Classical-statistics operators, round-5 block 2.
+
+The reference ships no hypothesis-testing surface (SURVEY.md Appendix
+A); a training-data pipeline needs these for cohort comparisons and
+experiment readouts at corpus scale. Every operator here follows the
+exact-parity engineering proven by q_stats_welch_ttest /
+q_ts_autocorr: measurements are integerized once (cents / scale-0
+ROUND), ALL aggregation happens in exact int64 (map-side-combinable
+hash aggregates — one scan, one shuffle, O(groups) result rows
+regardless of data volume), and any real-valued statistic is a single
+IEEE double expression over those exact integer scalars (+, -, *, /,
+SQRT are correctly rounded, so Spark and DuckDB agree bit-for-bit),
+emitted as scale-0-rounded micro-units.
+
+Two idioms are new in this module:
+
+- KNOWN-GROUP FOLD: Kruskal-Wallis and ANOVA need a SUM over per-group
+  double terms; float summation order is engine-dependent, so
+  SUM(double) over groups is NOT portable. Both tests run over a fixed,
+  documented 5-level factor (TPC-H order priorities / market segments),
+  so the statistic is assembled as an explicit parenthesized
+  left-to-right chain over the per-group EXACT-INTEGER moments — a
+  deterministic evaluation order on both engines. The Spark side
+  collects the O(groups) moment rows (constant-size, like
+  q_stats_welch_ttest's floor-mean collect) and folds them in Python
+  in the identical order; Python floats are IEEE doubles, so the two
+  folds agree bit-for-bit.
+- EXACT-INTEGER COEFFICIENT: Cohen's kappa needs no doubles at all —
+  (N*agree - chance) / (N^2 - chance) is emitted as truncating integer
+  micro-division, portable because DuckDB `//` and Spark `DIV` both
+  truncate toward zero (FIXTURES.md, verified -7//2 = -3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from ..registry import register
+
+#: The five TPC-H market segments the ANOVA folds over. Fixed by the
+#: TPC-H spec (FIXTURES.md); a missing level surfaces as a KeyError in
+#: the fold — a loud failure, never a silent wrong answer.
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _truncdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — mirrors Spark DIV and
+    DuckDB ``//`` (Python's ``//`` floors, which differs for a < 0)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _chain(terms: list[str]) -> str:
+    """Explicit left-to-right parenthesized sum — deterministic IEEE
+    evaluation order on both engines (SQL SUM over doubles is not)."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@register(
+    "q_stats_kruskal",
+    oracle=f"""
+    WITH base AS (
+        SELECT SUBSTRING(o_orderpriority, 1, 1) AS g,
+               CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+        FROM orders
+    ),
+    vc AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY x
+    ),
+    ranked AS (
+        SELECT x, t,
+               CAST(COALESCE(SUM(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c
+        FROM vc
+    ),
+    gv AS (
+        SELECT g, x, CAST(COUNT(*) AS BIGINT) AS n_gx FROM base GROUP BY g, x
+    ),
+    grp AS (
+        SELECT gv.g,
+               CAST(SUM(gv.n_gx) AS BIGINT) AS n,
+               CAST(SUM(gv.n_gx * (2 * r.c + r.t + 1)) AS BIGINT) AS r2
+        FROM gv JOIN ranked r ON gv.x = r.x
+        GROUP BY gv.g
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr FROM vc
+    ),
+    piv AS (
+        SELECT
+            CAST(SUM(n) AS BIGINT) AS nn,
+            {", ".join(
+                f"CAST(MAX(CASE WHEN g = '{i}' THEN n END) AS BIGINT) AS n{i},"
+                f" CAST(MAX(CASE WHEN g = '{i}' THEN r2 END) AS BIGINT) AS r2{i}"
+                for i in range(1, 6))}
+        FROM grp
+    )
+    SELECT g AS grp, n, r2,
+           CAST(1000000 * r2 // (2 * n) AS BIGINT) AS mean_rank_micro,
+           CAST(ROUND(1000000.0 * (
+               (12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+                * {_chain([
+                    f"CAST(r2{i} AS DOUBLE) * CAST(r2{i} AS DOUBLE)"
+                    f" / (4.0 * CAST(n{i} AS DOUBLE))" for i in range(1, 6)])}
+                - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tcorr AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))
+           ), 0) AS BIGINT) AS h_micro
+    FROM grp, piv, ties
+    ORDER BY grp
+    """,
+)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — the k-group generalization of
+    q_stats_mannwhitney: does ANY order-priority cohort shift the
+    revenue distribution? Rank-based, so it needs global tie-averaged
+    ranks; materializing N ranks (a global sort) would be the naive
+    plan. Instead ranks are computed at VALUE granularity: the doubled
+    average rank of value v is the INTEGER 2*c_v + t_v + 1 (c = count
+    of strictly-smaller rows, t = tie count), so one hash-aggregate to
+    distinct integerized values (~6k, vs N rows), one cumulative window
+    over those values, and a value-level join against per-(group,
+    value) counts produce exact int64 doubled rank-sums R2_g — no N-row
+    sort anywhere; the plan scales with distinct values, not rows
+    (R2_g <= N(2N+1): int64-safe to N ~ 2.1e9). H with tie correction
+    is the KNOWN-GROUP FOLD over the five priority digits (module
+    docstring), micro-rounded; the per-group squares are taken in
+    double. Emits per-group n / R2 / exact mean-rank plus the global H.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.substring("o_orderpriority", 1, 1).alias("g"),
+        F.round("o_totalprice", 0).cast("long").alias("x"),
+    )
+    vc = base.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+    ranked = vc.select(
+        "x",
+        "t",
+        F.coalesce(
+            F.sum("t").over(
+                W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("c"),
+    )
+    gv = base.groupBy("g", "x").agg(F.count(F.lit(1)).alias("n_gx"))
+    grp = (
+        gv.join(ranked, "x")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gx").alias("n"),
+            F.sum(
+                F.col("n_gx") * (2 * F.col("c") + F.col("t") + F.lit(1))
+            ).alias("r2"),
+        )
+    )
+    moments = {r["g"]: (r["n"], r["r2"]) for r in grp.collect()}
+    tcorr = vc.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tc")
+    ).collect()[0]["tc"]
+    nn = float(sum(n for n, _ in moments.values()))
+    sum_term = None
+    for gname in ["1", "2", "3", "4", "5"]:
+        n_g, r2_g = moments[gname]
+        term = float(r2_g) * float(r2_g) / (4.0 * float(n_g))
+        sum_term = term if sum_term is None else sum_term + term
+    h = (12.0 / (nn * (nn + 1.0)) * sum_term - 3.0 * (nn + 1.0)) / (
+        1.0 - float(tcorr) / (nn * nn * nn - nn)
+    )
+    return (
+        grp.select(
+            F.col("g").alias("grp"),
+            "n",
+            "r2",
+            F.expr("1000000 * r2 DIV (2 * n)").alias("mean_rank_micro"),
+            F.round(F.lit(1000000.0) * F.lit(h), 0)
+            .cast("long")
+            .alias("h_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q_stats_anova_f",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS g,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+        FROM customer
+    ),
+    c AS (SELECT SUM(x) // COUNT(*) AS mu FROM base),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x - (SELECT mu FROM c)) AS BIGINT) AS sx,
+               CAST(SUM((x - (SELECT mu FROM c))
+                        * (x - (SELECT mu FROM c))) AS BIGINT) AS sxx
+        FROM base GROUP BY g
+    ),
+    piv AS (
+        SELECT
+            CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(SUM(sx) AS BIGINT) AS sxt,
+            {", ".join(
+                f"CAST(MAX(CASE WHEN g = '{s}' THEN n END) AS BIGINT) AS n{i},"
+                f" CAST(MAX(CASE WHEN g = '{s}' THEN sx END) AS BIGINT) AS sx{i},"
+                f" CAST(MAX(CASE WHEN g = '{s}' THEN sxx END) AS BIGINT) AS sxx{i}"
+                for i, s in enumerate(_SEGMENTS, 1))}
+        FROM grp
+    )
+    SELECT g AS grp, n,
+           CAST((1000000 * sx) // n AS BIGINT) AS centered_mean_micro,
+           CAST(ROUND(1000000.0 * (
+               (({_chain([
+                   f"CAST(sx{i} AS DOUBLE) * CAST(sx{i} AS DOUBLE)"
+                   f" / CAST(n{i} AS DOUBLE)" for i in range(1, 6)])}
+                 - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)
+                   / CAST(nn AS DOUBLE)) / (5.0 - 1.0))
+               / (({_chain([
+                   f"(CAST(sxx{i} AS DOUBLE) - CAST(sx{i} AS DOUBLE)"
+                   f" * CAST(sx{i} AS DOUBLE) / CAST(n{i} AS DOUBLE))"
+                   for i in range(1, 6)])})
+                  / (CAST(nn AS DOUBLE) - 5.0))
+           ), 0) AS BIGINT) AS f_micro
+    FROM grp, piv
+    ORDER BY grp
+    """,
+)
+def q_stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F across the five market segments on account
+    balance — the k-group parametric complement to q_stats_welch_ttest
+    (which is pairwise). Engineering is identical: cents
+    integerization, centering by the integer floor-mean of the union so
+    the exact int64 per-group moments (n, Sx, Sxx) keep headroom (after
+    centering, Sxx <= N * max_dev^2 ~ 1e12/row -> int64-safe to ~9e6
+    rows/group; the cross-group squares Sx^2 are taken in double), then
+    SSB = SUM_g Sx_g^2/n_g - Sx_tot^2/N and SSW = SUM_g (Sxx_g -
+    Sx_g^2/n_g) via the KNOWN-GROUP FOLD (module docstring) so every
+    double addition has an engine-identical order.
+    F = (SSB/(k-1)) / (SSW/(N-k)), micro-rounded, repeated on each of
+    the 5 group rows next to the exact centered means. Dataflow: one
+    scan, one 5-row hash aggregate — no shuffle grows with data.
+    Reference analog: none — target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    mu = base.agg(F.expr("sum(x) DIV count(*)").alias("mu")).collect()[0][0]
+    grp = (
+        base.select("g", (F.col("x") - F.lit(mu)).alias("x"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    m = {r["g"]: (r["n"], r["sx"], r["sxx"]) for r in grp.collect()}
+    nn = float(sum(n for n, _, _ in m.values()))
+    sxt = float(sum(sx for _, sx, _ in m.values()))
+    ssb_terms = None
+    ssw_terms = None
+    for s in _SEGMENTS:
+        n_g, sx_g, sxx_g = m[s]
+        b = float(sx_g) * float(sx_g) / float(n_g)
+        w = float(sxx_g) - float(sx_g) * float(sx_g) / float(n_g)
+        ssb_terms = b if ssb_terms is None else ssb_terms + b
+        ssw_terms = w if ssw_terms is None else ssw_terms + w
+    f_stat = ((ssb_terms - sxt * sxt / nn) / (5.0 - 1.0)) / (
+        ssw_terms / (nn - 5.0)
+    )
+    return (
+        grp.select(
+            F.col("g").alias("grp"),
+            "n",
+            F.expr("(1000000 * sx) DIV n").alias("centered_mean_micro"),
+            F.round(F.lit(1000000.0) * F.lit(f_stat), 0)
+            .cast("long")
+            .alias("f_micro"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q_stats_cohen_kappa",
+    oracle="""
+    WITH labeled AS (
+        SELECT CASE o_orderstatus
+                   WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END AS rater_a,
+               NTILE(3) OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS rater_b
+        FROM orders
+    ),
+    cells AS (
+        SELECT CAST(rater_a AS BIGINT) AS rater_a,
+               CAST(rater_b AS BIGINT) AS rater_b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM labeled GROUP BY 1, 2
+    ),
+    ma AS (SELECT rater_a AS k, SUM(cnt) AS tot_a FROM cells GROUP BY 1),
+    mb AS (SELECT rater_b AS k, SUM(cnt) AS tot_b FROM cells GROUP BY 1),
+    scal AS (
+        SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM cells) AS n,
+               (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+                FROM cells WHERE rater_a = rater_b) AS agree,
+               (SELECT CAST(SUM(ma.tot_a * mb.tot_b) AS BIGINT)
+                FROM ma JOIN mb ON ma.k = mb.k) AS chance
+    )
+    SELECT c.rater_a, c.rater_b, c.cnt,
+           CAST(1000000 * (s.n * s.agree - s.chance)
+                // (s.n * s.n - s.chance) AS BIGINT) AS kappa_micro
+    FROM cells c, scal s
+    ORDER BY c.rater_a, c.rater_b
+    """,
+)
+def q_stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-rater agreement — the metric a labeling
+    pipeline runs between two annotators or between a model and a gold
+    set. Rater A maps order status onto {1,2,3}; rater B is the price
+    tercile from NTILE(3) over a UNIQUE deterministic order (cents,
+    orderkey) — NTILE's fill semantics (first N mod k buckets get the
+    extra row) are identical on Spark and DuckDB given identical input
+    order, which the unique key guarantees. Kappa is EXACT INTEGER
+    arithmetic end-to-end (EXACT-INTEGER COEFFICIENT, module
+    docstring): with diagonal agreement A and chance term
+    C = SUM_k row_k * col_k, kappa = (N*A - C) / (N^2 - C), emitted as
+    truncating micro-division (N^2 fits int64 to N ~ 3e9 rows). Emits
+    the full confusion matrix with the global coefficient on each row.
+    The NTILE is the one global sort (rank assignment is inherently
+    global — at cluster scale Spark range-partitions it); everything
+    after is an O(9)-row aggregate. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(3)
+        .alias("rater_a"),
+        F.ntile(3)
+        .over(
+            W.orderBy(
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+                "o_orderkey",
+            )
+        )
+        .alias("rater_b"),
+    )
+    cells = labeled.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = cells.collect()
+    n = sum(r["cnt"] for r in rows)
+    agree = sum(r["cnt"] for r in rows if r["rater_a"] == r["rater_b"])
+    tot_a: dict[int, int] = {}
+    tot_b: dict[int, int] = {}
+    for r in rows:
+        tot_a[r["rater_a"]] = tot_a.get(r["rater_a"], 0) + r["cnt"]
+        tot_b[r["rater_b"]] = tot_b.get(r["rater_b"], 0) + r["cnt"]
+    chance = sum(tot_a[k] * tot_b.get(k, 0) for k in tot_a)
+    kappa_micro = _truncdiv(
+        1000000 * (n * agree - chance), n * n - chance
+    )
+    return (
+        cells.select(
+            F.col("rater_a").cast("long").alias("rater_a"),
+            F.col("rater_b").cast("long").alias("rater_b"),
+            "cnt",
+            F.lit(kappa_micro).cast("long").alias("kappa_micro"),
+        )
+        .orderBy("rater_a", "rater_b")
+    )

@@ -119,6 +119,7 @@ def _load_all() -> None:
         graph,
         tpch,
         geo,
+        stats,
     )
     from .functions import scalar, udf  # noqa: F401
     from .sources import ingest, pyds  # noqa: F401

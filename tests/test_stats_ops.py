@@ -1,0 +1,123 @@
+"""Semantic checks for operators/stats.py — each statistic is recomputed
+brute-force in Python from the raw fixture rows (textbook formulas, no
+shared code with the operator), so a bug that slipped past oracle parity
+(e.g. both sides computing the same wrong rank sum) would still fail
+here."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _queries():
+    return entry.queries()
+
+
+def test_kruskal_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_stats_kruskal"](spark, sf_dir)
+    rows = {r["grp"]: r for r in df.collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT SUBSTRING(o_orderpriority,1,1), CAST(ROUND(o_totalprice,0) AS BIGINT)"
+        f" FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    # textbook tie-averaged ranks
+    xs = sorted(x for _, x in raw)
+    first = {}
+    for i, x in enumerate(xs):
+        first.setdefault(x, i + 1)
+    count = {}
+    for x in xs:
+        count[x] = count.get(x, 0) + 1
+    avg_rank = {x: first[x] + (count[x] - 1) / 2.0 for x in count}
+    groups: dict[str, list[int]] = {}
+    for g, x in raw:
+        groups.setdefault(g, []).append(x)
+    n_tot = len(raw)
+    sum_term = sum(
+        sum(avg_rank[x] for x in vals) ** 2 / len(vals)
+        for _, vals in sorted(groups.items())
+    )
+    h = 12.0 / (n_tot * (n_tot + 1)) * sum_term - 3 * (n_tot + 1)
+    tcorr = sum(t**3 - t for t in count.values())
+    h /= 1.0 - tcorr / (n_tot**3 - n_tot)
+    emitted = rows["1"]["h_micro"] / 1e6
+    assert h == pytest.approx(emitted, abs=2e-6)
+    for g, vals in groups.items():
+        assert rows[g]["n"] == len(vals)
+        # doubled rank-sum identity: R2 = 2 * sum(avg ranks)
+        assert rows[g]["r2"] == round(2 * sum(avg_rank[x] for x in vals))
+
+
+def test_anova_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_stats_anova_f"](spark, sf_dir)
+    rows = {r["grp"]: r for r in df.collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT)"
+        f" FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, x in raw:
+        groups.setdefault(g, []).append(x)
+    n = len(raw)
+    k = len(groups)
+    grand = sum(x for _, x in raw) / n
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    emitted = next(iter(rows.values()))["f_micro"] / 1e6
+    # brute force uses a different (uncentered) formula — agreement to
+    # 1e-4 relative proves the moments/centering algebra, not IEEE bits
+    assert f == pytest.approx(emitted, rel=1e-4)
+
+
+def test_cohen_kappa_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_stats_cohen_kappa"](spark, sf_dir)
+    out = df.collect()
+    kappa_micro = out[0]["kappa_micro"]
+    assert len({r["kappa_micro"] for r in out}) == 1
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END,"
+        f" CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey"
+        f" FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    n = len(raw)
+    order = sorted(range(n), key=lambda i: (raw[i][1], raw[i][2]))
+    base, extra = divmod(n, 3)
+    tercile = {}
+    pos = 0
+    for b in range(1, 4):
+        size = base + (1 if b <= extra else 0)
+        for i in order[pos : pos + size]:
+            tercile[i] = b
+        pos += size
+    cells: dict[tuple[int, int], int] = {}
+    for i, (a, _, _) in enumerate(raw):
+        cells[(a, tercile[i])] = cells.get((a, tercile[i]), 0) + 1
+    agree = sum(c for (a, b), c in cells.items() if a == b)
+    tot_a: dict[int, int] = {}
+    tot_b: dict[int, int] = {}
+    for (a, b), c in cells.items():
+        tot_a[a] = tot_a.get(a, 0) + c
+        tot_b[b] = tot_b.get(b, 0) + c
+    chance = sum(tot_a[x] * tot_b.get(x, 0) for x in tot_a)
+    kappa = Fraction(n * agree - chance, n * n - chance)
+    # operator emits trunc-toward-zero micro units
+    expect = int(kappa * 1000000)
+    assert kappa_micro == expect
+    # confusion matrix cells round-trip
+    got_cells = {(r["rater_a"], r["rater_b"]): r["cnt"] for r in out}
+    assert got_cells == cells
