@@ -2795,3 +2795,60 @@ def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(ARG_MAX(c_custkey, cents * 10000000 + c_custkey)
+                AS BIGINT) AS argmax_custkey,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(ARG_MIN(c_custkey, cents * 10000000 + c_custkey)
+                AS BIGINT) AS argmin_custkey
+    FROM c
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG-MAX / ARG-MIN aggregate (Spark max_by/min_by, DuckDB
+    arg_max/arg_min) — "which customer holds the segment's extreme
+    balance", the single-pass alternative to the window-rank top-1
+    (q_topk_per_group needs a per-group sort; max_by is a plain
+    map-side-combinable hash aggregate, O(groups) state). Both engines
+    leave tie resolution unspecified, so determinism is engineered into
+    the ORDERING VALUE: cents * 1e7 + custkey is injective as long as
+    keys stay below 1e7 (holds through SF 1000 for the customer table;
+    at larger key ranges widen the tiebreak factor — the cents
+    component has 30+ bits of int64 headroom left). min_cents/max_cents document the extreme
+    itself; the arg columns pin WHO. Reference analog: none —
+    target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    ordv = cents * F.lit(10_000_000) + F.col("c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            cents.alias("cents"),
+            "c_custkey",
+            ordv.alias("ordv"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("cents").alias("max_cents"),
+            F.max_by("c_custkey", F.col("ordv")).alias("argmax_custkey"),
+            F.min("cents").alias("min_cents"),
+            F.min_by("c_custkey", F.col("ordv")).alias("argmin_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import register_views
+from ..catalog import load, register_views
 from ..registry import EVENTS_US, register
 
 
@@ -338,4 +338,53 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY o_orderpriority, o_orderstatus
         """
+    )
+
+
+@register(
+    "q_sql_qualify",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+    ) <= 2
+    ORDER BY o_orderpriority, price_cents DESC, o_orderkey
+    """,
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY surface — the post-window filter clause (DuckDB /
+    Snowflake / BigQuery dialects; the oracle runs it natively). Spark
+    has no QUALIFY keyword, so the engine exposes the canonical rewrite
+    every QUALIFY implementation performs internally: project the
+    window function, filter on it, drop the helper column — which is
+    exactly what Catalyst would plan for a native QUALIFY (one
+    hash-partitioned sort per o_orderpriority, filter before the final
+    projection; no extra shuffle vs the keyword form). Deterministic
+    under ties via the (price, orderkey) composite order. Distinct from
+    q_topk_per_group (DataFrame-API top-k): this key pins the SQL
+    dialect surface, like q_sql_pipe / q_sql_group_by_all."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        cents.desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= 2)
+        .drop("_rn")
+        .orderBy(
+            "o_orderpriority", F.col("price_cents").desc(), "o_orderkey"
+        )
     )

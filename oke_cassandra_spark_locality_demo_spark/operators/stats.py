@@ -35,10 +35,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 #: The five TPC-H market segments the ANOVA folds over. Fixed by the
 #: TPC-H spec (FIXTURES.md); a missing level surfaces as a KeyError in
@@ -381,3 +382,113 @@ def q_stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rater_a", "rater_b")
     )
+
+
+@register(
+    "q_stats_kaplan_meier",
+    oracle=f"""
+    WITH RECURSIVE pu AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS tp,
+               MAX(CAST(ts AS DATE)) AS tl
+        FROM {EVENTS_US} GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN tp IS NOT NULL AND tp - t0 <= 4 THEN tp - t0
+                    ELSE LEAST(tl - t0, 4) END AS t,
+               CASE WHEN tp IS NOT NULL AND tp - t0 <= 4
+                    THEN 1 ELSE 0 END AS ev
+        FROM pu
+    ),
+    agg AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(ev) AS BIGINT) AS d
+        FROM obs GROUP BY t
+    ),
+    sfx AS (
+        SELECT t, d,
+               CAST(SUM(c_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM agg
+    ),
+    dts AS (
+        SELECT t, d, n_risk, ROW_NUMBER() OVER (ORDER BY t) AS k
+        FROM sfx WHERE d > 0
+    ),
+    km AS (
+        SELECT k, t, d, n_risk,
+               CAST(1000000000 * (n_risk - d) // n_risk AS BIGINT) AS s
+        FROM dts WHERE k = 1
+        UNION ALL
+        SELECT dts.k, dts.t, dts.d, dts.n_risk,
+               CAST(km.s * (dts.n_risk - dts.d) // dts.n_risk AS BIGINT)
+        FROM km JOIN dts ON dts.k = km.k + 1
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_risk, d, s AS survival_nano
+    FROM km ORDER BY t
+    """,
+)
+def q_stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit survival — time from a user's first
+    event to first 'purchase', administratively censored at day 4
+    (users who never convert inside the horizon are censored at
+    min(last-seen day, 4); the fixture's conversion half-life of ~1 day
+    makes both branches non-empty at every SF). The estimator is a
+    sequential truncating recurrence s_t = s_prev * (n_t - d_t) DIV n_t
+    in NANO-scaled integers — no order-free closed form exists (a
+    product of engine-ordered doubles is not portable), so this is the
+    BOUNDED DRIVER RECURRENCE idiom (module docstring): risk sets are
+    reduced distributively — per-user session assembly is one hash
+    aggregate over users, the curve is one suffix-sum window over <= 5
+    day rows — and only that constant-size curve is folded on the
+    driver with exact Python integers. The oracle replays the identical
+    integer recurrence with a recursive CTE. s * n_risk <= 1e9 * users:
+    int64-safe to ~9e9 users. Emits (day, at-risk, deaths,
+    survival_nano) — all integers. Reference analog: none —
+    target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("tp"),
+        F.max(F.to_date("ts")).alias("tl"),
+    )
+    death_day = F.datediff("tp", "t0")
+    is_death = F.col("tp").isNotNull() & (death_day <= 4)
+    obs = pu.select(
+        F.when(is_death, death_day)
+        .otherwise(F.least(F.datediff("tl", "t0"), F.lit(4)))
+        .alias("t"),
+        F.when(is_death, 1).otherwise(0).alias("ev"),
+    )
+    agg = obs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("ev").alias("d")
+    )
+    sfx = agg.select(
+        "t",
+        "d",
+        F.sum("c_all")
+        .over(W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0))
+        .alias("n_risk"),
+    )
+    curve = sorted(
+        (r["t"], r["d"], r["n_risk"])
+        for r in sfx.filter(F.col("d") > 0).collect()
+    )
+    out = []
+    s = 1_000_000_000
+    for t, d, n_risk in curve:
+        s = s * (n_risk - d) // n_risk  # all positive: trunc == floor
+        out.append((int(t), int(n_risk), int(d), int(s)))
+    schema = StructType(
+        [
+            StructField("t", LongType(), False),
+            StructField("n_risk", LongType(), False),
+            StructField("d", LongType(), False),
+            StructField("survival_nano", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema).orderBy("t")

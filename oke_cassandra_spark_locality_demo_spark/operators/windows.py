@@ -2032,3 +2032,83 @@ def q_win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate, o_orderkey
+        FROM orders
+    ),
+    bal AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               CAST(SUM(cents) OVER w AS BIGINT) AS bal
+        FROM seq
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    run AS (
+        SELECT o_custkey, bal,
+               CAST(MAX(bal) OVER w AS BIGINT) AS peak
+        FROM bal
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents
+    FROM run
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY o_custkey
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN per customer — the risk metric a revenue/quota
+    pipeline computes over every account's cumulative order series:
+    largest peak-to-trough drop of the running total. Two stacked
+    cumulative frames over ONE window spec (running sum, then running
+    max of that sum) — Catalyst plans a single hash-partition +
+    per-partition sort per customer, no second shuffle, and the final
+    per-customer reduction reuses the same partitioning. The oracle's
+    nested `MAX(SUM() OVER w) OVER w` is the same two-pass-over-one-sort
+    shape. Integer cents end to end; HAVING >= 8 keeps the emission to
+    engaged accounts (non-vacuous at sf0.001's ~100 customers).
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    bal = seq.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum("cents").over(w).alias("bal"),
+    )
+    run = bal.select(
+        "o_custkey",
+        "bal",
+        F.max("bal").over(w).alias("peak"),
+    )
+    return (
+        run.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("peak").alias("peak_cents"),
+            F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+        )
+        .filter(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )

@@ -12,6 +12,7 @@ from oke_cassandra_spark_locality_demo_spark.plans.inspect import (
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    simple_plan,
 )
 from oke_cassandra_spark_locality_demo_spark.registry import get
 
@@ -1536,3 +1537,69 @@ def test_time_to_convert_percentile_order(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r.p50_s <= r.p90_s, r
+
+
+def test_drawdown_single_data_shuffle(spark, sf_dir):
+    """The two stacked cumulative windows (running sum, running max of
+    it) must share ONE hashpartitioning exchange + sort; the only other
+    exchange allowed is the final presentation orderBy. Drawdown is
+    peak-minus-balance, so it is always >= 0 and peak >= final bal."""
+    df = get("q_win_drawdown").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Window") == 2, plan[:2000]
+    rows = df.collect()
+    assert rows
+    assert all(r.max_drawdown_cents >= 0 for r in rows)
+    assert all(r.peak_cents >= r.max_drawdown_cents for r in rows)
+
+
+def test_argmax_matches_window_top1(spark, sf_dir):
+    """max_by/min_by single-pass aggregate must agree with the
+    window-rank top-1 formulation on the same deterministic ordering
+    value (and its plan must contain no Window/Sort at all)."""
+    from pyspark.sql import Window as W
+
+    df = get("q_agg_argmax").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    got = {r.c_mktsegment: (r.argmax_custkey, r.argmin_custkey) for r in df.collect()}
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    ordv = (cents * F.lit(10_000_000) + F.col("c_custkey")).alias("ordv")
+    ranked = cust.select("c_mktsegment", "c_custkey", ordv)
+    w_hi = W.partitionBy("c_mktsegment").orderBy(F.col("ordv").desc())
+    w_lo = W.partitionBy("c_mktsegment").orderBy(F.col("ordv").asc())
+    top = (
+        ranked.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w_hi).alias("rhi"),
+            F.row_number().over(w_lo).alias("rlo"),
+        )
+        .filter((F.col("rhi") == 1) | (F.col("rlo") == 1))
+        .collect()
+    )
+    expect: dict[str, list[int | None]] = {}
+    for r in top:
+        e = expect.setdefault(r.c_mktsegment, [None, None])
+        if r.rhi == 1:
+            e[0] = r.c_custkey
+        if r.rlo == 1:
+            e[1] = r.c_custkey
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_qualify_matches_topk_semantics(spark, sf_dir):
+    """QUALIFY rewrite returns exactly 2 rows per priority, descending
+    by price with the orderkey tiebreak."""
+    df = get("q_sql_qualify").fn(spark, sf_dir)
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.o_orderpriority, []).append(
+            (r.price_cents, r.o_orderkey)
+        )
+    assert set(len(v) for v in per.values()) == {2}
+    for v in per.values():
+        assert (-v[0][0], v[0][1]) <= (-v[1][0], v[1][1])

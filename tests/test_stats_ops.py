@@ -121,3 +121,36 @@ def test_cohen_kappa_matches_bruteforce(spark, sf_dir):
     # confusion matrix cells round-trip
     got_cells = {(r["rater_a"], r["rater_b"]): r["cnt"] for r in out}
     assert got_cells == cells
+
+
+def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_stats_kaplan_meier"](spark, sf_dir)
+    out = df.collect()
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT user_id, MIN(CAST(ts AS DATE)) t0,
+               MIN(CASE WHEN event_type='purchase' THEN CAST(ts AS DATE) END) tp,
+               MAX(CAST(ts AS DATE)) tl
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    obs = []
+    for _, t0, tp, tl in raw:
+        if tp is not None and (tp - t0).days <= 4:
+            obs.append(((tp - t0).days, 1))
+        else:
+            obs.append((min((tl - t0).days, 4), 0))
+    death_times = sorted({t for t, ev in obs if ev})
+    s = 10**9
+    expect = []
+    for t in death_times:
+        n_risk = sum(1 for u, _ in obs if u >= t)
+        d = sum(1 for u, ev in obs if u == t and ev)
+        s = s * (n_risk - d) // n_risk
+        expect.append((t, n_risk, d, s))
+    got = [(r["t"], r["n_risk"], r["d"], r["survival_nano"]) for r in out]
+    assert got == expect
+    # survival is monotone nonincreasing and starts below 1.0
+    nanos = [r["survival_nano"] for r in out]
+    assert all(a >= b for a, b in zip(nanos, nanos[1:]))
+    assert nanos[0] < 10**9
