@@ -1790,3 +1790,98 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "q_privacy_tclose",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    cell AS (
+        SELECT c_nationkey, bal_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS k_j
+        FROM qi GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_band, CAST(SUM(k_j) AS BIGINT) AS k
+        FROM cell GROUP BY 1, 2
+    ),
+    gseg AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_j FROM qi GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qi),
+    grid AS (
+        SELECT cls.c_nationkey, cls.bal_band, cls.k,
+               gseg.c_mktsegment, gseg.n_j, tot.n,
+               COALESCE(cell.k_j, 0) AS k_j
+        FROM cls CROSS JOIN gseg CROSS JOIN tot
+        LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                      AND cell.bal_band = cls.bal_band
+                      AND cell.c_mktsegment = gseg.c_mktsegment
+    )
+    SELECT c_nationkey, bal_band, CAST(MAX(k) AS BIGINT) AS k,
+           CAST(1000000 * SUM(ABS(k_j * n - n_j * k))
+                // (2 * MAX(k) * MAX(n)) AS BIGINT) AS tvd_micro,
+           (1000000 * SUM(ABS(k_j * n - n_j * k))
+                // (2 * MAX(k) * MAX(n))) <= 200000 AS t_close
+    FROM grid
+    GROUP BY c_nationkey, bal_band
+    ORDER BY c_nationkey, bal_band
+    """,
+)
+def q_privacy_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the privacy ladder after q_privacy_kanon and
+    q_privacy_ldiversity: a class can be k-anonymous AND l-diverse yet
+    still leak if its sensitive-attribute DISTRIBUTION diverges from
+    the corpus-wide one. For the categorical sensitive attribute
+    (market segment) the earth-mover distance reduces to total
+    variation: TVD = (1/2) SUM_j |k_j/k - N_j/N|, computed EXACTLY in
+    integers over the common denominator k*N — emitted as truncating
+    micro-units with the t<=0.2 release gate as a boolean (int64-safe
+    to ~3e9 customers at the 1e6 scaling; widen to decimal beyond).
+    The absent-segment case matters (|0 - N_j*k| contributes), so the
+    class list is CROSS-JOINED against the 5-row global segment
+    histogram (broadcast — constant size, the pinning FIXTURES.md
+    allows) before the left join against observed cells; everything
+    scales with #classes, never rows. Reference analog: none —
+    target-only capability."""
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cell = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k_j")
+    )
+    cls = cell.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("k_j").alias("k")
+    )
+    glob = qi.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_j"))
+    tot = qi.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .withColumn("k_j", F.coalesce(F.col("k_j"), F.lit(0)))
+    )
+    num = F.sum(
+        F.abs(F.col("k_j") * F.col("n") - F.col("n_j") * F.col("k"))
+    )
+    tvd = F.expr(
+        "1000000 * sum(abs(k_j * n - n_j * k)) DIV (2 * max(k) * max(n))"
+    )
+    return (
+        grid.groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.max("k").alias("k"),
+            tvd.alias("tvd_micro"),
+            (tvd <= 200000).alias("t_close"),
+        )
+        .orderBy("c_nationkey", "bal_band")
+    )

@@ -1867,3 +1867,90 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burst_micro"), F.desc("cf"), "word")
         .limit(25)
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+               CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                    '[aeiouy]+')), 1) AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(syllables) AS BIGINT) AS syllables,
+           CAST(ROUND(1000000.0 * (
+               206.835
+               - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                          / CAST(SUM(sentences) AS DOUBLE))
+               - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                         / CAST(SUM(words) AS DOUBLE))
+           ), 0) AS BIGINT) AS flesch_micro
+    FROM per_doc
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE per (lang, source) slice — the readability
+    gate a pretraining-quality pipeline runs next to q_quality_gopher:
+    206.835 - 1.015*(words/sentence) - 84.6*(syllables/word), with the
+    standard cheap syllable proxy (maximal vowel-group runs — a
+    documented heuristic; for non-Latin scripts the score is a relative
+    slice ranking, not an absolute grade level). All three counts are
+    exact int64 (whitespace tokens, [.!?]+ sentence breaks clamped to
+    >= 1, [aeiouy]+ runs on the lowercased text) aggregated
+    map-side-combinably to one row per slice; the score is ONE double
+    expression over those exact sums (+,-,*,/ correctly rounded ->
+    bit-identical cross-engine), micro-rounded. Pure codegen'd
+    regexp_extract_all scans — no UDF, no shuffle beyond the slice
+    aggregate. Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("sentences").alias("sentences"),
+        F.sum("syllables").alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(F.lit(1000000.0) * flesch, 0).cast("long").alias("flesch_micro"),
+    ).orderBy("lang", "source")

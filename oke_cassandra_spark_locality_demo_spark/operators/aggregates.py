@@ -2852,3 +2852,161 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_agg_decay_sum",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               LEAST(CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE)
+                     AS BIGINT) // 365, 7) AS k
+        FROM orders
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents * CAST(POWER(2.0, 7 - k) AS BIGINT)) AS BIGINT)
+               AS decayed_num,
+           CAST(SUM(cents * CAST(POWER(2.0, 7 - k) AS BIGINT)) // 128
+               AS BIGINT) AS decayed_cents
+    FROM base
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def q_agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED REVENUE with a one-year half-life — the recency
+    weighting a freshness-aware sampler applies to aging cohorts. The
+    standard EXP(-lambda*age) is NOT cross-engine bit-portable (exp
+    differs by ulps and the weighted double sum is order-dependent), so
+    the decay is DYADIC: weight 2^-k for age k years (capped at 7), and
+    the sum is computed as the EXACT INTEGER numerator
+    SUM(cents << (7-k)) — one map-side-combinable aggregate, no doubles
+    anywhere — emitted with its /128 truncation. POWER(2.0, i) for
+    0<=i<=7 is exactly representable IEEE on both engines, so the
+    weight derivation is exact too. Headroom: cents*128 <= 8e9/row ->
+    int64-safe past 1e9 orders/group. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.least(
+            F.expr(
+                "CAST(datediff(DATE '2002-01-01', CAST(o_orderdate AS DATE))"
+                " AS BIGINT) DIV 365"
+            ),
+            F.lit(7),
+        ).alias("k"),
+    )
+    w = F.pow(F.lit(2.0), F.lit(7) - F.col("k")).cast("long")
+    num = F.sum(F.col("cents") * w)
+    return (
+        base.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            num.alias("decayed_num"),
+            F.expr(
+                "sum(cents * CAST(power(2.0, 7 - k) AS BIGINT)) DIV 128"
+            ).alias("decayed_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "q_agg_winsorized_mean",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+    ),
+    ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cents, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+    ),
+    thr AS (
+        SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (n + 19) // 20 THEN cents END)
+                    AS BIGINT) AS lo_cents,
+               CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                    AS BIGINT) AS hi_cents
+        FROM ranked GROUP BY grp
+    )
+    SELECT b.grp, t.n, t.lo_cents, t.hi_cents,
+           CAST(SUM(LEAST(GREATEST(b.cents, t.lo_cents), t.hi_cents))
+                // t.n AS BIGINT) AS winsorized_mean_cents,
+           CAST(SUM(CASE WHEN b.cents < t.lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN b.cents > t.hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_hi
+    FROM base b JOIN thr t ON b.grp = t.grp
+    GROUP BY b.grp, t.n, t.lo_cents, t.hi_cents
+    ORDER BY b.grp
+    """,
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN (5th/95th percentile clamp) per market segment —
+    the robust-location estimate a metrics pipeline prefers over the
+    raw mean when balances have heavy tails. Thresholds are EXACT RANK
+    SELECTION (rank ceil(0.05n)/ceil(0.95n) via integer (n+19) DIV 20 —
+    no interpolated percentile, which is banned by the float-parity
+    lint), found with one per-group sort window; the 5-row threshold
+    table then broadcast-joins back to the base scan (constant size —
+    the pinning FIXTURES.md allows) and the clamped mean is an exact
+    integer SUM ... DIV n. Deterministic under ties via the custkey
+    tiebreak. Two scans of the base (rank pass + clamp pass) but the
+    second join side is O(groups); at cluster scale the rank pass is
+    the one per-group sort q_agg_percentile_exact already pays.
+    Reference analog: none — target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    wr = Window.partitionBy("grp").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    thr = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("cents")
+            )
+        ).alias("hi_cents"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return (
+        base.join(F.broadcast(thr), "grp")
+        .groupBy("grp", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.expr(
+                "CAST(sum(LEAST(GREATEST(cents, lo_cents), hi_cents))"
+                " AS BIGINT) DIV n"
+            ).alias("winsorized_mean_cents"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)
+            ).alias("n_clamped_lo"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)
+            ).alias("n_clamped_hi"),
+        )
+        .orderBy("grp")
+    )

@@ -2112,3 +2112,123 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 8)
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q_ts_interpolate_linear",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM {EVENTS_US} GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY 1
+    ),
+    cal AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(d0, d1)) AS d FROM span
+    ),
+    joined AS (
+        SELECT cal.user_id, cal.d, obs.cents FROM cal
+        LEFT JOIN obs ON obs.user_id = cal.user_id AND obs.d = cal.d
+    ),
+    filled AS (
+        SELECT user_id, d, cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_prev,
+               LAST_VALUE(CASE WHEN cents IS NOT NULL THEN d END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS d_prev,
+               FIRST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS v_next,
+               FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN d END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS d_next
+        FROM joined
+    )
+    SELECT user_id, d,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                ELSE v_prev + (v_next - v_prev) * (d - d_prev)
+                     // (d_next - d_prev) END AS BIGINT) AS cents,
+           (cents IS NULL) AS interpolated
+    FROM filled
+    ORDER BY user_id, d
+    """,
+)
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-INTERPOLATION GAP FILL — the complement to
+    q_gapfill_locf: missing days in each user's daily-revenue series
+    are filled with the straight line between the neighboring
+    observations, v_prev + (v_next-v_prev)*(d-d_prev) DIV
+    (d_next-d_prev), in INTEGER cents with truncating division
+    (portable: Spark DIV and DuckDB // both truncate toward zero, and
+    the numerator product stays within int64 for any gap < ~1e5 days at
+    full-noise cent sums). Dataflow: one hash-aggregate to (user, day),
+    a per-user calendar via sequence()/explode (output scales with
+    span, not raw events), a co-partitioned left join, and TWO
+    IGNORE-NULLS window passes (forward last_value, backward
+    first_value) over one per-user sort — the standard
+    as-of-fill plan shape. Endpoints are always observed (the calendar
+    spans each user's own min..max day), so interior gaps always have
+    both neighbors. Emits the dense series with an `interpolated`
+    flag. Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("v").alias("cents"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    joined = cal.join(obs, ["user_id", "d"], "left")
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    d_obs = F.when(F.col("cents").isNotNull(), F.col("d"))
+    filled = joined.select(
+        "user_id",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_fwd).alias("v_prev"),
+        F.last(d_obs, ignorenulls=True).over(w_fwd).alias("d_prev"),
+        F.first("cents", ignorenulls=True).over(w_bwd).alias("v_next"),
+        F.first(d_obs, ignorenulls=True).over(w_bwd).alias("d_next"),
+    )
+    interp = F.expr(
+        "v_prev + (v_next - v_prev) * (d - d_prev) DIV (d_next - d_prev)"
+    )
+    return filled.select(
+        "user_id",
+        "d",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .alias("cents"),
+        F.col("cents").isNull().alias("interpolated"),
+    ).orderBy("user_id", "d")

@@ -154,3 +154,130 @@ def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
     nanos = [r["survival_nano"] for r in out]
     assert all(a >= b for a, b in zip(nanos, nanos[1:]))
     assert nanos[0] < 10**9
+
+
+def test_interpolate_linear_fills_all_gaps(spark, sf_dir):
+    df = _queries()["q_ts_interpolate_linear"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r["cents"] is not None for r in rows)
+    assert any(r["interpolated"] for r in rows)
+    # dense: every user covers a contiguous day range
+    per = {}
+    for r in rows:
+        per.setdefault(r["user_id"], []).append(r["d"])
+    for ds in per.values():
+        assert sorted(ds) == list(range(min(ds), max(ds) + 1))
+    # spot-check one interpolated value sits between its neighbors'
+    # line: recompute from the emitted dense series
+    by_user = {u: sorted(ds) for u, ds in per.items()}
+    vals = {(r["user_id"], r["d"]): (r["cents"], r["interpolated"]) for r in rows}
+    checked = 0
+    for (u, d), (v, interp) in vals.items():
+        if not interp:
+            continue
+        lo = d
+        while vals[(u, lo)][1]:
+            lo -= 1
+        hi = d
+        while vals[(u, hi)][1]:
+            hi += 1
+        v0, v1 = vals[(u, lo)][0], vals[(u, hi)][0]
+        q = abs(v1 - v0) * (d - lo) // (hi - lo)
+        expect = v0 + (q if v1 >= v0 else -q)
+        assert v == expect
+        checked += 1
+    assert checked > 0
+
+
+def test_tclose_tvd_bounds_and_gate(spark, sf_dir):
+    df = _queries()["q_privacy_tclose"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tvd_micro"] <= 1000000
+        assert r["t_close"] == (r["tvd_micro"] <= 200000)
+    # singleton classes concentrate all mass on one segment: their TVD
+    # must equal 1 - N_j/N > 0.5 for any realistic segment share
+    singles = [r for r in rows if r["k"] == 1]
+    for r in singles:
+        assert r["tvd_micro"] > 500000
+
+
+def test_readability_matches_bruteforce(spark, sf_dir):
+    import re
+
+    df = _queries()["q_text_readability"](spark, sf_dir)
+    rows = {(r["lang"], r["source"]): r for r in df.collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT lang, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    agg: dict[tuple, list[int]] = {}
+    for lang, source, text in raw:
+        a = agg.setdefault((lang, source), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(text.split(" "))
+        a[2] += max(len(re.findall(r"[.!?]+", text)), 1)
+        a[3] += max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+    for key, (n, w, s, syl) in agg.items():
+        r = rows[key]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) == (
+            n,
+            w,
+            s,
+            syl,
+        )
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        assert abs(r["flesch_micro"] / 1e6 - flesch) < 2e-6
+
+
+def test_decay_sum_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_agg_decay_sum"](spark, sf_dir)
+    rows = {r["grp"]: r for r in df.collect()}
+    import datetime
+
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT),"
+        f" CAST(o_orderdate AS DATE) FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    anchor = datetime.date(2002, 1, 1)
+    acc: dict[str, int] = {}
+    cnt: dict[str, int] = {}
+    for grp, cents, d in raw:
+        k = min((anchor - d).days // 365, 7)
+        acc[grp] = acc.get(grp, 0) + cents * (1 << (7 - k))
+        cnt[grp] = cnt.get(grp, 0) + 1
+    for grp, num in acc.items():
+        assert rows[grp]["decayed_num"] == num
+        assert rows[grp]["decayed_cents"] == num // 128
+        assert rows[grp]["n"] == cnt[grp]
+
+
+def test_winsorized_mean_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_agg_winsorized_mean"](spark, sf_dir)
+    rows = {r["grp"]: r for r in df.collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey"
+        f" FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for g, cents, key in raw:
+        groups.setdefault(g, []).append((cents, key))
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(n + 19) // 20 - 1][0]
+        hi = vals[(19 * n + 19) // 20 - 1][0]
+        clamped = [min(max(c, lo), hi) for c, _ in vals]
+        r = rows[g]
+        assert (r["lo_cents"], r["hi_cents"]) == (lo, hi)
+        assert r["winsorized_mean_cents"] == sum(clamped) // n
+        assert r["n_clamped_lo"] == sum(1 for c, _ in vals if c < lo)
+        assert r["n_clamped_hi"] == sum(1 for c, _ in vals if c > hi)
+        # winsorized mean is between the clamp bounds
+        assert lo <= r["winsorized_mean_cents"] <= hi
