@@ -709,3 +709,59 @@ def q_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_ord"),
         )
     )
+
+
+@register(
+    "q_sample_class_quota",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    quota AS (SELECT MIN(n) AS q FROM counts),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || SUBSTRING(MD5('quota' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked, quota
+    WHERE rn <= q
+    ORDER BY lang, rn
+    """,
+)
+def q_sample_class_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA CLASS BALANCING — keep exactly min-class-count docs
+    per language, the guaranteed-size complement to q_mix_sources'
+    Bernoulli rates (which only balance in EXPECTATION; a training
+    curriculum that hard-requires equal per-language shard sizes needs
+    quotas, not rates). Selection is a deterministic hash LOTTERY: docs
+    rank by the portable md5-prefix key (FIXTURES.md idiom, seeded
+    'quota') within their language, and ranks <= quota survive — a
+    per-class top-k, planned as one hash partition + per-class sort; no
+    global sort, and the quota scalar is a 1-row broadcast. Ties
+    impossible (doc_id tiebreak). At 100 TB the same plan holds with
+    per-class parallel sort; for quotas >> memory swap row_number for
+    the q_topk_per_group rank-filter shape. Emits (doc_id, lang, rank).
+    Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("q"))
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('quota', CAST(doc_id AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )

@@ -3010,3 +3010,157 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_agg_ohlc",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ts, event_id
+        FROM {EVENTS_US}
+    ),
+    seq AS (
+        SELECT event_type, d, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, d) AS n
+        FROM base
+    )
+    SELECT event_type, d,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_c,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn = n THEN cents END) AS BIGINT) AS close_c,
+           CAST(SUM(cents) AS BIGINT) AS volume_c
+    FROM seq
+    GROUP BY event_type, d
+    ORDER BY event_type, d
+    """,
+)
+def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC CANDLESTICK downsampling — the financial/telemetry bar
+    aggregate: per (series, day) the opening value, high, low, close,
+    and volume. Open/close are ORDER-dependent (first/last by event
+    time), which plain hash aggregation can't express — they come from
+    a row_number + count window over one per-(series, day) sort, then
+    conditional MAX(CASE rn=1 / rn=n) in the same-keyed aggregate
+    (which reuses the window's partitioning — one shuffle total).
+    Deterministic under timestamp ties via the event_id tiebreak.
+    Distinct from q_ts_downsample_m4 (which picks extrema for PLOTTING
+    fidelity); OHLC preserves the open/close semantics finance needs.
+    Integer cents throughout. Reference analog: none — target-only
+    capability."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type", "d")
+    seq = base.select(
+        "event_type",
+        "d",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        seq.groupBy("event_type", "d")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias(
+                "close_c"
+            ),
+            F.sum("cents").alias("volume_c"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@register(
+    "q_agg_simpson",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    strata AS (
+        SELECT grp, yr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS year_mean_c
+        FROM base GROUP BY grp, yr
+    ),
+    per AS (
+        SELECT grp,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) // SUM(n) AS BIGINT) AS mean_c,
+               CAST(SUM(year_mean_c) // COUNT(*) AS BIGINT) AS strat_mean_c
+        FROM strata GROUP BY grp
+    ),
+    tops AS (
+        SELECT
+            (SELECT grp FROM per ORDER BY mean_c DESC, grp LIMIT 1)
+                AS top_raw,
+            (SELECT grp FROM per ORDER BY strat_mean_c DESC, grp LIMIT 1)
+                AS top_strat
+    )
+    SELECT p.grp, p.n, p.mean_c, p.strat_mean_c,
+           (t.top_raw <> t.top_strat) AS paradox
+    FROM per p, tops t
+    ORDER BY p.grp
+    """,
+)
+def q_agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX AUDIT — ratio-of-sums vs equal-weight
+    stratified mean, the aggregation-bias check every metrics pipeline
+    should run before reporting a cross-cohort comparison: a priority
+    class can win on the raw mean yet lose once order-year mix is
+    equalized. Both estimators are EXACT INTEGER arithmetic: the raw
+    mean is SUM(cents) DIV n; the stratified mean is the mean of
+    per-year floor-means (equal weight per observed year; nested
+    truncating division is portable because Spark DIV and DuckDB //
+    agree). Paradox flag compares the argmax under each estimator,
+    ties broken lexicographically. Dataflow: two chained
+    map-side-combinable aggregates (grp x year -> grp) + a 5-row
+    argmax — nothing scales with rows. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    strata = base.groupBy("grp", "yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.expr("sum(cents) DIV count(*)").alias("year_mean_c"),
+    )
+    per = strata.groupBy("grp").agg(
+        F.sum("n").alias("n"),
+        F.expr("sum(s) DIV sum(n)").alias("mean_c"),
+        F.expr("sum(year_mean_c) DIV count(*)").alias("strat_mean_c"),
+    )
+    rows = per.collect()
+    top_raw = min(rows, key=lambda r: (-r["mean_c"], r["grp"]))["grp"]
+    top_strat = min(rows, key=lambda r: (-r["strat_mean_c"], r["grp"]))["grp"]
+    return per.select(
+        "grp",
+        "n",
+        "mean_c",
+        "strat_mean_c",
+        F.lit(top_raw != top_strat).alias("paradox"),
+    ).orderBy("grp")

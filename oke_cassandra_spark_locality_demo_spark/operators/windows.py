@@ -2232,3 +2232,81 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("cents").isNull().alias("interpolated"),
     ).orderBy("user_id", "d")
+
+
+@register(
+    "q_ts_resample_weekly",
+    oracle="""
+    WITH weekly AS (
+        SELECT o_orderpriority AS grp,
+               CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS DATE)
+                   AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT grp, week_start, n_orders, revenue_c,
+           CAST(revenue_c - COALESCE(LAG(revenue_c) OVER (
+               PARTITION BY grp ORDER BY week_start), 0) AS BIGINT)
+               AS wow_delta_c,
+           CAST(CASE WHEN LAG(revenue_c) OVER (
+                    PARTITION BY grp ORDER BY week_start) IS NULL THEN 0
+                ELSE (revenue_c - LAG(revenue_c) OVER (
+                         PARTITION BY grp ORDER BY week_start)) * 1000000
+                     // LAG(revenue_c) OVER (
+                         PARTITION BY grp ORDER BY week_start)
+                END AS BIGINT) AS wow_delta_ppm
+    FROM weekly
+    ORDER BY grp, week_start
+    """,
+)
+def q_ts_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR RESAMPLE to ISO weeks with week-over-week deltas — the
+    downsample-then-diff every reporting pipeline runs: DATE_TRUNC
+    ('week') buckets to Monday on BOTH engines (ISO-8601 semantics,
+    verified parity across the 1998+ slice's ~190 weeks x 5 groups),
+    one map-side-combinable aggregate, then a LAG window over the
+    O(weeks) result — the window input scales with calendar span, not
+    order volume. Delta is exact integer cents; relative change is
+    truncating PPM against the prior week (0 for the first week —
+    COALESCE'd so the emission is total). The 1998+ filter keeps the
+    series to the fixture's densest tail and pushes down to the scan.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    weekly = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .alias("week_start"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("grp", "week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_c"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy("week_start")
+    prev = F.lag("revenue_c").over(w)
+    return weekly.select(
+        "grp",
+        "week_start",
+        "n_orders",
+        "revenue_c",
+        (F.col("revenue_c") - F.coalesce(prev, F.lit(0))).alias("wow_delta_c"),
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise(
+            F.expr(
+                "(revenue_c - lag(revenue_c) OVER (PARTITION BY grp"
+                " ORDER BY week_start)) * 1000000 DIV lag(revenue_c)"
+                " OVER (PARTITION BY grp ORDER BY week_start)"
+            )
+        )
+        .cast("long")
+        .alias("wow_delta_ppm"),
+    ).orderBy("grp", "week_start")

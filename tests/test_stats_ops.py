@@ -281,3 +281,80 @@ def test_winsorized_mean_matches_bruteforce(spark, sf_dir):
         assert r["n_clamped_hi"] == sum(1 for c, _ in vals if c > hi)
         # winsorized mean is between the clamp bounds
         assert lo <= r["winsorized_mean_cents"] <= hi
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    df = _queries()["q_agg_ohlc"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["low_c"] <= r["open_c"] <= r["high_c"]
+        assert r["low_c"] <= r["close_c"] <= r["high_c"]
+        assert r["n"] >= 1
+    # open/close for one bar match the time-ordered extremes
+    import duckdb
+
+    probe = rows[0]
+    raw = duckdb.sql(
+        f"""SELECT CAST(ROUND(value*100) AS BIGINT)
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type = '{probe["event_type"]}'
+          AND CAST(ts AS DATE) - DATE '2024-01-01' = {probe["d"]}
+        ORDER BY CAST(ts AS TIMESTAMP), event_id"""
+    ).fetchall()
+    assert raw[0][0] == probe["open_c"]
+    assert raw[-1][0] == probe["close_c"]
+    assert sum(v for (v,) in raw) == probe["volume_c"]
+
+
+def test_simpson_estimators_sane(spark, sf_dir):
+    df = _queries()["q_agg_simpson"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5
+    flags = {r["paradox"] for r in rows}
+    assert len(flags) == 1  # global flag repeated
+    for r in rows:
+        # both estimators sit inside the plausible cents range
+        assert 0 < r["mean_c"] < 100_000_000
+        assert 0 < r["strat_mean_c"] < 100_000_000
+
+
+def test_class_quota_exact_balance(spark, sf_dir):
+    df = _queries()["q_sample_class_quota"](spark, sf_dir)
+    rows = df.collect()
+    import duckdb
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, COUNT(*) FROM '{sf_dir}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    quota = min(counts.values())
+    per = {}
+    for r in rows:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert set(per) == set(counts)
+    assert all(v == quota for v in per.values())
+    # ranks are exactly 1..quota per language
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r["lang"], set()).add(r["rn"])
+    assert all(v == set(range(1, quota + 1)) for v in ranks.values())
+
+
+def test_resample_weekly_aligned_mondays(spark, sf_dir):
+    df = _queries()["q_ts_resample_weekly"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["week_start"].isoweekday() == 1
+    # deltas are consistent with the revenue series
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], []).append(r)
+    for series in per.values():
+        series.sort(key=lambda r: r["week_start"])
+        assert series[0]["wow_delta_c"] == series[0]["revenue_c"]
+        assert series[0]["wow_delta_ppm"] == 0
+        for a, b in zip(series, series[1:]):
+            assert b["wow_delta_c"] == b["revenue_c"] - a["revenue_c"]
