@@ -1885,3 +1885,151 @@ def q_privacy_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "bal_band")
     )
+
+
+@register(
+    "q_split_kfold_grouped",
+    oracle="""
+    WITH folds AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || SUBSTRING(MD5('kfold' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT % 5
+                    AS BIGINT) AS fold
+        FROM orders
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_c,
+           CAST(1000000 * COUNT(*) // (SELECT COUNT(*) FROM folds)
+                AS BIGINT) AS share_ppm
+    FROM folds
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def q_split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED K-FOLD assignment — the cross-validation split that
+    respects entity boundaries: every order lands in the fold of its
+    CUSTOMER (deterministic md5-prefix hash of custkey mod 5), so no
+    customer's behavior leaks across train/validation folds — the
+    entity-level guarantee q_split_train_test (row-level) and
+    q_split_leakage (post-hoc detector) don't give by construction.
+    Assignment is a stateless map (no shuffle to assign; folds can be
+    written as partition columns downstream); the audit emitted here is
+    one hash aggregate per fold with order count, distinct-customer
+    count, exact revenue, and ppm share — the balance report a CV
+    harness logs before training. Sum of n_customers over folds equals
+    total distinct customers BY CONSTRUCTION (hash is a function of the
+    key) — asserted in tests. Reference analog: none — target-only
+    capability."""
+    orders = load(spark, sf_dir, "orders")
+    folds = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('kfold',"
+            " CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+    )
+    total = folds.count()
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("revenue_c"),
+            F.expr(f"1000000 * count(*) DIV {total}").alias("share_ppm"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "q_stats_prop_ztest",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 'pre' ELSE 'post' END AS cohort,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+        FROM orders
+    ),
+    m AS (
+        SELECT
+            CAST(SUM(CASE WHEN cohort = 'pre' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN cohort = 'pre' THEN hit ELSE 0 END)
+                 AS BIGINT) AS x_a,
+            CAST(SUM(CASE WHEN cohort = 'post' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN cohort = 'post' THEN hit ELSE 0 END)
+                 AS BIGINT) AS x_b
+        FROM base
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(1000000 * x_a // n_a AS BIGINT) AS p_a_ppm,
+           CAST(1000000 * x_b // n_b AS BIGINT) AS p_b_ppm,
+           CAST(ROUND(1000000.0 * (
+               (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / SQRT(
+                   (CAST(x_a + x_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE)))
+           ), 0) AS BIGINT) AS z_micro
+    FROM m
+    """,
+)
+def q_stats_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST (pooled) — the conversion-rate comparison
+    behind every A/B readout: is the 'F'-status share different between
+    pre-1998 and 1998+ orders? The four sufficient statistics (x_a,
+    n_a, x_b, n_b) are EXACT int64 conditional-sum aggregates from ONE
+    scan (no per-cohort subqueries); the z statistic is a single IEEE
+    double expression over them (+,-,*,/,SQRT correctly rounded ->
+    bit-identical cross-engine), emitted micro-rounded next to the
+    exact ppm rates. One row out; nothing scales with data but the
+    scan. Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            "pre",
+        )
+        .otherwise("post")
+        .alias("cohort"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    m = base.agg(
+        F.sum(F.when(F.col("cohort") == "pre", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == "pre", F.col("hit")).otherwise(0)).alias(
+            "x_a"
+        ),
+        F.sum(F.when(F.col("cohort") == "post", 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("cohort") == "post", F.col("hit")).otherwise(0)
+        ).alias("x_b"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    pool = (d("x_a") + d("x_b")) / (d("n_a") + d("n_b"))
+    z = (d("x_a") / d("n_a") - d("x_b") / d("n_b")) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
+    )
+    return m.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("1000000 * x_a DIV n_a").alias("p_a_ppm"),
+        F.expr("1000000 * x_b DIV n_b").alias("p_b_ppm"),
+        F.round(F.lit(1000000.0) * z, 0).cast("long").alias("z_micro"),
+    )

@@ -248,3 +248,76 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "q_geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS cid,
+               {_coord_sql("lat", "c_custkey")} // {_RADIUS} AS cx,
+               {_coord_sql("lon", "c_custkey")} // {_RADIUS} AS cy
+        FROM customer
+    ),
+    cells AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY cx, cy
+    ),
+    offs AS (
+        SELECT UNNEST([-1, 0, 1]) AS dx
+    ),
+    offs2 AS (
+        SELECT o1.dx, o2.dx AS dy FROM offs o1 CROSS JOIN offs o2
+    ),
+    spread AS (
+        SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.n
+        FROM cells c CROSS JOIN offs2 o
+    ),
+    smooth AS (
+        SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS smoothed_n
+        FROM spread GROUP BY cx, cy
+    )
+    SELECT c.cx, c.cy, c.n, s.smoothed_n
+    FROM cells c JOIN smooth s ON c.cx = s.cx AND c.cy = s.cy
+    ORDER BY c.cx, c.cy
+    """,
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID DENSITY with 3x3 BOX-KERNEL SMOOTHING — the raster/stencil
+    pattern (heatmaps, hotspot detection) expressed relationally:
+    bucketize points to radius-sized cells (one hash aggregate), then
+    run the convolution as SCATTER instead of gather — each occupied
+    cell explodes to its 9 neighbor offsets (a constant 9x fan-out of
+    the CELL table, which is already aggregated and orders of magnitude
+    smaller than the point table) and a second hash aggregate sums the
+    contributions. The same shape handles any separable kernel at 100
+    TB because the fan-out never touches raw points; the alternative —
+    a 9-way self-join per cell — shuffles the cell table 9 times
+    instead of once. Emits occupied cells only, with raw and smoothed
+    counts (integer-exact; smoothed_n >= n always since the kernel
+    includes the center). Coordinates are the deterministic
+    micro-degree md5 synthesis shared with q_geo_radius_join.
+    Reference analog: none — target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.expr(f"{_coord('lat', 'c_custkey')} DIV {_RADIUS}").alias("cx"),
+        F.expr(f"{_coord('lon', 'c_custkey')} DIV {_RADIUS}").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    offs = spark.range(-1, 2).select(F.col("id").alias("dx"))
+    offs2 = offs.crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    spread = cells.crossJoin(F.broadcast(offs2)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        "n",
+    )
+    smooth = spread.groupBy("cx", "cy").agg(
+        F.sum("n").alias("smoothed_n")
+    )
+    return (
+        cells.join(smooth, ["cx", "cy"])
+        .select("cx", "cy", "n", "smoothed_n")
+        .orderBy("cx", "cy")
+    )

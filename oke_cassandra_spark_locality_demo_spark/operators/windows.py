@@ -2310,3 +2310,67 @@ def q_ts_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wow_delta_ppm"),
     ).orderBy("grp", "week_start")
+
+
+@register(
+    "q_win_path_topk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM {EVENTS_US}
+    ),
+    paths AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+               MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+               MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id
+        HAVING COUNT(*) = 3
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def q_win_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K USER JOURNEY PATHS — the path-mining readout behind
+    onboarding analysis: the 10 most common first-three-event
+    sequences. The naive formulation collects per-user event lists
+    (collect_list is ORDER-NONDETERMINISTIC in a distributed groupBy —
+    a correctness trap), so the path is assembled DETERMINISTICALLY:
+    rank events per user (one per-user sort window, top-3 rows pruned
+    by Catalyst's WindowGroupLimit before the shuffle), pivot the three
+    steps with conditional MAX into one row per user, concatenate, and
+    count. Users with fewer than 3 events drop via HAVING. Output is
+    bounded by |event_type|^3 regardless of user count; ties in the
+    top-10 are broken lexicographically for cross-engine determinism.
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.concat_ws(
+                ">",
+                F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+            ).alias("path"),
+        )
+        .filter(F.col("n_steps") == 3)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )

@@ -358,3 +358,83 @@ def test_resample_weekly_aligned_mondays(spark, sf_dir):
         assert series[0]["wow_delta_ppm"] == 0
         for a, b in zip(series, series[1:]):
             assert b["wow_delta_c"] == b["revenue_c"] - a["revenue_c"]
+
+
+def test_grid_density_stencil(spark, sf_dir):
+    df = _queries()["q_geo_grid_density"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    cells = {(r["cx"], r["cy"]): r["n"] for r in rows}
+    # smoothed = sum of the 3x3 neighborhood of OCCUPIED cells
+    for r in rows:
+        expect = sum(
+            cells.get((r["cx"] + dx, r["cy"] + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert r["smoothed_n"] == expect
+        assert r["smoothed_n"] >= r["n"] >= 1
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == total
+
+
+def test_kfold_grouped_no_entity_leakage(spark, sf_dir):
+    df = _queries()["q_split_kfold_grouped"](spark, sf_dir)
+    rows = df.collect()
+    assert {r["fold"] for r in rows} <= set(range(5))
+    import duckdb
+
+    tot_orders = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    assert sum(r["n_orders"] for r in rows) == tot_orders[0]
+    # grouped folds partition customers exactly (no double counting)
+    assert sum(r["n_customers"] for r in rows) == tot_orders[1]
+
+
+def test_prop_ztest_matches_bruteforce(spark, sf_dir):
+    import math
+
+    r = _queries()["q_stats_prop_ztest"](spark, sf_dir).collect()[0]
+    assert r["x_a"] <= r["n_a"] and r["x_b"] <= r["n_b"]
+    p_a, p_b = r["x_a"] / r["n_a"], r["x_b"] / r["n_b"]
+    pool = (r["x_a"] + r["x_b"]) / (r["n_a"] + r["n_b"])
+    z = (p_a - p_b) / math.sqrt(
+        pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"])
+    )
+    assert abs(r["z_micro"] / 1e6 - z) < 2e-6
+    assert r["p_a_ppm"] == 1000000 * r["x_a"] // r["n_a"]
+
+
+def test_path_topk_deterministic_and_consistent(spark, sf_dir):
+    df = _queries()["q_win_path_topk"](spark, sf_dir)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 10
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r["path"].split(">")
+        assert len(steps) == 3
+    # brute-force recompute
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT user_id, event_type FROM '{sf_dir}/events.parquet'
+        ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id"""
+    ).fetchall()
+    firsts: dict[int, list[str]] = {}
+    for u, t in raw:
+        firsts.setdefault(u, [])
+        if len(firsts[u]) < 3:
+            firsts[u].append(t)
+    agg: dict[str, int] = {}
+    for steps in firsts.values():
+        if len(steps) == 3:
+            p = ">".join(steps)
+            agg[p] = agg.get(p, 0) + 1
+    expect = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["path"], r["n_users"]) for r in rows] == expect
