@@ -592,3 +592,110 @@ def _pca_power_iteration(emb):
     lam_ok = (lam >= lam_lo * 0.999) and (lam <= lam_hi * 1.001)
     resid_ok = resid <= 0.10
     return (dim, int(n), bool(unit_ok), bool(lam_ok), bool(resid_ok))
+
+
+@register(
+    "q_vec_jl_projection",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i,
+               CAST(ROUND(UNNEST(CAST(embedding AS DOUBLE[])) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS orig_sq FROM flat
+        GROUP BY vec_id
+    ),
+    outd AS (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS j),
+    proj AS (
+        SELECT f.vec_id, o.j,
+               CAST(SUM((1 - 2 * CAST(('0x' || SUBSTRING(MD5('jl' ||
+                    CAST(o.j AS VARCHAR) || '_' ||
+                    CAST(f.i AS VARCHAR)), 1, 8))::UBIGINT % 2 AS BIGINT))
+                    * f.q) AS BIGINT) AS y
+        FROM flat f CROSS JOIN outd o
+        GROUP BY f.vec_id, o.j
+    ),
+    wide AS (
+        SELECT vec_id,
+               CAST(MAX(CASE WHEN j = 1 THEN y END) AS BIGINT) AS y1,
+               CAST(MAX(CASE WHEN j = 2 THEN y END) AS BIGINT) AS y2,
+               CAST(MAX(CASE WHEN j = 3 THEN y END) AS BIGINT) AS y3,
+               CAST(MAX(CASE WHEN j = 4 THEN y END) AS BIGINT) AS y4
+        FROM proj GROUP BY vec_id
+    )
+    SELECT w.vec_id, w.y1, w.y2, w.y3, w.y4, n.orig_sq,
+           CAST(w.y1*w.y1 + w.y2*w.y2 + w.y3*w.y3 + w.y4*w.y4
+                AS BIGINT) AS proj_sq,
+           CAST(1000 * (w.y1*w.y1 + w.y2*w.y2 + w.y3*w.y3 + w.y4*w.y4)
+                // (4 * n.orig_sq) AS BIGINT) AS ratio_milli
+    FROM wide w JOIN norms n ON w.vec_id = n.vec_id
+    ORDER BY w.vec_id
+    """,
+)
+def q_vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (Achlioptas ±1 variant) —
+    64-dim embeddings down to 4 dims with a DETERMINISTIC sign matrix
+    (md5-prefix parity of (out-dim, in-dim) — no stored projection
+    matrix, any executor regenerates any entry, which is exactly what a
+    1000-node projection of 100 TB of vectors needs: the 'matrix' ships
+    as zero bytes). Everything is EXACT integer arithmetic: inputs
+    quantize once to micro-units (the q_vec_centroid discipline), each
+    output coordinate is an exact int64 signed sum, and the JL
+    distortion audit — ||Px||^2/(k*||x||^2), expected 1 — is emitted as
+    exact integer milli-units (1000x headroom keeps the numerator under
+    int64 for unit-norm micro vectors; see ratio bound in tests).
+    Dataflow: posexplode to (vec, dim) -> 4x fan-out on the PRE-REDUCED
+    dim rows -> two hash aggregates; no UDF, no shuffle of raw arrays.
+    Reference analog: none — target-only capability."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    flat = emb.select(
+        "vec_id",
+        F.posexplode("v").alias("p", "x"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.round(F.col("x") * 1000000.0).cast("long").alias("q"),
+    )
+    norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("orig_sq")
+    )
+    outd = spark.range(1, 5).select(F.col("id").alias("j"))
+    sign = F.expr(
+        "1 - 2 * (CAST(conv(substring(md5(concat('jl', CAST(j AS STRING),"
+        " '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
+    )
+    proj = (
+        flat.crossJoin(F.broadcast(outd))
+        .select("vec_id", "j", (sign * F.col("q")).alias("sq"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("sq").alias("y"))
+    )
+    wide = proj.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("y"))).alias(f"y{j}")
+            for j in (1, 2, 3, 4)
+        ]
+    )
+    psq = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in (1, 2, 3, 4))
+    return (
+        wide.join(norms, "vec_id")
+        .select(
+            "vec_id",
+            "y1",
+            "y2",
+            "y3",
+            "y4",
+            "orig_sq",
+            psq.alias("proj_sq"),
+            F.expr(
+                "1000 * (y1*y1 + y2*y2 + y3*y3 + y4*y4)"
+                " DIV (4 * orig_sq)"
+            ).alias("ratio_milli"),
+        )
+        .orderBy("vec_id")
+    )

@@ -702,3 +702,136 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "order_year")
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM {EVENTS_US}
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM {EVENTS_US}
+          WHERE event_type = 'purchase'),
+    back AS (
+        SELECT c.event_id, p.ts AS b_ts, p.value AS b_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    fwd AS (
+        SELECT c.event_id, p.ts AS f_ts, p.value AS f_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN 'none'
+             WHEN f.f_ts IS NULL THEN 'back'
+             WHEN b.b_ts IS NULL THEN 'fwd'
+             WHEN epoch_us(c.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(c.ts) THEN 'back'
+             ELSE 'fwd'
+           END AS matched_dir,
+           CASE
+             WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                  OR epoch_us(c.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(c.ts)) THEN b.b_value
+             ELSE f.f_value
+           END AS nearest_value,
+           CASE
+             WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                  OR epoch_us(c.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(c.ts))
+               THEN epoch_us(c.ts) - epoch_us(b.b_ts)
+             WHEN f.f_ts IS NOT NULL
+               THEN epoch_us(f.f_ts) - epoch_us(c.ts)
+           END AS gap_us
+    FROM c
+    LEFT JOIN back b ON c.event_id = b.event_id
+    LEFT JOIN fwd f ON c.event_id = f.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-MATCH AS-OF JOIN — each click pairs with the user's
+    temporally CLOSEST purchase in EITHER direction (ties prefer the
+    past match: causally usable). pandas merge_asof(direction=
+    'nearest') semantics, which neither Spark nor plain ASOF gives.
+    Built on the same union-marker single-shuffle plan as q_join_asof:
+    one interleave sorted by (ts, side), then BOTH a
+    backward-carrying last(ignorenulls) over the preceding frame AND a
+    forward-looking first(ignorenulls) over the following frame — two
+    frames over ONE partition sort, so Catalyst plans one exchange +
+    one sort, no range blow-up at any scale. An equal-timestamp
+    purchase is captured by the backward frame (side ordering puts
+    right rows first) with gap 0, which the tie rule then selects — so
+    inclusive-both-directions semantics hold without a second sort
+    order. Gap is the exact integer microsecond distance. Oracle:
+    DuckDB backward + forward native ASOF joins combined with the same
+    tie rule. Reference analog: none — target-only capability."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    tagged = clicks.select(
+        "user_id",
+        F.col("ts").alias("_ord_ts"),
+        F.lit(1).alias("_is_left"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.col("p_ts").alias("_ord_ts"),
+            F.lit(0).alias("_is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            "p_ts",
+            "p_value",
+        )
+    )
+    order = [F.col("_ord_ts").asc(), F.col("_is_left").asc()]
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "*",
+        F.last("p_ts", ignorenulls=True).over(w_back).alias("b_ts"),
+        F.last("p_value", ignorenulls=True).over(w_back).alias("b_value"),
+        F.first("p_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+        F.first("p_value", ignorenulls=True).over(w_fwd).alias("f_value"),
+    ).filter(F.col("_is_left") == 1)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b_gap = ts_us - F.unix_micros(F.col("b_ts").cast("timestamp"))
+    f_gap = F.unix_micros(F.col("f_ts").cast("timestamp")) - ts_us
+    back_wins = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_gap <= f_gap)
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), "none")
+        .when(F.col("f_ts").isNull(), "back")
+        .when(F.col("b_ts").isNull(), "fwd")
+        .when(b_gap <= f_gap, "back")
+        .otherwise("fwd")
+        .alias("matched_dir"),
+        F.when(back_wins, F.col("b_value"))
+        .otherwise(F.col("f_value"))
+        .alias("nearest_value"),
+        F.when(back_wins, b_gap)
+        .when(F.col("f_ts").isNotNull(), f_gap)
+        .alias("gap_us"),
+    )

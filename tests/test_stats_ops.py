@@ -438,3 +438,61 @@ def test_path_topk_deterministic_and_consistent(spark, sf_dir):
             agg[p] = agg.get(p, 0) + 1
     expect = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["path"], r["n_users"]) for r in rows] == expect
+
+
+def test_jl_projection_exact_and_distorts_mildly(spark, sf_dir):
+    df = _queries()["q_vec_jl_projection"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # exact recompute for one vector
+    import duckdb
+    import hashlib
+
+    probe = rows[0]
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+        f" WHERE vec_id = {probe['vec_id']}"
+    ).fetchone()[0]
+    q = [round(float(x) * 1000000.0) for x in emb]
+    assert probe["orig_sq"] == sum(v * v for v in q)
+    for j in (1, 2, 3, 4):
+        y = 0
+        for i, v in enumerate(q, start=1):
+            h = hashlib.md5(f"jl{j}_{i}".encode()).hexdigest()[:8]
+            y += (1 - 2 * (int(h, 16) % 2)) * v
+        assert probe[f"y{j}"] == y
+    # JL: mean distortion over the corpus is near 1 (k=4 is noisy per
+    # vector; the mean over >=100 vectors concentrates)
+    if len(rows) >= 100:
+        mean_ratio = sum(r["ratio_milli"] for r in rows) / len(rows) / 1000.0
+        assert 0.7 < mean_ratio < 1.3
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    df = _queries()["q_join_asof_nearest"](spark, sf_dir)
+    got = {r["event_id"]: (r["matched_dir"], r["gap_us"]) for r in df.collect()}
+    import duckdb
+
+    clicks = duckdb.sql(
+        f"""SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{sf_dir}/events.parquet' WHERE event_type='click'"""
+    ).fetchall()
+    purch = duckdb.sql(
+        f"""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{sf_dir}/events.parquet' WHERE event_type='purchase'"""
+    ).fetchall()
+    per_user: dict[int, list[int]] = {}
+    for u, t in purch:
+        per_user.setdefault(u, []).append(t)
+    assert len(got) == len(clicks)
+    for eid, u, t in clicks:
+        cands = per_user.get(u, [])
+        if not cands:
+            assert got[eid] == ("none", None)
+            continue
+        back = max((p for p in cands if p <= t), default=None)
+        fwd = min((p for p in cands if p >= t), default=None)
+        if fwd is None or (back is not None and t - back <= fwd - t):
+            assert got[eid] == ("back", t - back)
+        else:
+            assert got[eid] == ("fwd", fwd - t)
