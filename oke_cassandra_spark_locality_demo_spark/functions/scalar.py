@@ -594,3 +594,43 @@ def q_fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "q_fn_codec",
+    oracle="""
+    SELECT o_orderkey,
+           HEX(o_orderpriority) AS hex_str,
+           BASE64(CAST(o_orderpriority AS BLOB)) AS b64_str,
+           CAST(FROM_BASE64(BASE64(CAST(o_orderpriority AS BLOB)))
+                AS VARCHAR) AS b64_roundtrip,
+           HEX(o_orderkey) AS hex_int,
+           LENGTH(TO_BASE64(CAST(o_orderpriority AS BLOB)))
+               AS b64_len
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_fn_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY CODEC surface — hex and base64 encode/decode round-trips,
+    the byte-level plumbing an export pipeline needs (payload
+    fingerprints in manifests, webdataset member names, URL-safe ids).
+    Verified bit-portable this round: both engines hex strings
+    LOWERCASE byte-wise, hex integers UPPERCASE minimal-width, and
+    produce identical RFC-4648 base64 with padding; the decode
+    round-trip re-materializes the original priority string. Pure
+    codegen'd scalar functions over a pushed-down scan — no shuffle at
+    all. Reference analog: none — target-only capability."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.hex(F.col("o_orderpriority")).alias("hex_str"),
+        F.base64(F.col("o_orderpriority").cast("binary")).alias("b64_str"),
+        F.unbase64(F.base64(F.col("o_orderpriority").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.hex(F.col("o_orderkey")).alias("hex_int"),
+        F.length(F.base64(F.col("o_orderpriority").cast("binary"))).alias(
+            "b64_len"
+        ),
+    )

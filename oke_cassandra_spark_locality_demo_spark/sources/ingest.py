@@ -800,3 +800,69 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "q_export_manifest",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || SUBSTRING(MD5('shard' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
+                    AS BIGINT) AS shard_id,
+               MD5(text) AS doc_md5,
+               OCTET_LENGTH(ENCODE(text)) AS nbytes
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nbytes) AS BIGINT) AS payload_bytes,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MD5(STRING_AGG(doc_md5, '' ORDER BY doc_md5)) AS shard_digest
+    FROM tagged
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT MANIFEST with integrity digests — the sidecar every
+    sharded dataset release needs: per shard (deterministic md5-prefix
+    assignment mod 8, so any worker routes any doc without
+    coordination), the doc count, exact UTF-8 payload bytes, language
+    spread, and a CONTENT DIGEST — md5 over the shard's per-doc md5s
+    concatenated in SORTED order. Sorting by the hash itself makes the
+    digest ORDER-INDEPENDENT of how executors deliver rows (a digest
+    over arrival order would be nondeterministic under Spark's task
+    scheduling — the classic manifest bug), while still changing if any
+    single byte of any document changes. Spark side builds it with
+    array_sort(collect_list(...)) inside the shard aggregate: the
+    collect is bounded per shard and the sorted fold is deterministic.
+    Consumers re-verify a shard by recomputing the same digest.
+    Reference analog: none — the reference's writeback path (SURVEY B7)
+    emits data; the release metadata sidecar is target-only."""
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(concat('shard',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8"
+        ).alias("shard_id"),
+        F.md5(F.col("text").cast("binary")).alias("doc_md5"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias(
+            "nbytes"
+        ),
+    )
+    return (
+        tagged.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nbytes").alias("payload_bytes"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("doc_md5")))
+                .cast("binary")
+            ).alias("shard_digest"),
+        )
+        .orderBy("shard_id")
+    )

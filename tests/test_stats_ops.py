@@ -496,3 +496,48 @@ def test_asof_nearest_matches_bruteforce(spark, sf_dir):
             assert got[eid] == ("back", t - back)
         else:
             assert got[eid] == ("fwd", fwd - t)
+
+
+def test_codec_roundtrip(spark, sf_dir):
+    rows = _queries()["q_fn_codec"](spark, sf_dir).collect()
+    assert rows
+    import base64
+
+    for r in rows[:50]:
+        # hex of the priority string decodes back to it
+        assert bytes.fromhex(r["hex_str"]).decode() == base64.b64decode(
+            r["b64_str"]
+        ).decode()
+        assert r["b64_roundtrip"] == base64.b64decode(r["b64_str"]).decode()
+        assert int(r["hex_int"], 16) == r["o_orderkey"]
+
+
+def test_export_manifest_digest_recomputable(spark, sf_dir):
+    rows = _queries()["q_export_manifest"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 8
+    import hashlib
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    shards: dict[int, list[str]] = {}
+    nbytes: dict[int, int] = {}
+    langs: dict[int, set] = {}
+    for doc_id, lang, text in docs:
+        h = hashlib.md5(f"shard{doc_id}".encode()).hexdigest()[:8]
+        sid = int(h, 16) % 8
+        shards.setdefault(sid, []).append(
+            hashlib.md5(text.encode()).hexdigest()
+        )
+        nbytes[sid] = nbytes.get(sid, 0) + len(text.encode())
+        langs.setdefault(sid, set()).add(lang)
+    for r in rows:
+        sid = r["shard_id"]
+        digest = hashlib.md5("".join(sorted(shards[sid])).encode()).hexdigest()
+        assert r["shard_digest"] == digest
+        assert r["n_docs"] == len(shards[sid])
+        assert r["payload_bytes"] == nbytes[sid]
+        assert r["n_langs"] == len(langs[sid])
+    assert sum(r["n_docs"] for r in rows) == len(docs)
