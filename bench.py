@@ -129,6 +129,16 @@ LLM_SECONDARY = [
     "q_multimodal_scenecut",
     "q_agg_abc_pareto",
     "q_drift_jsd",
+    # continuation-r5 additions: rank-test suite member, JL projection,
+    # nearest-match as-of, stencil density, OHLC bars, release manifest,
+    # dense gap interpolation
+    "q_stats_kruskal",
+    "q_vec_jl_projection",
+    "q_join_asof_nearest",
+    "q_geo_grid_density",
+    "q_agg_ohlc",
+    "q_export_manifest",
+    "q_ts_interpolate_linear",
 ]
 
 

@@ -141,7 +141,12 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).alias("g"),
         F.round("o_totalprice", 0).cast("long").alias("x"),
     )
-    vc = base.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+    # vc/grp feed three actions (moment collect, tie collect, emission);
+    # checkpointing the VALUE-level table (~6k rows at sf0.1) and the
+    # 5-row group table keeps the base scan + rank join to one run each
+    # instead of four (at local sf0.1 the win is within stage-overhead
+    # noise; at cluster scale the avoided rescans are the point)
+    vc = base.groupBy("x").agg(F.count(F.lit(1)).alias("t")).localCheckpoint()
     ranked = vc.select(
         "x",
         "t",
@@ -162,6 +167,7 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_gx") * (2 * F.col("c") + F.col("t") + F.lit(1))
             ).alias("r2"),
         )
+        .localCheckpoint()
     )
     moments = {r["g"]: (r["n"], r["r2"]) for r in grp.collect()}
     tcorr = vc.agg(

@@ -270,7 +270,16 @@ _MODIFIED_THIS_ROUND = [
 #: q_agg_cohort_ltv, q_agg_benford, q_text_hapax,
 #: q_funnel_multistep, q_stats_runs_test, q_agg_lorenz_gini,
 #: q_text_burstiness, q_agg_hhi, q_sql_group_by_all,
-#: q_agg_log_histogram, q_win_time_to_convert).
+#: q_agg_log_histogram, q_win_time_to_convert), and the
+#: continuation-r5 blocks (q_stats_kruskal, q_stats_anova_f,
+#: q_stats_cohen_kappa, q_stats_kaplan_meier, q_sql_qualify,
+#: q_agg_argmax, q_win_drawdown, q_ts_interpolate_linear,
+#: q_privacy_tclose, q_text_readability, q_agg_decay_sum,
+#: q_agg_winsorized_mean, q_agg_ohlc, q_agg_simpson,
+#: q_sample_class_quota, q_ts_resample_weekly, q_geo_grid_density,
+#: q_split_kfold_grouped, q_stats_prop_ztest, q_win_path_topk,
+#: q_vec_jl_projection, q_join_asof_nearest, q_fn_codec,
+#: q_export_manifest).
 #: 50 slots cover fewer than half — prioritize the oracle-backed
 #: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
 #: commit order; the remainder fronts in r7/r8, after which the
