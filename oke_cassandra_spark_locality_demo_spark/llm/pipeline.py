@@ -2033,3 +2033,146 @@ def q_stats_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * x_b DIV n_b").alias("p_b_ppm"),
         F.round(F.lit(1000000.0) * z, 0).cast("long").alias("z_micro"),
     )
+
+
+@register(
+    "q_feature_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM base GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+        FROM g
+    )
+    SELECT b.o_orderkey, b.grp,
+           CAST((g.s - b.y) // (g.n - 1) AS BIGINT) AS loo_c,
+           CAST((g.s + 100 * (t.ss // t.nn)) // (g.n + 100) AS BIGINT)
+               AS smoothed_c
+    FROM base b
+    JOIN g ON b.grp = g.grp
+    CROSS JOIN tot t
+    WHERE b.o_orderkey % 11 = 0
+    ORDER BY b.o_orderkey
+    """,
+)
+def q_feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGET ENCODING of a categorical feature — the two estimators a
+    feature pipeline materializes for a high-cardinality category:
+    LEAVE-ONE-OUT mean (the row's own target excluded, the standard
+    leakage guard: (S_g - y_i) / (n_g - 1)) and the SMOOTHED prior
+    blend ((S_g + k*global_mean) / (n_g + k), k=100 pseudo-counts).
+    Everything is exact integer cents with truncating DIV — no float
+    path at all. Dataflow: one 5-row group aggregate + 1-row global,
+    both broadcast back onto the scan (the per-row encode is then a
+    stateless map — at 100 TB the encodings ship as a dictionary, the
+    fact table is never shuffled); the %11 projection keeps the
+    emission at ~9% of rows for the harness. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    return (
+        base.filter(F.col("o_orderkey") % 11 == 0)
+        .join(F.broadcast(g), "grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "grp",
+            F.expr("(s - y) DIV (n - 1)").alias("loo_c"),
+            F.expr("(s + 100 * (ss DIV nn)) DIV (n + 100)").alias(
+                "smoothed_c"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_feature_impute",
+    oracle="""
+    WITH masked AS (
+        SELECT c_custkey, c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               ('0x' || SUBSTRING(MD5('mask' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT % 10 = 0
+                   AS is_missing
+        FROM customer
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN is_missing THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           CAST(SUM(CASE WHEN is_missing THEN 0 ELSE cents END)
+                // SUM(CASE WHEN is_missing THEN 0 ELSE 1 END)
+                AS BIGINT) AS observed_mean_c,
+           CAST(SUM(CASE WHEN is_missing THEN 0 ELSE cents END)
+                + SUM(CASE WHEN is_missing THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN is_missing THEN 0 ELSE cents END)
+                     // SUM(CASE WHEN is_missing THEN 0 ELSE 1 END))
+                AS BIGINT) AS filled_sum_c
+    FROM masked
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def q_feature_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN IMPUTATION audit — the standard missing-value fill for a
+    numeric feature, with a DETERMINISTIC simulated 10% missingness
+    mask (md5-prefix hash of the key — the fixture has no NULL
+    balances, and a hash mask reproduces identically on both engines
+    and any cluster size). Per segment: rows, imputed count, the
+    OBSERVED-ONLY floor-mean in exact cents (the imputation value —
+    computed from non-masked rows only, the subtlety naive pipelines
+    get wrong by including the fills), and the post-fill sum
+    (observed + n_missing * mean, algebraically what the filled column
+    sums to — all exact integers). One conditional hash aggregate; no
+    second pass over the data to apply fills. Reference analog: none —
+    target-only capability."""
+    c = load(spark, sf_dir, "customer")
+    masked = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('mask',"
+                " CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 10
+            == 0
+        ).alias("is_missing"),
+    )
+    obs_sum = F.sum(F.when(F.col("is_missing"), 0).otherwise(F.col("cents")))
+    obs_n = F.sum(F.when(F.col("is_missing"), 0).otherwise(1))
+    n_imp = F.sum(F.when(F.col("is_missing"), 1).otherwise(0))
+    return (
+        masked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            n_imp.alias("n_imputed"),
+            obs_sum.alias("_os"),
+            obs_n.alias("_on"),
+        )
+        .select(
+            "grp",
+            "n",
+            "n_imputed",
+            F.expr("_os DIV _on").alias("observed_mean_c"),
+            F.expr("_os + n_imputed * (_os DIV _on)").alias("filled_sum_c"),
+        )
+        .orderBy("grp")
+    )

@@ -1954,3 +1954,68 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syllables",
         F.round(F.lit(1000000.0) * flesch, 0).cast("long").alias("flesch_micro"),
     ).orderBy("lang", "source")
+
+
+def _compressed_len(texts):
+    """Arrow-batched zlib level-6 compressed size per document. zlib is
+    deterministic for a fixed level and input, so the emission is
+    reproducible (tests recompute it byte-for-byte); there is no SQL
+    oracle because DuckDB has no DEFLATE surface — rows-only key with
+    the compensating exact-recompute test (COVERAGE.md)."""
+    import zlib
+
+    import pandas as pd
+
+    return pd.Series(
+        [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts],
+        dtype="int64",
+    )
+
+
+@register("q_text_compress_ratio", oracle=None)
+def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO QUALITY SIGNAL (Gopher/RefinedWeb's
+    repetition filter): highly compressible text is boilerplate or
+    looped spam; incompressible text is noise — both ends get filtered
+    before pretraining. Per-doc DEFLATE size comes from an
+    Arrow-batched pandas UDF (the sanctioned slow path: zlib is not
+    expressible in pyspark.sql.functions — same batch shape as the
+    multimodal decoders, ~100x faster than a row-at-a-time Python
+    UDF), everything after is exact integer SQL: per-(lang, source)
+    sums of original/compressed UTF-8 bytes and the milli-ratio
+    floor(1000 * compressed / original). Flags the slice if the corpus
+    ratio leaves the [200, 900] band. Reference analog: none —
+    target-only capability."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents")
+    clen = pandas_udf(_compressed_len, "long")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("orig_b"),
+        clen(F.col("text")).alias("comp_b"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("orig_b").alias("orig_bytes"),
+            F.sum("comp_b").alias("comp_bytes"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "orig_bytes",
+            "comp_bytes",
+            F.expr("1000 * comp_bytes DIV orig_bytes").alias("ratio_milli"),
+            (
+                (F.expr("1000 * comp_bytes DIV orig_bytes") >= 200)
+                & (F.expr("1000 * comp_bytes DIV orig_bytes") <= 900)
+            ).alias("in_band"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -541,3 +541,84 @@ def test_export_manifest_digest_recomputable(spark, sf_dir):
         assert r["payload_bytes"] == nbytes[sid]
         assert r["n_langs"] == len(langs[sid])
     assert sum(r["n_docs"] for r in rows) == len(docs)
+
+
+def test_compress_ratio_exact_recompute(spark, sf_dir):
+    """Compensating check for the rows-only q_text_compress_ratio: zlib
+    is deterministic, so the per-slice sums recompute byte-for-byte."""
+    import zlib
+
+    import duckdb
+
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in _queries()["q_text_compress_ratio"](spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT lang, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    agg: dict[tuple, list[int]] = {}
+    for lang, source, text in docs:
+        a = agg.setdefault((lang, source), [0, 0, 0])
+        b = text.encode("utf-8")
+        a[0] += 1
+        a[1] += len(b)
+        a[2] += len(zlib.compress(b, 6))
+    assert set(rows) == set(agg)
+    for key, (n, ob, cb) in agg.items():
+        r = rows[key]
+        assert (r["n_docs"], r["orig_bytes"], r["comp_bytes"]) == (n, ob, cb)
+        assert r["ratio_milli"] == 1000 * cb // ob
+        assert r["in_band"] == (200 <= 1000 * cb // ob <= 900)
+
+
+def test_target_encode_matches_bruteforce(spark, sf_dir):
+    rows = _queries()["q_feature_target_encode"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT o_orderkey, o_orderpriority, CAST(ROUND(o_totalprice*100)"
+        f" AS BIGINT) FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    s: dict[str, int] = {}
+    n: dict[str, int] = {}
+    for _, g, y in raw:
+        s[g] = s.get(g, 0) + y
+        n[g] = n.get(g, 0) + 1
+    ss, nn = sum(s.values()), sum(n.values())
+    by_key = {k: (g, y) for k, g, y in raw}
+    for r in rows:
+        g, y = by_key[r["o_orderkey"]]
+        assert r["o_orderkey"] % 11 == 0 and r["grp"] == g
+        assert r["loo_c"] == (s[g] - y) // (n[g] - 1)
+        assert r["smoothed_c"] == (s[g] + 100 * (ss // nn)) // (n[g] + 100)
+    assert len(rows) == sum(1 for k in by_key if k % 11 == 0)
+
+
+def test_impute_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    import duckdb
+
+    rows = {r["grp"]: r for r in _queries()["q_feature_impute"](spark, sf_dir).collect()}
+    raw = duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment, CAST(ROUND(c_acctbal*100)"
+        f" AS BIGINT) FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    agg: dict[str, list[int]] = {}
+    for key, g, cents in raw:
+        h = int(hashlib.md5(f"mask{key}".encode()).hexdigest()[:8], 16)
+        a = agg.setdefault(g, [0, 0, 0, 0])  # n, n_imp, obs_sum, obs_n
+        a[0] += 1
+        if h % 10 == 0:
+            a[1] += 1
+        else:
+            a[2] += cents
+            a[3] += 1
+    for g, (cnt, n_imp, os_, on) in agg.items():
+        r = rows[g]
+        mean = os_ // on if os_ >= 0 else -((-os_) // on)
+        assert (r["n"], r["n_imputed"]) == (cnt, n_imp)
+        assert r["observed_mean_c"] == mean
+        assert r["filled_sum_c"] == os_ + n_imp * mean
