@@ -998,3 +998,56 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "q_graph_2hop_reach",
+    oracle=f"""
+    WITH RECURSIVE {_JAN_EDGES_SQL},
+    edm AS MATERIALIZED (SELECT u, v FROM ed),
+    two AS MATERIALIZED (
+        SELECT DISTINCT a.u, b.v AS w
+        FROM edm a JOIN edm b ON a.v = b.u
+        WHERE b.v <> a.u
+    ),
+    fresh AS (
+        SELECT t.u, t.w FROM two t
+        LEFT JOIN edm d ON t.u = d.u AND t.w = d.v
+        WHERE d.u IS NULL
+    )
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS reach2
+    FROM fresh GROUP BY u
+    ORDER BY node
+    """,
+)
+def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-HOP REACH (friends-of-friends count) on the January-1995
+    co-purchase graph: for each part, how many NEW parts become
+    reachable at exactly distance 2 — the neighborhood-growth metric
+    behind recommendation candidate pools and graph-sampling fanout
+    budgets. Dataflow: one self-join of the deduped directed edge list
+    on the middle vertex (the standard triangle/path-counting shuffle,
+    keyed on vertex id so it co-partitions with the degree ops), DISTINCT
+    to collapse multi-path pairs, then an ANTI-JOIN against the edge
+    list to drop distance-1 pairs and the self pair — exactly the
+    candidate-minus-known shape dedup pipelines use. All integers.
+    Oracle CTEs are MATERIALIZED (q_graph_kcore lesson: DuckDB inlines
+    twice-referenced CTEs and re-evaluates the quadratic join).
+    Reference analog: none — target-only capability."""
+    ed = _jan_edges(spark, sf_dir).localCheckpoint()
+    a = ed.select(F.col("u").alias("src"), F.col("v").alias("mid"))
+    b = ed.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    two = (
+        a.join(b, "mid")
+        .filter(F.col("w") != F.col("src"))
+        .select(F.col("src").alias("u"), "w")
+        .distinct()
+    )
+    fresh = two.join(
+        ed.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+    )
+    return (
+        fresh.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reach2"))
+        .orderBy("node")
+    )

@@ -866,3 +866,67 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "q_scan_dpp",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT)) AS BIGINT)
+               AS total_value_tt
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the runtime counterpart to
+    q_scan_partition_pruned's static pruning: the fact side is the
+    Hive-partitioned events layout, the filter lives on a DIMENSION
+    table (a conversion-flag dim written to its own parquet), and the
+    partition list is only known after the dim scan runs — Spark
+    injects a dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters (asserted by tests/test_plans.py), reusing the
+    broadcast of the dim join side. At 100 TB this is THE star-schema
+    scan killer: the fact directory listing shrinks to the dim-selected
+    partitions at runtime, no manual IN-list maintenance. Planner
+    subtlety baked in (measured this round): the dim filter must be
+    "likely selective" for PartitionPruning to inject the subquery — an
+    EqualTo on a literal qualifies, a bare boolean attribute does NOT
+    (BooleanSimplification strips `= true` and the bare attribute fails
+    the rule's isLikelySelective test) — hence the string `category`
+    column. The result is oracle-checked against the
+    statically-filtered equivalent (same rows by construction).
+    Reference analog: locality-aware scans (SURVEY B2) pick WHERE to
+    read; DPP picks WHAT to read."""
+    fact_path = _out("events_by_type")
+    e = load(spark, sf_dir, "events")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(fact_path)
+    dim_path = _out("event_type_dim")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("error", "ops"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+        ],
+        "event_type string, category string",
+    )
+    dim.write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim_back = spark.read.parquet(dim_path).filter(
+        F.col("category") == "conversion"
+    )
+    return (
+        fact.join(F.broadcast(dim_back), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long")).alias(
+                "total_value_tt"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1603,3 +1603,34 @@ def test_qualify_matches_topk_semantics(spark, sf_dir):
     assert set(len(v) for v in per.values()) == {2}
     for v in per.values():
         assert (-v[0][0], v[0][1]) <= (-v[1][0], v[1][1])
+
+
+def test_dpp_subquery_injected(spark, sf_dir):
+    """q_scan_dpp must carry a dynamicpruningexpression in the fact
+    scan's PartitionFilters — runtime pruning from the dim filter, not
+    a static IN-list."""
+    df = get("q_scan_dpp").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = df.collect()
+    assert {r.event_type for r in rows} == {"purchase", "signup"}
+
+
+def test_2hop_reach_matches_bruteforce(spark, sf_dir):
+    df = get("q_graph_2hop_reach").fn(spark, sf_dir)
+    got = {r.node: r.reach2 for r in df.collect()}
+    from oke_cassandra_spark_locality_demo_spark.operators.graph import _jan_edges
+
+    adj: dict[int, set[int]] = {}
+    for r in _jan_edges(spark, sf_dir).collect():
+        adj.setdefault(r.u, set()).add(r.v)
+    expect = {}
+    for u, nbrs in adj.items():
+        two = set()
+        for m in nbrs:
+            two |= adj.get(m, set())
+        two -= nbrs
+        two.discard(u)
+        if two:
+            expect[u] = len(two)
+    assert got == expect
