@@ -450,3 +450,115 @@ def q_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * sum(conc) - count(1)) * 1000000 DIV count(1)"
         ).alias("tau_micro"),
     )
+
+
+@register(
+    "q_rank_ndcg",
+    oracle=f"""
+    WITH bm AS ({get("q_text_bm25").oracle}),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rnk
+        FROM bm
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS word
+        FROM documents
+    ),
+    tcnt AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM tok WHERE word IN ('spark', 'join', 'window')
+        GROUP BY doc_id, word
+    ),
+    rel AS (
+        SELECT doc_id FROM tcnt WHERE c >= 3
+        GROUP BY doc_id HAVING COUNT(*) = 3
+    ),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel),
+    disc AS (
+        SELECT r.rnk,
+               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel,
+               CAST(ROUND(1000000.0 * LN(2.0)
+                    / LN(CAST(r.rnk AS DOUBLE) + 1.0)) AS BIGINT) AS d
+        FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id
+    )
+    SELECT (SELECT n_rel FROM nrel) AS n_rel,
+           CAST(SUM(is_rel * d) AS BIGINT) AS dcg_micro,
+           CAST(SUM(CASE WHEN rnk <= LEAST((SELECT n_rel FROM nrel), 20)
+                    THEN d ELSE 0 END) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN SUM(CASE WHEN rnk <=
+                        LEAST((SELECT n_rel FROM nrel), 20)
+                        THEN d ELSE 0 END) > 0
+                THEN 1000000 * SUM(is_rel * d)
+                     // SUM(CASE WHEN rnk <=
+                            LEAST((SELECT n_rel FROM nrel), 20)
+                            THEN d ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM disc
+    """,
+)
+def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 for the BM25 ranker — the graded-discount companion to
+    q_rank_eval (which carries only rank-reciprocal metrics and
+    documents WHY it skips NDCG: raw log2 is not bit-portable). The
+    portability fix is the house log-term rule: each rank's discount
+    1/log2(rnk+1) is written as the identical LN ratio on both engines
+    and rounded ONCE to integer MICRO-units — the ~1-ulp cross-libm ln
+    noise is ~8 orders below the rounding quantum — after which DCG,
+    ideal DCG (first min(n_rel, 20) discounts — binary relevance), and
+    the final ppm ratio are EXACT integer arithmetic, order-free and
+    hash-stable. Same constant-size dataflow as q_rank_eval: 20-row
+    ranked list, broadcast relevance join, single-row aggregate; only
+    the relevance scan touches the corpus. Reference analog: none —
+    target-only capability."""
+    bm = q_text_bm25(spark, sf_dir)
+    w = Window.orderBy(F.col("bm25_e6").desc(), "doc_id")
+    ranked = bm.select("doc_id", F.row_number().over(w).alias("rnk"))
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    rel = (
+        tok.filter(F.col("word").isin(BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .filter(F.col("nw") == len(BM25_QUERY))
+        .select("doc_id", F.lit(1).alias("is_rel"))
+    )
+    nrel = rel.agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    disc = (
+        ranked.join(F.broadcast(rel), "doc_id", "left")
+        .select(
+            "rnk",
+            F.coalesce(F.col("is_rel"), F.lit(0)).alias("is_rel"),
+            F.round(
+                F.lit(1000000.0)
+                * F.log(F.lit(2.0))
+                / F.log(F.col("rnk").cast("double") + F.lit(1.0))
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .crossJoin(F.broadcast(nrel))
+    )
+    m = F.least(F.col("n_rel"), F.lit(20))
+    agg = disc.agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(F.col("is_rel") * F.col("d")).alias("dcg_micro"),
+        F.sum(F.when(F.col("rnk") <= m, F.col("d")).otherwise(0)).alias(
+            "idcg_micro"
+        ),
+    )
+    return agg.select(
+        "n_rel",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("1000000 * dcg_micro DIV idcg_micro"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )

@@ -498,3 +498,115 @@ def q_stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema).orderBy("t")
+
+
+@register(
+    "q_stats_levene",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS g,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+        FROM customer
+    ),
+    gm AS (
+        SELECT g, SUM(x) // COUNT(*) AS mu FROM base GROUP BY g
+    ),
+    dev AS (
+        SELECT b.g, ABS(b.x - gm.mu) AS z
+        FROM base b JOIN gm ON b.g = gm.g
+    ),
+    c AS (SELECT SUM(z) // COUNT(*) AS mu FROM dev),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z - (SELECT mu FROM c)) AS BIGINT) AS sx,
+               CAST(SUM((z - (SELECT mu FROM c))
+                        * (z - (SELECT mu FROM c))) AS BIGINT) AS sxx
+        FROM dev GROUP BY g
+    ),
+    piv AS (
+        SELECT
+            CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(SUM(sx) AS BIGINT) AS sxt,
+            {", ".join(
+                f"CAST(MAX(CASE WHEN g = '{s}' THEN n END) AS BIGINT) AS n{i},"
+                f" CAST(MAX(CASE WHEN g = '{s}' THEN sx END) AS BIGINT) AS sx{i},"
+                f" CAST(MAX(CASE WHEN g = '{s}' THEN sxx END) AS BIGINT) AS sxx{i}"
+                for i, s in enumerate(_SEGMENTS, 1))}
+        FROM grp
+    )
+    SELECT g AS grp, n,
+           CAST((1000000 * sx) // n AS BIGINT) AS centered_absdev_micro,
+           CAST(ROUND(1000000.0 * (
+               (({_chain([
+                   f"CAST(sx{i} AS DOUBLE) * CAST(sx{i} AS DOUBLE)"
+                   f" / CAST(n{i} AS DOUBLE)" for i in range(1, 6)])}
+                 - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)
+                   / CAST(nn AS DOUBLE)) / (5.0 - 1.0))
+               / (({_chain([
+                   f"(CAST(sxx{i} AS DOUBLE) - CAST(sx{i} AS DOUBLE)"
+                   f" * CAST(sx{i} AS DOUBLE) / CAST(n{i} AS DOUBLE))"
+                   for i in range(1, 6)])})
+                  / (CAST(nn AS DOUBLE) - 5.0))
+           ), 0) AS BIGINT) AS w_micro
+    FROM grp, piv
+    ORDER BY grp
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE'S TEST for variance homogeneity (mean-centered variant) —
+    ANOVA's precondition check: are the five segments' balance SPREADS
+    equal? Structurally it IS a one-way ANOVA run on the absolute
+    deviations z = |x - group floor-mean|, so the implementation
+    composes the exact same machinery as q_stats_anova_f: the group
+    means and the deviations are exact integers (floor-mean in cents —
+    the integer-median variant of Levene's robustness family), the
+    union floor-mean centers z for int64 headroom, per-group moments
+    are exact int64, and W comes out of the KNOWN-GROUP FOLD as one
+    IEEE expression, micro-rounded. Two chained hash aggregates + one
+    broadcast join of the 5-row mean table back onto the scan — the
+    deviation pass never reshuffles the fact rows. Reference analog:
+    none — target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    gm = base.groupBy("g").agg(F.expr("sum(x) DIV count(*)").alias("mu"))
+    dev = base.join(F.broadcast(gm), "g").select(
+        "g", F.abs(F.col("x") - F.col("mu")).alias("z")
+    )
+    mu = dev.agg(F.expr("sum(z) DIV count(*)").alias("mu")).collect()[0][0]
+    grp = (
+        dev.select("g", (F.col("z") - F.lit(mu)).alias("z"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("sx"),
+            F.sum(F.col("z") * F.col("z")).alias("sxx"),
+        )
+    )
+    m = {r["g"]: (r["n"], r["sx"], r["sxx"]) for r in grp.collect()}
+    nn = float(sum(n for n, _, _ in m.values()))
+    sxt = float(sum(sx for _, sx, _ in m.values()))
+    ssb_terms = None
+    ssw_terms = None
+    for s in _SEGMENTS:
+        n_g, sx_g, sxx_g = m[s]
+        b = float(sx_g) * float(sx_g) / float(n_g)
+        w = float(sxx_g) - float(sx_g) * float(sx_g) / float(n_g)
+        ssb_terms = b if ssb_terms is None else ssb_terms + b
+        ssw_terms = w if ssw_terms is None else ssw_terms + w
+    w_stat = ((ssb_terms - sxt * sxt / nn) / (5.0 - 1.0)) / (
+        ssw_terms / (nn - 5.0)
+    )
+    return (
+        grp.select(
+            F.col("g").alias("grp"),
+            "n",
+            F.expr("(1000000 * sx) DIV n").alias("centered_absdev_micro"),
+            F.round(F.lit(1000000.0) * F.lit(w_stat), 0)
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .orderBy("grp")
+    )

@@ -2374,3 +2374,74 @@ def q_win_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_win_distinct_bitmask",
+    oracle=f"""
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    ELSE 16 END AS bit
+        FROM {EVENTS_US}
+    ),
+    masked AS (
+        SELECT user_id, event_id,
+               CAST(BIT_OR(bit) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS mask
+        FROM coded
+    )
+    SELECT user_id, event_id, mask,
+           CAST(BIT_COUNT(mask) AS BIGINT) AS distinct_types_10
+    FROM masked
+    ORDER BY user_id, event_id
+    """,
+)
+def q_win_distinct_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding COUNT DISTINCT via BITMASK — the small-domain
+    counter a behavioral-diversity feature needs ("how many distinct
+    event types in the user's last 10 events"): COUNT(DISTINCT) OVER a
+    sliding frame is unsupported/expensive on both engines, and
+    q_win_sketch_distinct's HLL is approximate — but a domain of 5
+    event types packs into 5 BITS, turning the window into a plain
+    BIT_OR + POPCOUNT: O(1) state, mergeable, exact, and at 100 TB the
+    same trick covers any dictionary-encodable domain <= 64 with zero
+    extra shuffle (one per-user sort, same as any sliding window).
+    Emission includes the raw mask (the feature vector) and its
+    popcount. Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+        .alias("bit"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    masked = coded.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "bit_or(bit) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+        )
+        .cast("long")
+        .alias("mask"),
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        "mask",
+        F.bit_count("mask").cast("long").alias("distinct_types_10"),
+    ).orderBy("user_id", "event_id")

@@ -622,3 +622,72 @@ def test_impute_matches_bruteforce(spark, sf_dir):
         assert (r["n"], r["n_imputed"]) == (cnt, n_imp)
         assert r["observed_mean_c"] == mean
         assert r["filled_sum_c"] == os_ + n_imp * mean
+
+
+def test_ndcg_bounds_and_consistency(spark, sf_dir):
+    import math
+
+    r = _queries()["q_rank_ndcg"](spark, sf_dir).collect()[0]
+    assert 0 <= r["ndcg_ppm"] <= 1000000
+    assert r["dcg_micro"] <= r["idcg_micro"]
+    # discounts recompute: idcg = sum of first min(n_rel, 20) discounts
+    m = min(r["n_rel"], 20)
+    idcg = sum(
+        round(1000000.0 * math.log(2.0) / math.log(i + 1.0))
+        for i in range(1, m + 1)
+    )
+    assert r["idcg_micro"] == idcg
+    if r["idcg_micro"] > 0:
+        assert r["ndcg_ppm"] == 1000000 * r["dcg_micro"] // r["idcg_micro"]
+
+
+def test_distinct_bitmask_matches_bruteforce(spark, sf_dir):
+    rows = _queries()["q_win_distinct_bitmask"](spark, sf_dir).collect()
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT user_id, event_id, event_type
+        FROM '{sf_dir}/events.parquet'
+        ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id"""
+    ).fetchall()
+    bit = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+    per: dict[int, list[tuple[int, int]]] = {}
+    for u, eid, t in raw:
+        per.setdefault(u, []).append((eid, bit[t]))
+    expect = {}
+    for u, seq in per.items():
+        for i, (eid, _) in enumerate(seq):
+            window = seq[max(0, i - 9) : i + 1]
+            mask = 0
+            for _, b in window:
+                mask |= b
+            expect[(u, eid)] = (mask, bin(mask).count("1"))
+    got = {(r["user_id"], r["event_id"]): (r["mask"], r["distinct_types_10"]) for r in rows}
+    assert got == expect
+
+
+def test_levene_matches_scipy_formula(spark, sf_dir):
+    rows = {r["grp"]: r for r in _queries()["q_stats_levene"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT)"
+        f" FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, x in raw:
+        groups.setdefault(g, []).append(x)
+    # brute force: ANOVA over z = |x - group floor-mean| (the operator's
+    # documented integerized variant)
+    devs: dict[str, list[int]] = {}
+    for g, v in groups.items():
+        mu = sum(v) // len(v) if sum(v) >= 0 else -((-sum(v)) // len(v))
+        devs[g] = [abs(x - mu) for x in v]
+    n = sum(len(v) for v in devs.values())
+    k = len(devs)
+    grand = sum(sum(v) for v in devs.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in devs.values())
+    ssw = sum(sum((z - sum(v) / len(v)) ** 2 for z in v) for v in devs.values())
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    emitted = next(iter(rows.values()))["w_micro"] / 1e6
+    assert w == pytest.approx(emitted, rel=1e-4)
