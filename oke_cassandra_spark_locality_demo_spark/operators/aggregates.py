@@ -3164,3 +3164,70 @@ def q_agg_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strat_mean_c",
         F.lit(top_raw != top_strat).alias("paradox"),
     ).orderBy("grp")
+
+
+@register(
+    "q_agg_hist_equidepth",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+    ),
+    ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cents, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+    ),
+    deciles AS (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS decile)
+    SELECT r.grp, CAST(d.decile AS BIGINT) AS decile,
+           CAST(MAX(r.n) AS BIGINT) AS n,
+           CAST(MAX(r.cents) AS BIGINT) AS boundary_cents
+    FROM ranked r JOIN deciles d
+      ON r.rn = (d.decile * r.n + 9) // 10
+    GROUP BY r.grp, d.decile
+    ORDER BY r.grp, decile
+    """,
+)
+def q_agg_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM boundaries — the optimizer-statistics
+    histogram (every bucket holds ~n/10 rows; boundaries move with the
+    data, unlike q_agg_hist's fixed-width bins, so skewed distributions
+    still get resolution where the mass is). Boundary i is the EXACT
+    value at rank ceil(i*n/10) — integer (i*n+9) DIV 10, the same
+    rank-selection discipline as q_agg_percentile_exact; no
+    interpolated quantiles (banned by the float-parity lint). One
+    per-group sort window + a 10-row constant join that Catalyst
+    broadcasts; emission is exactly 10 rows per group regardless of
+    data volume. Ties break on the unique key, so boundaries are
+    deterministic. Reference analog: none — target-only capability."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    ranked = base.select(
+        "grp",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        ranked.join(
+            F.broadcast(deciles),
+            F.col("rn") == F.expr("(decile * n + 9) DIV 10"),
+        )
+        .groupBy("grp", "decile")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("cents").alias("boundary_cents"),
+        )
+        .orderBy("grp", "decile")
+    )

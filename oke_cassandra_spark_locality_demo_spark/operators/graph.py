@@ -1051,3 +1051,83 @@ def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("reach2"))
         .orderBy("node")
     )
+
+
+@register(
+    "q_graph_degree_powerlaw",
+    oracle=f"""
+    WITH RECURSIVE {_JAN_EDGES_SQL},
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM ed GROUP BY u
+    ),
+    dist AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY k
+    ),
+    pts AS (
+        SELECT CAST(ROUND(1000000.0 * LN(CAST(k AS DOUBLE))) AS BIGINT)
+                   AS x,
+               CAST(ROUND(1000000.0 * LN(CAST(cnt AS DOUBLE))) AS BIGINT)
+                   AS y
+        FROM dist
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_degree_levels,
+           CAST(ROUND(1000000.0 * (
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           ), 0) AS BIGINT) AS slope_micro
+    FROM s
+    """,
+)
+def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE-DISTRIBUTION POWER-LAW FIT — the log-log regression slope
+    of (degree, frequency), the one-scalar answer to "is this graph
+    scale-free enough that degree-hash partitioning will hotspot?"
+    (slope ~ -alpha; heavier tails = more negative). The log points use
+    the HOUSE LOG-TERM RULE (q_rank_ndcg precedent): ln is NOT
+    bit-portable across libm implementations, so each coordinate is
+    micro-rounded ONCE — the ~1-ulp noise is ~8 orders below the
+    quantum — and every moment after that is exact int64 (x,y ~ 1e7
+    micro-units, SUM(x*y) ~ 1e15 per level: int64-safe to millions of
+    degree levels). The slope is one IEEE expression over those exact
+    moments (the q_agg_regr idiom). Dataflow: degree count -> degree
+    histogram -> constant-size regression: two chained hash aggregates,
+    output scales with DISTINCT DEGREES, not vertices. Reference
+    analog: none — target-only capability."""
+    ed = _jan_edges(spark, sf_dir)
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    dist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    pts = dist.select(
+        F.round(F.lit(1000000.0) * F.log(F.col("k").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.round(F.lit(1000000.0) * F.log(F.col("cnt").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_degree_levels"),
+        F.round(F.lit(1000000.0) * slope, 0).cast("long").alias("slope_micro"),
+    )

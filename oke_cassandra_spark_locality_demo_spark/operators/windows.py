@@ -2445,3 +2445,92 @@ def q_win_distinct_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mask",
         F.bit_count("mask").cast("long").alias("distinct_types_10"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_win_concurrency_sweep",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 600000000 AS e
+        FROM {EVENTS_US}
+    ),
+    pts AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+        SELECT event_type, t, delta,
+               CAST(SUM(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_events,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           CAST(MIN(CASE WHEN conc = (SELECT MAX(r2.conc) FROM run r2
+                         WHERE r2.event_type = run.event_type)
+                    THEN t END) AS BIGINT) AS first_peak_us
+    FROM run
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE MAX CONCURRENCY — "how many 10-minute event windows
+    overlap at the worst moment, per stream": the interval-overlap
+    question behind capacity planning and session-server sizing. The
+    naive interval self-join is O(n^2) per key; the sweep-line
+    formulation is linear: each interval becomes a +1/-1 point, one
+    per-key sort orders the 2n points (ends before starts at the same
+    microsecond — delta ascending — so touching intervals do NOT
+    count as concurrent), and a running sum IS the concurrency curve.
+    Max + first time the peak is reached are then one aggregate.
+    Everything is exact integer microseconds. At 100 TB: one shuffle
+    on the stream key, 2x row fan-out, no join at all. The oracle's
+    correlated-MAX subquery is the quadratic shape this plan avoids.
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(600_000_000)).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "event_type", "t", "delta", F.sum("delta").over(w).alias("conc")
+    )
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("maxc"))
+    return (
+        run.join(F.broadcast(peak), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("count(*) DIV 2").alias("n_events"),
+            F.max("conc").alias("max_concurrency"),
+            F.min(
+                F.when(F.col("conc") == F.col("maxc"), F.col("t"))
+            ).alias("first_peak_us"),
+        )
+        .orderBy("event_type")
+    )

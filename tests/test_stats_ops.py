@@ -691,3 +691,86 @@ def test_levene_matches_scipy_formula(spark, sf_dir):
     w = (ssb / (k - 1)) / (ssw / (n - k))
     emitted = next(iter(rows.values()))["w_micro"] / 1e6
     assert w == pytest.approx(emitted, rel=1e-4)
+
+
+def test_concurrency_sweep_matches_bruteforce(spark, sf_dir):
+    rows = {r["event_type"]: r for r in _queries()["q_win_concurrency_sweep"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    per: dict[str, list[tuple[int, int, int]]] = {}
+    for t, eid, s in raw:
+        per.setdefault(t, []).append((s, 1, eid))
+        per[t].append((s + 600_000_000, -1, eid))
+    for t, pts in per.items():
+        pts.sort()
+        conc = best = 0
+        first_peak = None
+        for tt, delta, _ in pts:
+            conc += delta
+            if conc > best:
+                best = conc
+                first_peak = tt
+        r = rows[t]
+        assert r["max_concurrency"] == best
+        assert r["first_peak_us"] == first_peak
+        assert r["n_events"] == len(pts) // 2
+
+
+def test_equidepth_histogram_depths(spark, sf_dir):
+    rows = _queries()["q_agg_hist_equidepth"](spark, sf_dir).collect()
+    per: dict[str, dict[int, int]] = {}
+    n_per: dict[str, int] = {}
+    for r in rows:
+        per.setdefault(r["grp"], {})[r["decile"]] = r["boundary_cents"]
+        n_per[r["grp"]] = r["n"]
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey"
+        f" FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for g, c, k in raw:
+        groups.setdefault(g, []).append((c, k))
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        assert n_per[g] == n
+        bounds = per[g]
+        assert set(bounds) == set(range(1, 11))
+        for i in range(1, 11):
+            assert bounds[i] == vals[(i * n + 9) // 10 - 1][0]
+        # boundaries nondecreasing; top boundary is the max
+        seq = [bounds[i] for i in range(1, 11)]
+        assert seq == sorted(seq)
+        assert bounds[10] == vals[-1][0]
+
+
+def test_powerlaw_slope_negative_and_recomputable(spark, sf_dir):
+    import math
+
+    r = _queries()["q_graph_degree_powerlaw"](spark, sf_dir).collect()[0]
+    from oke_cassandra_spark_locality_demo_spark.operators.graph import _jan_edges
+
+    deg: dict[int, int] = {}
+    for e in _jan_edges(spark, sf_dir).collect():
+        deg[e.u] = deg.get(e.u, 0) + 1
+    dist: dict[int, int] = {}
+    for k in deg.values():
+        dist[k] = dist.get(k, 0) + 1
+    pts = [
+        (round(1e6 * math.log(k)), round(1e6 * math.log(c)))
+        for k, c in dist.items()
+    ]
+    n = len(pts)
+    assert r["n_degree_levels"] == n
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 2e-6
