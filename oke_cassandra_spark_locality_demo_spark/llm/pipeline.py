@@ -2176,3 +2176,70 @@ def q_feature_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_sample_negative_downsample",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id,
+               event_type = 'purchase' AS is_pos,
+               ('0x' || SUBSTRING(MD5('negds' ||
+                    CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT % 5 = 0
+                   AS neg_lottery
+        FROM events
+    ),
+    kept AS (
+        SELECT event_id, user_id, is_pos,
+               CASE WHEN is_pos THEN 1 ELSE 5 END AS weight
+        FROM base
+        WHERE is_pos OR neg_lottery
+    )
+    SELECT is_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(weight) AS BIGINT) AS reweighted_n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM kept
+    GROUP BY is_pos
+    ORDER BY is_pos
+    """,
+)
+def q_sample_negative_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE DOWNSAMPLING with importance reweighting — the CTR /
+    contrastive-training recipe for class imbalance: keep every
+    positive (purchases), keep negatives at a deterministic 1-in-5
+    hash lottery, and attach weight = 1/rate to each kept negative so
+    downstream estimators stay UNBIASED (sum of weights recovers the
+    original class size in expectation; the audit emits both the kept
+    and reweighted counts so the bias check is one glance). Stateless
+    map + filter — no shuffle to sample at any scale; the md5-prefix
+    lottery reproduces on any cluster topology. Emits the per-class
+    audit. Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "purchase").alias("is_pos"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('negds',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 5
+            == 0
+        ).alias("neg_lottery"),
+    )
+    kept = base.filter(F.col("is_pos") | F.col("neg_lottery")).select(
+        "event_id",
+        "is_pos",
+        F.when(F.col("is_pos"), 1).otherwise(5).alias("weight"),
+    )
+    return (
+        kept.groupBy("is_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("weight").alias("reweighted_n"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("is_pos")
+    )

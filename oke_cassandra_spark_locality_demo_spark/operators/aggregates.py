@@ -3231,3 +3231,55 @@ def q_agg_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "decile")
     )
+
+
+@register(
+    "q_agg_vwap",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS grp,
+               CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE)
+                   AS mon,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    )
+    SELECT grp, mon,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           CAST(SUM(price_c * qty) AS BIGINT) AS notional_cq,
+           CAST(SUM(price_c * qty) // SUM(qty) AS BIGINT) AS vwap_c
+    FROM base
+    GROUP BY grp, mon
+    ORDER BY grp, mon
+    """,
+)
+def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-WEIGHTED AVERAGE PRICE per (flag, ship-month) — the
+    weighted-mean-with-a-denominator-that-matters aggregate finance and
+    marketplace pipelines live on (a plain AVG over lines is wrong
+    whenever quantities differ). Exact integer arithmetic end-to-end:
+    cents * whole-unit quantity accumulates the notional in int64
+    (price_c*qty <= ~6e9/line -> safe past 1e9 lines/group), and VWAP
+    is the truncating ratio of two exact sums — never an average of
+    per-row ratios. One map-side-combinable aggregate; no window, no
+    join. Calendar bucketing shares q_ts_resample_weekly's verified
+    DATE_TRUNC parity. Reference analog: none — target-only
+    capability."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        base.groupBy("grp", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("volume"),
+            F.sum(F.col("price_c") * F.col("qty")).alias("notional_cq"),
+            F.expr("sum(price_c * qty) DIV sum(qty)").alias("vwap_c"),
+        )
+        .orderBy("grp", "mon")
+    )

@@ -610,3 +610,180 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+    vcx AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c
+        FROM m GROUP BY x
+    ),
+    vcy AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c
+        FROM m GROUP BY y
+    ),
+    ranked AS (
+        SELECT m.part,
+               (2 * vcx.c + vcx.t + 1) - ((SELECT n FROM n_t) + 1) AS rx,
+               (2 * vcy.c + vcy.t + 1) - ((SELECT n FROM n_t) + 1) AS ry
+        FROM m JOIN vcx ON m.x = vcx.x JOIN vcy ON m.y = vcy.y
+    ),
+    s AS (
+        SELECT CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+        FROM ranked
+    )
+    SELECT (SELECT n FROM n_t) AS n_parts,
+           CAST(ROUND(1000000.0 * (
+               CAST(sxy AS DOUBLE)
+               / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))
+           ), 0) AS BIGINT) AS spearman_micro
+    FROM s
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between per-part revenue and quantity —
+    the monotone-association companion to q_rank_tau's Kendall (Spearman
+    is Pearson ON RANKS: cheaper — no pairwise structure — and directly
+    comparable to textbook tables). Ranks are TIE-AVERAGED exactly via
+    the q_stats_kruskal doubled-rank identity (2c + t + 1, integer),
+    computed at VALUE granularity — two value-level hash aggregates +
+    cumulative windows, never an N-row global sort — then centered by
+    the EXACT doubled mean rank (N+1; Sum(avg ranks) = N(N+1)/2
+    identically, ties or not), so the Pearson moments are exact int64
+    with zero-mean shortcuts (r = Sxy / sqrt(Sxx*Syy); centered doubled
+    ranks span ±N, so Sxx <= N^3: int64-safe to ~2e6 distinct parts —
+    band the metric first beyond that). Emitted micro-rounded from one
+    IEEE expression. Reference analog: none — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("x"),
+        F.sum(F.col("l_quantity").cast("long")).alias("y"),
+    ).localCheckpoint()
+    n = m.count()
+
+    def rank2(col: str):
+        vc = m.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        return vc.select(
+            col,
+            (
+                2
+                * F.coalesce(
+                    F.sum("t").over(
+                        W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("t")
+                + 1
+                - F.lit(n + 1)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = (
+        m.join(rank2("x"), "x")
+        .join(rank2("y"), "y")
+        .select(F.col("r_x").alias("rx"), F.col("r_y").alias("ry"))
+    )
+    s = ranked.agg(
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    corr = F.col("sxy").cast("double") / (
+        F.sqrt(F.col("sxx").cast("double")) * F.sqrt(F.col("syy").cast("double"))
+    )
+    return s.select(
+        F.lit(n).cast("long").alias("n_parts"),
+        F.round(F.lit(1000000.0) * corr, 0).cast("long").alias("spearman_micro"),
+    )
+
+
+@register(
+    "q_ts_backtest_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1998-01-01' AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT a.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+           CAST(SUM(ABS(a.v - s.v)) // COUNT(*) AS BIGINT) AS mae_snaive_c,
+           CAST(SUM(ABS(a.v - p.v)) // COUNT(*) AS BIGINT) AS mae_naive1_c,
+           CAST(1000000 * SUM(ABS(a.v - s.v)) // SUM(ABS(a.v - p.v))
+                AS BIGINT) AS mase_ppm
+    FROM daily a
+    JOIN daily s ON a.grp = s.grp AND s.d = a.d - 7
+    JOIN daily p ON a.grp = p.grp AND p.d = a.d - 1
+    GROUP BY a.grp
+    ORDER BY a.grp
+    """,
+)
+def q_ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST: seasonal-naive (value 7 days ago) scored
+    against naive-1 (yesterday) with the MASE ratio — the
+    sanity-check every forecasting pipeline runs before anything
+    fancier (MASE < 1e6 ppm means weekly seasonality beats pure
+    persistence). Scored only on days where BOTH references exist
+    (inner joins — no imputation leaking into the score). Errors are
+    exact integer cents; MAE is a truncating integer mean and MASE a
+    truncating ppm ratio of two exact sums. Dataflow: one daily
+    aggregate, then two self-joins on (group, lagged day) — at scale
+    these co-partition on the group key with the aggregate's own
+    shuffle, so the joins are narrow. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1998-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+        )
+    )
+    a = daily.select("grp", "d", F.col("v").alias("v_now"))
+    s = daily.select("grp", (F.col("d") + 7).alias("d"), F.col("v").alias("v_s"))
+    p = daily.select("grp", (F.col("d") + 1).alias("d"), F.col("v").alias("v_p"))
+    scored = a.join(s, ["grp", "d"]).join(p, ["grp", "d"])
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_days"),
+            F.expr("sum(abs(v_now - v_s)) DIV count(*)").alias("mae_snaive_c"),
+            F.expr("sum(abs(v_now - v_p)) DIV count(*)").alias("mae_naive1_c"),
+            F.expr(
+                "1000000 * sum(abs(v_now - v_s)) DIV sum(abs(v_now - v_p))"
+            ).alias("mase_ppm"),
+        )
+        .orderBy("grp")
+    )

@@ -774,3 +774,91 @@ def test_powerlaw_slope_negative_and_recomputable(spark, sf_dir):
     sxy = sum(x * y for x, y in pts)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert abs(r["slope_micro"] / 1e6 - slope) < 2e-6
+
+
+def test_vwap_matches_bruteforce(spark, sf_dir):
+    rows = {(r["grp"], r["mon"]): r for r in _queries()["q_agg_vwap"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT l_returnflag, CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE),
+        CAST(ROUND(l_extendedprice*100) AS BIGINT), CAST(l_quantity AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    agg: dict[tuple, list[int]] = {}
+    for g, mon, p, q in raw:
+        a = agg.setdefault((g, mon), [0, 0, 0])
+        a[0] += 1
+        a[1] += q
+        a[2] += p * q
+    for key, (n, vol, notional) in agg.items():
+        r = rows[key]
+        assert (r["n_lines"], r["volume"], r["notional_cq"]) == (n, vol, notional)
+        assert r["vwap_c"] == notional // vol
+
+
+def test_negative_downsample_unbiased(spark, sf_dir):
+    rows = {r["is_pos"]: r for r in _queries()["q_sample_negative_downsample"](spark, sf_dir).collect()}
+    import duckdb
+
+    pos, neg = duckdb.sql(
+        f"""SELECT COUNT(CASE WHEN event_type='purchase' THEN 1 END),
+        COUNT(CASE WHEN event_type<>'purchase' THEN 1 END)
+        FROM '{sf_dir}/events.parquet'"""
+    ).fetchone()
+    assert rows[True]["n_kept"] == pos
+    assert rows[True]["reweighted_n"] == pos
+    # kept negatives ~20%, reweighted within 15% of the true count
+    assert rows[False]["n_kept"] < neg * 0.3
+    assert abs(rows[False]["reweighted_n"] - neg) < neg * 0.15
+    assert rows[False]["reweighted_n"] == 5 * rows[False]["n_kept"]
+
+
+def test_spearman_matches_scipy_formula(spark, sf_dir):
+    r = _queries()["q_stats_spearman"](spark, sf_dir).collect()[0]
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT l_partkey, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT),
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    xs = [x for _, x, _ in raw]
+    ys = [y for _, _, y in raw]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(raw)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    rho = num / den
+    assert abs(r["spearman_micro"] / 1e6 - rho) < 1e-5
+    assert r["n_parts"] == n
+
+
+def test_backtest_snaive_consistency(spark, sf_dir):
+    rows = _queries()["q_ts_backtest_snaive"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_scored_days"] > 0
+        assert r["mae_snaive_c"] >= 0 and r["mae_naive1_c"] >= 0
+        # mase consistent with the two MAE numerators (up to truncation)
+        approx = 1_000_000 * r["mae_snaive_c"] // max(r["mae_naive1_c"], 1)
+        assert abs(r["mase_ppm"] - approx) <= 25000
