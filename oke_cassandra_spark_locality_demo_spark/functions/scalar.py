@@ -634,3 +634,51 @@ def q_fn_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b64_len"
         ),
     )
+
+
+@register(
+    "q_fn_stable_id",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, MD5('doc:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           SUBSTRING(hx, 1, 8) || '-' || SUBSTRING(hx, 9, 4) || '-' ||
+           '5' || SUBSTRING(hx, 14, 3) || '-' ||
+           SUBSTRING(hx, 17, 4) || '-' || SUBSTRING(hx, 21, 12) AS stable_uuid,
+           CAST(('0x' || SUBSTRING(hx, 1, 16))::UBIGINT::HUGEINT
+               - 9223372036854775808 AS BIGINT) AS id64
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def q_fn_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STABLE CONTENT-ADDRESSED IDs — the UUIDv5-style deterministic
+    identifier a dataset release assigns so ids survive re-runs,
+    re-partitioning, and re-ingestion (Spark's uuid() is random per
+    task attempt — a reproducibility bug in any pipeline that retries).
+    Derivation: md5 of a namespaced key, formatted 8-4-4-4-12 with the
+    version nibble pinned to 5, plus a signed 64-bit integer id from
+    the first 16 hex digits (two's-complement wrap, portable: DuckDB
+    goes through HUGEINT, Spark conv()+overflow-free subtraction in
+    the identical order). Pure codegen'd string ops over a pushed-down
+    scan. Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    hx = F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).cast("binary"))
+    h = d.select("doc_id", hx.alias("hx"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring("hx", 1, 8),
+        F.substring("hx", 9, 4),
+        F.concat(F.lit("5"), F.substring("hx", 14, 3)),
+        F.substring("hx", 17, 4),
+        F.substring("hx", 21, 12),
+    )
+    id64 = F.expr(
+        "CAST(conv(substring(hx, 1, 16), 16, 10) AS DECIMAL(22, 0))"
+        " - CAST(9223372036854775808 AS DECIMAL(22, 0))"
+    ).cast("long")
+    return h.select(
+        "doc_id", uuid.alias("stable_uuid"), id64.alias("id64")
+    ).orderBy("doc_id")

@@ -2243,3 +2243,85 @@ def q_sample_negative_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_pos")
     )
+
+
+@register(
+    "q_privacy_suppress",
+    oracle="""
+    WITH qi AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM qi GROUP BY 1, 2, 3
+    ),
+    rel AS (
+        SELECT q.c_custkey,
+               CASE WHEN c.k >= 5 THEN CAST(q.c_nationkey AS VARCHAR)
+                    ELSE '*' END AS nation_out,
+               CASE WHEN c.k >= 5 THEN CAST(q.bal_band AS VARCHAR)
+                    ELSE '*' END AS band_out,
+               c.k >= 5 AS released
+        FROM qi q JOIN cls c
+          ON q.c_nationkey = c.c_nationkey AND q.bal_band = c.bal_band
+         AND q.c_mktsegment = c.c_mktsegment
+    )
+    SELECT nation_out, band_out,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN released THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_suppressed
+    FROM rel
+    GROUP BY nation_out, band_out
+    HAVING COUNT(*) >= 5 OR NOT MAX(released)
+    ORDER BY nation_out, band_out
+    """,
+)
+def q_privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELL SUPPRESSION — the enforcement ACTION behind
+    q_privacy_kanon's audit: rows whose full quasi-identifier class
+    (nation, band, segment) has k < 5 get their quasi-identifiers
+    GENERALIZED to '*' before release (the suppressed rows pool into
+    one anonymous cell per released slice, so the published table is
+    k-anonymous by construction). Emitted: the released contingency
+    table with per-cell suppression counts — the release artifact plus
+    its redaction audit in one pass. Two hash aggregates + one
+    broadcast-joinable class table (the class list is orders of
+    magnitude smaller than rows); the released HAVING guard keeps any
+    tiny residual released cell out of the emission. All integers.
+    Reference analog: none — target-only capability."""
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cls = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    rel = qi.join(
+        F.broadcast(cls), ["c_nationkey", "bal_band", "c_mktsegment"]
+    ).select(
+        F.when(F.col("k") >= 5, F.col("c_nationkey").cast("string"))
+        .otherwise("*")
+        .alias("nation_out"),
+        F.when(F.col("k") >= 5, F.col("bal_band").cast("string"))
+        .otherwise("*")
+        .alias("band_out"),
+        (F.col("k") >= 5).alias("released"),
+    )
+    return (
+        rel.groupBy("nation_out", "band_out")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("released"), 0).otherwise(1)).alias(
+                "n_suppressed"
+            ),
+        )
+        .filter((F.col("n_rows") >= 5) | (F.col("n_suppressed") > 0))
+        .orderBy("nation_out", "band_out")
+    )

@@ -388,3 +388,55 @@ def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", F.col("price_cents").desc(), "o_orderkey"
         )
     )
+
+
+@register(
+    "q_sql_window_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER w2 AS BIGINT) AS run_cents
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                          o_orderkey),
+           w2 AS (PARTITION BY o_orderpriority
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED WINDOW CLAUSE surface — the `WINDOW w AS (...)` SQL-dialect
+    feature (shared spec, referenced by multiple functions), run through
+    spark.sql on BOTH engines' native parsers: the same statement text
+    modulo nothing — Spark and DuckDB both support the clause, so this
+    key pins cross-dialect WINDOW-clause parity the way q_sql_pipe /
+    q_sql_group_by_all pin theirs. Two distinct named specs (a rank
+    order and a running frame) prove the clause binds per-name, not
+    per-query. The %101 projection keeps emission small; all columns
+    integer. Reference analog: none — target-only capability."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER w2 AS BIGINT) AS run_cents
+        FROM orders
+        WHERE o_orderkey % 101 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                              o_orderkey),
+               w2 AS (PARTITION BY o_orderpriority
+                      ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderpriority, o_orderkey
+        """
+    )

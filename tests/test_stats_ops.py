@@ -862,3 +862,57 @@ def test_backtest_snaive_consistency(spark, sf_dir):
         # mase consistent with the two MAE numerators (up to truncation)
         approx = 1_000_000 * r["mae_snaive_c"] // max(r["mae_naive1_c"], 1)
         assert abs(r["mase_ppm"] - approx) <= 25000
+
+
+def test_stable_id_deterministic_and_wellformed(spark, sf_dir):
+    import hashlib
+    import re
+
+    rows = _queries()["q_fn_stable_id"](spark, sf_dir).collect()
+    assert rows
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    for r in rows[:50]:
+        assert pat.match(r["stable_uuid"]), r["stable_uuid"]
+        h = hashlib.md5(f"doc:{r['doc_id']}".encode()).hexdigest()
+        assert r["stable_uuid"].replace("-", "")[:12] == h[:12]
+        assert r["id64"] == int(h[:16], 16) - 2**63
+    # rerun yields the identical ids (determinism — uuid() would not)
+    again = {r["doc_id"]: r["stable_uuid"] for r in _queries()["q_fn_stable_id"](spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["stable_uuid"] for r in rows)
+
+
+def test_window_clause_binds_two_specs(spark, sf_dir):
+    rows = _queries()["q_sql_window_clause"](spark, sf_dir).collect()
+    assert rows
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r["o_orderpriority"], []).append(r)
+    for series in per.values():
+        series.sort(key=lambda r: r["o_orderkey"])
+        # w2: running sum over orderkey order
+        run = 0
+        for r in series:
+            run += r["price_cents"]
+            assert r["run_cents"] == run
+        # w: rank 1 goes to the max price
+        best = max(series, key=lambda r: (r["price_cents"], -r["o_orderkey"]))
+        assert best["rnk"] == 1
+
+
+def test_suppress_release_is_kanonymous(spark, sf_dir):
+    rows = _queries()["q_privacy_suppress"](spark, sf_dir).collect()
+    star = [r for r in rows if r["nation_out"] == "*"]
+    concrete = [r for r in rows if r["nation_out"] != "*"]
+    for r in concrete:
+        assert r["n_rows"] >= 5 and r["n_suppressed"] == 0
+    assert len(star) <= 1
+    if star:
+        assert star[0]["n_suppressed"] == star[0]["n_rows"] > 0
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()[0]
+    # released + suppressed partition may drop sub-5 released cells from
+    # the emission but rows are never double counted
+    assert sum(r["n_rows"] for r in rows) <= total
