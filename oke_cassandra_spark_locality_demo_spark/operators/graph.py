@@ -1131,3 +1131,50 @@ def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_degree_levels"),
         F.round(F.lit(1000000.0) * slope, 0).cast("long").alias("slope_micro"),
     )
+
+
+@register(
+    "q_graph_neighbor_sample",
+    oracle=f"""
+    WITH RECURSIVE {_JAN_EDGES_SQL},
+    ranked AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u
+                   ORDER BY ('0x' || SUBSTRING(MD5('nbr' ||
+                             CAST(u AS VARCHAR) || '_' ||
+                             CAST(v AS VARCHAR)), 1, 8))::UBIGINT, v
+               ) AS rnk
+        FROM ed
+    )
+    SELECT u, v, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY u, rnk
+    """,
+)
+def q_graph_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEIGHBOR SAMPLING (GraphSAGE-style fanout cap):
+    every vertex keeps at most 3 neighbors, chosen by md5-prefix hash
+    rank over the edge — the fanout bound that makes multi-hop GNN
+    feature aggregation tractable on power-law graphs (hubs with 10^6
+    neighbors would otherwise dominate every batch). Hash-lottery
+    selection (seeded 'nbr', edge-keyed) reproduces identically across
+    cluster topologies and reruns — the property torch-style random
+    samplers lose on retry — and the per-vertex rank window is
+    Catalyst's WindowGroupLimit shape: the rnk <= 3 predicate prunes
+    inside the sort, so no vertex ever materializes its full
+    neighborhood post-shuffle. Emits (vertex, sampled neighbor, rank).
+    Reference analog: none — target-only capability."""
+    from pyspark.sql.window import Window
+
+    ed = _jan_edges(spark, sf_dir)
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('nbr', CAST(u AS STRING), '_',"
+        " CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("u").orderBy(h, "v")
+    return (
+        ed.select("u", "v", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("u", "rnk")
+    )

@@ -787,3 +787,91 @@ def q_ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_stats_gtest",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT c.a, c.b, c.o,
+               CAST(1000 * ra.rt * rb.ct // tot.n AS BIGINT) AS e_milli,
+               CASE WHEN c.o = 0 THEN 0
+                    ELSE CAST(ROUND(1000000.0 * LN(
+                        CAST(c.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                        / (CAST(ra.rt AS DOUBLE) * CAST(rb.ct AS DOUBLE))
+                    )) AS BIGINT) END AS lr_micro
+        FROM cells c
+        JOIN ra ON c.a = ra.a JOIN rb ON c.b = rb.b CROSS JOIN tot
+    )
+    SELECT a, b, o, e_milli,
+           CAST((SELECT 2 * SUM(t2.o * t2.lr_micro) FROM terms t2)
+                AS BIGINT) AS g_micro
+    FROM terms
+    ORDER BY a, b
+    """,
+)
+def q_stats_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-TEST OF INDEPENDENCE (log-likelihood ratio) on the status x
+    priority contingency table — the chi-square alternative that is
+    additive across partitions of the table (why information-theoretic
+    pipelines prefer it; complements q_split_drift_chisq, which tests
+    DRIFT between two samples rather than independence within one).
+    G = 2 SUM O*ln(O/E): each cell's log-ratio uses the HOUSE LOG-TERM
+    RULE — one micro-rounded LN of the exact integer ratio O*N/(row*col)
+    (identical expression both engines; empty cells contribute 0 by the
+    x*ln(x) limit) — after which G is an EXACT integer weighted sum,
+    order-free. Expected counts emitted as exact truncating
+    milli-units. Two chained hash aggregates + a 15-row margin join;
+    nothing scales with rows but the first aggregate. Reference analog:
+    none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("rt"))
+    rb = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "o",
+            F.expr("1000 * rt * ct DIV n").alias("e_milli"),
+            F.when(F.col("o") == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.log(
+                        F.col("o").cast("double")
+                        * F.col("n").cast("double")
+                        / (
+                            F.col("rt").cast("double")
+                            * F.col("ct").cast("double")
+                        )
+                    )
+                ).cast("long")
+            )
+            .alias("lr_micro"),
+        )
+        .localCheckpoint()
+    )
+    g = terms.agg(
+        (F.lit(2) * F.sum(F.col("o") * F.col("lr_micro"))).alias("g_micro")
+    )
+    return (
+        terms.crossJoin(F.broadcast(g))
+        .select("a", "b", "o", "e_milli", "g_micro")
+        .orderBy("a", "b")
+    )

@@ -2534,3 +2534,151 @@ def q_win_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_new_users",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT))
+                   AS d
+        FROM {EVENTS_US} GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumulative_users
+    FROM daily
+    ORDER BY d
+    """,
+)
+def q_ts_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-USER GROWTH CURVE — first-seen day per user, daily
+    acquisition counts, and the cumulative registration curve: the
+    growth chart every product pipeline materializes. First-seen is one
+    hash aggregate over users (NOT a window over raw events — min(day)
+    per user is map-side combinable and never sorts the event log);
+    the cumulative sum then runs over the O(days) daily table, so the
+    only data-sized shuffle is the user aggregate. The single-partition
+    cumulative window is safe because its input is calendar-bounded
+    (~tens of rows per year), never data-bounded. All integers.
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("d")
+
+
+@register(
+    "q_win_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1998-01-01' AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    chg AS (
+        SELECT d, v,
+               v - LAG(v) OVER (ORDER BY d) AS delta,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily
+    ),
+    gl AS (
+        SELECT d, rn,
+               CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                    OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS gains,
+               CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                    OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS losses
+        FROM chg
+    )
+    SELECT d, gains, losses,
+           CAST(CASE WHEN gains + losses = 0 THEN 500000
+                ELSE 1000000 * gains // (gains + losses) END AS BIGINT)
+               AS rsi_ppm
+    FROM gl
+    WHERE rn >= 15
+    ORDER BY d
+    """,
+)
+def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI MOMENTUM INDICATOR (14-day simple-average variant — Cutler's
+    RSI) over the 1998+ daily revenue series: rolling sums of up-moves
+    and down-moves, RSI = gains/(gains+losses). Wilder's classic
+    exponential smoothing is a float recurrence with no
+    order-free form (not hash-portable); Cutler's SMA variant is the
+    documented exact alternative — every quantity here is an integer
+    cent sum over a 14-row frame, and the indicator is one truncating
+    ppm division (degenerate flat window pinned to 500000 = RSI 50).
+    Scored only once the full lookback exists (rn >= 15). One daily
+    aggregate + one ordered window over the O(days) series. Reference
+    analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1998-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+        )
+    )
+    w_ord = W.orderBy("d")
+    chg = daily.select(
+        "d",
+        (F.col("v") - F.lag("v").over(w_ord)).alias("delta"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    w14 = W.orderBy("d").rowsBetween(-13, 0)
+    gl = chg.select(
+        "d",
+        "rn",
+        F.sum(
+            F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+        ).over(w14).alias("gains"),
+        F.sum(
+            F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+        ).over(w14).alias("losses"),
+    )
+    return (
+        gl.filter(F.col("rn") >= 15)
+        .select(
+            "d",
+            "gains",
+            "losses",
+            F.when(F.col("gains") + F.col("losses") == 0, F.lit(500000))
+            .otherwise(F.expr("1000000 * gains DIV (gains + losses)"))
+            .cast("long")
+            .alias("rsi_ppm"),
+        )
+        .orderBy("d")
+    )

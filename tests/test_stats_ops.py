@@ -916,3 +916,77 @@ def test_suppress_release_is_kanonymous(spark, sf_dir):
     # released + suppressed partition may drop sub-5 released cells from
     # the emission but rows are never double counted
     assert sum(r["n_rows"] for r in rows) <= total
+
+
+def test_new_users_curve_consistent(spark, sf_dir):
+    rows = _queries()["q_ts_new_users"](spark, sf_dir).collect()
+    assert rows
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cumulative_users"] == run
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert rows[-1]["cumulative_users"] == total
+
+
+def test_rsi_bounds_and_recompute(spark, sf_dir):
+    rows = _queries()["q_win_rsi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rsi_ppm"] <= 1_000_000
+        denom = r["gains"] + r["losses"]
+        if denom:
+            assert r["rsi_ppm"] == 1_000_000 * r["gains"] // denom
+        else:
+            assert r["rsi_ppm"] == 500_000
+
+
+def test_gtest_matches_bruteforce(spark, sf_dir):
+    import math
+
+    rows = _queries()["q_stats_gtest"](spark, sf_dir).collect()
+    g_micro = rows[0]["g_micro"]
+    assert len({r["g_micro"] for r in rows}) == 1
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority, COUNT(*)"
+        f" FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for a, b, o in raw:
+        rt[a] = rt.get(a, 0) + o
+        ct[b] = ct.get(b, 0) + o
+    n = sum(o for _, _, o in raw)
+    g = 0
+    for a, b, o in raw:
+        if o:
+            g += 2 * o * round(1e6 * math.log(o * n / (rt[a] * ct[b])))
+    assert g_micro == g
+    # textbook continuous G agrees to within the micro-rounding error
+    g_true = 2 * sum(
+        o * math.log(o * n / (rt[a] * ct[b])) for a, b, o in raw if o
+    )
+    assert abs(g_micro / 1e6 - g_true) < 0.05
+
+
+def test_neighbor_sample_fanout_capped(spark, sf_dir):
+    rows = _queries()["q_graph_neighbor_sample"](spark, sf_dir).collect()
+    assert rows
+    per: dict[int, list[int]] = {}
+    for r in rows:
+        per.setdefault(r["u"], []).append(r["rnk"])
+    from oke_cassandra_spark_locality_demo_spark.operators.graph import _jan_edges
+
+    deg: dict[int, int] = {}
+    for e in _jan_edges(spark, sf_dir).collect():
+        deg[e.u] = deg.get(e.u, 0) + 1
+    for u, ranks in per.items():
+        assert sorted(ranks) == list(range(1, min(deg[u], 3) + 1))
+    # every vertex with at least one edge appears
+    assert set(per) == set(deg)
