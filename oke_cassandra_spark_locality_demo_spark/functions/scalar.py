@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load
-from ..registry import register
+from ..registry import EVENTS_US, register
 
 
 @register(
@@ -682,3 +682,44 @@ def q_fn_stable_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", uuid.alias("stable_uuid"), id64.alias("id64")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_fn_time_bucket",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, user_id,
+               epoch_us(ts) - (epoch_us(ts) % 900000000) AS bucket_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM {EVENTS_US}
+    )
+    SELECT bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM b
+    GROUP BY bucket_us
+    ORDER BY bucket_us
+    """,
+)
+def q_fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-WIDTH TIME BUCKETING (the TSDB `time_bucket(15 min)`
+    scalar) — calendar functions only bucket to named units
+    (minute/hour/day); arbitrary widths come from pure integer
+    arithmetic on the epoch: t - (t % width) in exact microseconds,
+    which is deterministic, shuffle-key-safe, and — unlike
+    window()-struct streaming buckets — directly usable as a join or
+    partition key in batch. 15-minute buckets over the event stream,
+    one hash aggregate. The epoch arithmetic matches DuckDB's epoch_us
+    on the µs-truncated staging copy exactly. Reference analog: none —
+    target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        (us - (us % F.lit(900_000_000))).alias("bucket_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        b.groupBy("bucket_us")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("bucket_us")
+    )

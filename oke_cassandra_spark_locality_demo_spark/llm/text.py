@@ -2019,3 +2019,71 @@ def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "q_text_script_mix",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]')) AS BIGINT)
+                   AS latin,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}]'))
+                   AS BIGINT) AS cjk,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT)
+                   AS digits,
+               CAST(LENGTH(text) AS BIGINT) AS chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(latin) AS BIGINT) AS latin_chars,
+           CAST(SUM(cjk) AS BIGINT) AS cjk_chars,
+           CAST(SUM(digits) AS BIGINT) AS digit_chars,
+           CAST(1000000 * SUM(latin) // SUM(chars) AS BIGINT)
+               AS latin_ppm,
+           CAST(1000000 * SUM(cjk) // SUM(chars) AS BIGINT) AS cjk_ppm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE SCRIPT-MIX PROFILE per language — the character-class
+    census (Latin letters, CJK Unified Ideographs, digits) that a
+    multilingual corpus pipeline runs to catch mislabeled languages and
+    encoding mojibake before training (a 'zh' slice with near-zero CJK
+    ppm is a labeling bug). Script classes are CHARACTER-level regex
+    counts — `[\\x{4e00}-\\x{9fff}]` parses identically in Java regex
+    and RE2 (verified this round: both engines count codepoints, not
+    bytes) — summed exactly per slice with truncating ppm shares of
+    total characters. Pure codegen'd scans + one hash aggregate.
+    Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]"), 0))
+        .cast("long")
+        .alias("latin"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[\x{4e00}-\x{9fff}]"), 0)
+        )
+        .cast("long")
+        .alias("cjk"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("digits"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("latin").alias("latin_chars"),
+            F.sum("cjk").alias("cjk_chars"),
+            F.sum("digits").alias("digit_chars"),
+            F.expr("1000000 * sum(latin) DIV sum(chars)").alias("latin_ppm"),
+            F.expr("1000000 * sum(cjk) DIV sum(chars)").alias("cjk_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -875,3 +875,90 @@ def q_stats_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "o", "e_milli", "g_micro")
         .orderBy("a", "b")
     )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle="""
+    WITH labeled AS (
+        SELECT o_orderstatus = 'F' AS rater_a,
+               NTILE(2) OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) = 2 AS rater_b
+        FROM orders
+    ),
+    m AS (
+        SELECT
+            CAST(SUM(CASE WHEN rater_a AND rater_b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS both_pos,
+            CAST(SUM(CASE WHEN rater_a AND NOT rater_b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b_disc,
+            CAST(SUM(CASE WHEN NOT rater_a AND rater_b THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c_disc,
+            CAST(SUM(CASE WHEN NOT rater_a AND NOT rater_b THEN 1 ELSE 0
+                 END) AS BIGINT) AS both_neg
+        FROM labeled
+    )
+    SELECT both_pos, b_disc, c_disc, both_neg,
+           CAST(CASE WHEN b_disc + c_disc = 0 THEN 0
+                ELSE 1000000 * (b_disc - c_disc) * (b_disc - c_disc)
+                     // (b_disc + c_disc) END AS BIGINT) AS chi2_micro
+    FROM m
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCNEMAR'S TEST for paired binary classifiers — "do the two
+    labelers disagree SYMMETRICALLY?", the right test when both raters
+    score the SAME rows (a fresh chi-square on the 2x2 would ignore the
+    pairing; complements q_stats_cohen_kappa, which measures agreement
+    strength, not disagreement direction). Rater A: order fulfilled;
+    rater B: price in the upper NTILE(2) half (deterministic unique
+    order — the kappa discipline). The statistic (b-c)^2/(b+c) over the
+    discordant cells is EXACT INTEGER end-to-end, emitted as truncating
+    micro-units ((b-c)^2 <= N^2: int64-safe to ~3e9 rows). One global
+    sort for the median split (inherent to the rater definition), then
+    a single 4-cell conditional aggregate. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    labeled = orders.select(
+        (F.col("o_orderstatus") == "F").alias("rater_a"),
+        (
+            F.ntile(2).over(
+                W.orderBy(
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                    "o_orderkey",
+                )
+            )
+            == 2
+        ).alias("rater_b"),
+    )
+    m = labeled.agg(
+        F.sum(
+            F.when(F.col("rater_a") & F.col("rater_b"), 1).otherwise(0)
+        ).alias("both_pos"),
+        F.sum(
+            F.when(F.col("rater_a") & ~F.col("rater_b"), 1).otherwise(0)
+        ).alias("b_disc"),
+        F.sum(
+            F.when(~F.col("rater_a") & F.col("rater_b"), 1).otherwise(0)
+        ).alias("c_disc"),
+        F.sum(
+            F.when(~F.col("rater_a") & ~F.col("rater_b"), 1).otherwise(0)
+        ).alias("both_neg"),
+    )
+    return m.select(
+        "both_pos",
+        "b_disc",
+        "c_disc",
+        "both_neg",
+        F.when(F.col("b_disc") + F.col("c_disc") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "1000000 * (b_disc - c_disc) * (b_disc - c_disc)"
+                " DIV (b_disc + c_disc)"
+            )
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+    )

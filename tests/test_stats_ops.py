@@ -990,3 +990,47 @@ def test_neighbor_sample_fanout_capped(spark, sf_dir):
         assert sorted(ranks) == list(range(1, min(deg[u], 3) + 1))
     # every vertex with at least one edge appears
     assert set(per) == set(deg)
+
+
+def test_script_mix_zh_has_cjk(spark, sf_dir):
+    rows = {r["lang"]: r for r in _queries()["q_text_script_mix"](spark, sf_dir).collect()}
+    assert set(rows) >= {"en", "zh"}
+    # labeling sanity: the census must discriminate zh from en strongly
+    # in CJK density; tolerate romanized-zh fixtures via a relative check
+    assert rows["zh"]["cjk_ppm"] >= rows["en"]["cjk_ppm"]
+    for r in rows.values():
+        assert 0 <= r["latin_ppm"] <= 1_000_000
+        assert r["latin_chars"] + r["cjk_chars"] + r["digit_chars"] >= 0
+
+
+def test_mcnemar_matches_bruteforce(spark, sf_dir):
+    r = _queries()["q_stats_mcnemar"](spark, sf_dir).collect()[0]
+    import duckdb
+
+    raw = duckdb.sql(
+        f"SELECT o_orderstatus='F', CAST(ROUND(o_totalprice*100) AS BIGINT),"
+        f" o_orderkey FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    n = len(raw)
+    order = sorted(range(n), key=lambda i: (raw[i][1], raw[i][2]))
+    half = (n + 1) // 2  # NTILE(2): first bucket gets the extra row
+    upper = set(order[half:])
+    b = sum(1 for i, (a, _, _) in enumerate(raw) if a and i not in upper)
+    c = sum(1 for i, (a, _, _) in enumerate(raw) if not a and i in upper)
+    assert (r["b_disc"], r["c_disc"]) == (b, c)
+    if b + c:
+        assert r["chi2_micro"] == 1_000_000 * (b - c) * (b - c) // (b + c)
+    assert r["both_pos"] + r["b_disc"] + r["c_disc"] + r["both_neg"] == n
+
+
+def test_time_bucket_alignment(spark, sf_dir):
+    rows = _queries()["q_fn_time_bucket"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bucket_us"] % 900_000_000 == 0
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == total
