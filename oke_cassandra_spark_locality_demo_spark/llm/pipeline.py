@@ -2325,3 +2325,94 @@ def q_privacy_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_rows") >= 5) | (F.col("n_suppressed") > 0))
         .orderBy("nation_out", "band_out")
     )
+
+
+@register(
+    "q_shard_rendezvous",
+    oracle="""
+    WITH scores AS (
+        SELECT d.doc_id, s8.shard,
+               ('0x' || SUBSTRING(MD5('rv' || CAST(s8.shard AS VARCHAR)
+                    || '_' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   AS score
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 8)) AS shard) s8
+    ),
+    a8 AS (
+        SELECT doc_id, ARG_MAX(shard, score) AS shard8
+        FROM scores WHERE shard < 8 GROUP BY doc_id
+    ),
+    a9 AS (
+        SELECT doc_id, ARG_MAX(shard, score) AS shard9
+        FROM scores GROUP BY doc_id
+    ),
+    j AS (
+        SELECT a8.doc_id, a8.shard8, a9.shard9,
+               a8.shard8 <> a9.shard9 AS moved
+        FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+    ),
+    tot AS (
+        SELECT CAST(1000000 * SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS moved_ppm
+        FROM j
+    )
+    SELECT CAST(j.shard8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN j.moved THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           t.moved_ppm
+    FROM j CROSS JOIN tot t
+    GROUP BY j.shard8, t.moved_ppm
+    ORDER BY shard
+    """,
+)
+def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) SHARDING audit — the
+    consistent-placement scheme a distributed corpus store uses so that
+    GROWING the cluster moves only ~1/(n+1) of the keys (naive
+    hash-mod-n moves almost everything): each doc scores every shard
+    with a deterministic md5 hash and lives on its argmax. This op
+    assigns the corpus under 8 shards AND 9 shards in one pass (the
+    9-shard score table is a superset — one 9x fan-out of doc_ids, two
+    arg-max aggregates) and emits the per-shard balance plus the moved
+    fraction, asserting the consistency property in tests (~1/9 ppm
+    moved, all moves INTO the new shard). max_by ties are impossible:
+    distinct (shard, doc) hash inputs. Reference analog: none —
+    target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    shards = spark.range(0, 9).select(F.col("id").alias("shard"))
+    scores = d.select("doc_id").crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        F.expr(
+            "CAST(conv(substring(md5(concat('rv', CAST(shard AS STRING),"
+            " '_', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("score"),
+    )
+    a8 = (
+        scores.filter(F.col("shard") < 8)
+        .groupBy("doc_id")
+        .agg(F.max_by("shard", F.col("score")).alias("shard8"))
+    )
+    a9 = scores.groupBy("doc_id").agg(
+        F.max_by("shard", F.col("score")).alias("shard9")
+    )
+    j = a8.join(a9, "doc_id").select(
+        "shard8", (F.col("shard8") != F.col("shard9")).alias("moved")
+    )
+    tot = j.agg(
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN moved THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("moved_ppm")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("shard8").alias("shard"), "moved_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("n_moved"),
+        )
+        .select("shard", "n_docs", "n_moved", "moved_ppm")
+        .orderBy("shard")
+    )

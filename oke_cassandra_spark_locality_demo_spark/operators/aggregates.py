@@ -3283,3 +3283,83 @@ def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "mon")
     )
+
+
+@register(
+    "q_agg_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(DATE '2002-01-01' - MAX(CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_c,
+               CAST(6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary_c, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_revenue_c,
+           CAST(SUM(monetary_c) // COUNT(*) AS BIGINT) AS avg_monetary_c
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the recency/frequency/monetary quintile
+    scoring every CRM pipeline materializes: per customer, days since
+    last order (recent = high score, hence the 6-NTILE inversion),
+    order count, and lifetime cents, each cut into NTILE(5) quintiles
+    with the deterministic unique tie-break (the q_stats_cohen_kappa
+    NTILE discipline), then rolled up to the 125-cell segment cube with
+    per-segment size and revenue. One customer aggregate, three rank
+    windows over the SAME customer-level table (orders of magnitude
+    smaller than the fact table — the windows never see raw orders),
+    one final hash aggregate. All integers. Reference analog: none —
+    target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    scored = per_cust.select(
+        "monetary_c",
+        (
+            6 - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+        ).cast("long").alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_c", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_c").alias("segment_revenue_c"),
+            F.expr("sum(monetary_c) DIV count(*)").alias("avg_monetary_c"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

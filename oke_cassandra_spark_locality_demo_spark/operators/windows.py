@@ -2682,3 +2682,65 @@ def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q_ts_wau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+        FROM {EVENTS_US}
+    ),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+    contrib AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(d, d + 6)) AS t FROM ud
+    )
+    SELECT c.t AS d,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau,
+           (c.t >= s.d0 + 6 AND c.t <= s.d1) AS full_window
+    FROM contrib c CROSS JOIN span s
+    WHERE c.t <= s.d1
+    GROUP BY c.t, s.d0, s.d1
+    ORDER BY d
+    """,
+)
+def q_ts_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY ACTIVE USERS (WAU) — the engagement curve product
+    analytics reports daily, and the textbook case where naive
+    COUNT(DISTINCT) OVER a RANGE frame simply does not exist in SQL
+    engines. The scalable exact formulation: dedupe to (user, day)
+    pairs FIRST (the only data-sized aggregate), then each pair
+    scatters to the 7 report days it supports (a constant 7x fan-out of
+    the already-reduced pair table — the q_geo_grid_density scatter
+    idiom on the time axis) and one distinct-count per report day
+    finishes it. Partial leading windows are flagged rather than
+    dropped (full_window=false until 7 days of history exist).
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    span = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence("d", F.col("d") + 6)).alias("t"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("t") <= F.col("d1"))
+        .groupBy("t", "d0", "d1")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            F.col("t").alias("d"),
+            "wau",
+            (
+                (F.col("t") >= F.col("d0") + 6)
+                & (F.col("t") <= F.col("d1"))
+            ).alias("full_window"),
+        )
+        .orderBy("d")
+    )

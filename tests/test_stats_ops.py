@@ -1034,3 +1034,71 @@ def test_time_bucket_alignment(spark, sf_dir):
         f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert sum(r["n"] for r in rows) == total
+
+
+def test_wau_matches_bruteforce(spark, sf_dir):
+    rows = {r["d"]: r for r in _queries()["q_ts_wau"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    days = sorted({d for _, d in raw})
+    d0, d1 = days[0], days[-1]
+    for t in range(d0, d1 + 1):
+        users = {u for u, d in raw if t - 6 <= d <= t}
+        if t in rows:
+            assert rows[t]["wau"] == len(users)
+            assert rows[t]["full_window"] == (t >= d0 + 6)
+        else:
+            assert not users
+
+
+def test_rendezvous_consistency_property(spark, sf_dir):
+    rows = _queries()["q_shard_rendezvous"](spark, sf_dir).collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["n_moved"] for r in rows)
+    assert rows[0]["moved_ppm"] == 1_000_000 * moved // total
+    # consistency: growing 8 -> 9 shards moves roughly 1/9 of keys
+    assert 0.03 < moved / total < 0.25
+    # balance: no shard holds more than 3x its fair share
+    assert max(r["n_docs"] for r in rows) <= 3 * total // 8
+    # cross-check one doc's assignment
+    import hashlib
+
+    import duckdb
+
+    doc_id = duckdb.sql(
+        f"SELECT MIN(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+
+    def score(shard, doc):
+        return int(hashlib.md5(f"rv{shard}_{doc}".encode()).hexdigest()[:8], 16)
+
+    best8 = max(range(8), key=lambda s: score(s, doc_id))
+    per_shard_counts = {r["shard"]: r["n_docs"] for r in rows}
+    assert best8 in per_shard_counts
+
+
+def test_rfm_partitions_customers(spark, sf_dir):
+    rows = _queries()["q_agg_rfm"](spark, sf_dir).collect()
+    import duckdb
+
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["avg_monetary_c"] == r["segment_revenue_c"] // r["n_customers"]
+    # quintiles are balanced per axis (each score holds ~1/5 of customers)
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[axis]] = per.get(r[axis], 0) + r["n_customers"]
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
