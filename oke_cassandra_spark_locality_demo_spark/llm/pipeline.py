@@ -2416,3 +2416,165 @@ def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "n_docs", "n_moved", "moved_ppm")
         .orderBy("shard")
     )
+
+
+@register(
+    "q_label_churn",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+        FROM {EVENTS_US}
+    ),
+    horizon AS (SELECT MAX(d) AS dmax FROM ud),
+    nxt AS (
+        SELECT user_id, d,
+               LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM ud
+    )
+    SELECT n.user_id, n.d,
+           (n.next_d IS NULL OR n.next_d > n.d + 7) AS churn_label,
+           n.next_d IS NULL AS censored
+    FROM nxt n CROSS JOIN horizon h
+    WHERE n.d + 7 <= h.dmax
+    ORDER BY n.user_id, n.d
+    """,
+)
+def q_label_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPERVISED CHURN-LABEL BUILDER — the forward-looking label a
+    retention model trains on: for each (user, active day), did the
+    user go silent for the next 7 days? Built leakage-safe: the label
+    looks only FORWARD (LEAD over the user's distinct activity days —
+    one window over the deduped pair table, never raw events), and
+    days whose 7-day outcome window extends past the observed horizon
+    are EXCLUDED rather than labeled (the right-censoring trap that
+    silently teaches models 'recent users all churn'; users with no
+    later activity inside the horizon are kept and flagged censored —
+    their outcome window is observed, genuinely silent). Emits
+    (user, day, label, censored). Reference analog: none —
+    target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    horizon = ud.agg(F.max("d").alias("dmax"))
+    from pyspark.sql.window import Window
+
+    nxt = ud.select(
+        "user_id",
+        "d",
+        F.lead("d")
+        .over(Window.partitionBy("user_id").orderBy("d"))
+        .alias("next_d"),
+    )
+    return (
+        nxt.crossJoin(F.broadcast(horizon))
+        .filter(F.col("d") + 7 <= F.col("dmax"))
+        .select(
+            "user_id",
+            "d",
+            (
+                F.col("next_d").isNull()
+                | (F.col("next_d") > F.col("d") + 7)
+            ).alias("churn_label"),
+            F.col("next_d").isNull().alias("censored"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+@register(
+    "q_quality_event_order",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_type, event_id, ts,
+               epoch_us(ts)
+               + ('0x' || SUBSTRING(MD5('lag' ||
+                      CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                 % 120000000 AS arrival_us
+        FROM {EVENTS_US}
+    ),
+    seq AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type
+                             ORDER BY arrival_us, event_id) AS prev_ts
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(1000000 * SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                    THEN 1 ELSE 0 END)
+                // GREATEST(COUNT(*) - 1, 1) AS BIGINT) AS inversion_ppm,
+           CAST(MAX(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                    THEN epoch_us(prev_ts) - epoch_us(ts) END) AS BIGINT)
+               AS worst_skew_us
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_quality_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-ORDER INTEGRITY AUDIT — "how out-of-order does this source
+    DELIVER?": adjacent event-time inversions in arrival order, per
+    stream — the measurement that justifies a watermark delay before
+    trusting any streaming job (q_stream_watermark_late DROPS late
+    rows; this op MEASURES the lateness to drop at). The fixture's
+    event_id order is perfectly time-sorted (verified — a degenerate
+    audit), so arrival order is SIMULATED with the repo's deterministic
+    synthesis idiom: a 0-120 s md5-hash delivery delay per event (the
+    impute/geo discipline — reproducible on both engines and any
+    topology), which makes near-simultaneous events genuinely swap.
+    One per-stream LAG window over the arrival sort; exact integer
+    worst skew; truncating ppm inversion rate. Adjacent (not global)
+    inversions keep it linear. The measured worst skew then bounds the
+    watermark: at 120 s max injected delay, skew <= 120 s — asserted in
+    tests. Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    arr = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.expr(
+                "CAST(conv(substring(md5(concat('lag',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 120_000_000
+        ).alias("arrival_us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("arrival_us", "event_id")
+    seq = arr.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    inv = F.when(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")), 1
+    ).otherwise(0)
+    skew = F.when(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")),
+        F.unix_micros(F.col("prev_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp")),
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(inv).alias("n_inversions"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN prev_ts IS NOT NULL AND"
+                " ts < prev_ts THEN 1 ELSE 0 END)"
+                " DIV GREATEST(count(*) - 1, 1) AS BIGINT)"
+            ).alias("inversion_ppm"),
+            F.max(skew).alias("worst_skew_us"),
+        )
+        .orderBy("event_type")
+    )

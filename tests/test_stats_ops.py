@@ -1102,3 +1102,43 @@ def test_rfm_partitions_customers(spark, sf_dir):
             per[r[axis]] = per.get(r[axis], 0) + r["n_customers"]
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_label_churn_leakage_safe(spark, sf_dir):
+    rows = _queries()["q_label_churn"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    days: dict[int, list[int]] = {}
+    for u, d in raw:
+        days.setdefault(u, []).append(d)
+    dmax = max(d for _, d in raw)
+    expect = {}
+    for u, ds in days.items():
+        ds.sort()
+        for i, d in enumerate(ds):
+            if d + 7 > dmax:
+                continue  # outcome window not fully observed
+            nxt = ds[i + 1] if i + 1 < len(ds) else None
+            expect[(u, d)] = (nxt is None or nxt > d + 7, nxt is None)
+    got = {(r["user_id"], r["d"]): (r["churn_label"], r["censored"]) for r in rows}
+    assert got == expect
+
+
+def test_event_order_audit_bounded_by_injected_delay(spark, sf_dir):
+    rows = _queries()["q_quality_event_order"](spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "error", "purchase", "signup", "view",
+    }
+    for r in rows:
+        assert 0 <= r["inversion_ppm"] <= 1_000_000
+        if r["n_inversions"]:
+            # skew cannot exceed the 120 s injected delivery delay
+            assert 0 < r["worst_skew_us"] <= 120_000_000
+        assert r["inversion_ppm"] == (
+            1_000_000 * r["n_inversions"] // max(r["n_events"] - 1, 1)
+        )
