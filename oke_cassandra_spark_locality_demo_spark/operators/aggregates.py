@@ -3363,3 +3363,153 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_agg_percent_of_parent",
+    oracle="""
+    WITH j AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_acctbal > 0
+    ),
+    nat AS (
+        SELECT region, nation, CAST(SUM(cents) AS BIGINT) AS bal
+        FROM j GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT region, CAST(SUM(bal) AS BIGINT) AS rbal FROM nat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rbal) AS BIGINT) AS tbal FROM reg)
+    SELECT n.region, n.nation, n.bal,
+           CAST(1000000 * n.bal // r.rbal AS BIGINT) AS pct_of_region_ppm,
+           CAST(1000000 * r.rbal // t.tbal AS BIGINT) AS region_pct_ppm
+    FROM nat n JOIN reg r ON n.region = r.region CROSS JOIN tot t
+    ORDER BY n.region, n.nation
+    """,
+)
+def q_agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-PARENT hierarchical report — every BI drilldown's
+    right-hand column: each nation's share of its REGION and each
+    region's share of the TOTAL, in one emission. Rollup levels are
+    chained hash aggregates (nation -> region -> grand total: each
+    reuses the previous level's output, so the fact table is scanned
+    ONCE); the two share columns join the child level against its
+    parent level — both parent tables are O(groups) and broadcast.
+    Shares are truncating ppm over exact cents (positive-balance slice
+    so the ratios are well-defined). Distinct from q_agg_rollup (which
+    emits the levels) — this op emits the RATIOS BETWEEN levels.
+    Reference analog: none — target-only capability."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    nat = j.groupBy("region", "nation").agg(F.sum("cents").alias("bal"))
+    reg = nat.groupBy("region").agg(F.sum("bal").alias("rbal"))
+    tot = reg.agg(F.sum("rbal").alias("tbal"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "bal",
+            F.expr("1000000 * bal DIV rbal").alias("pct_of_region_ppm"),
+            F.expr("1000000 * rbal DIV tbal").alias("region_pct_ppm"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "q_agg_mix_shift",
+    oracle="""
+    WITH yr AS (
+        SELECT o_orderpriority AS grp,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders
+        WHERE YEAR(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT grp,
+               MAX(CASE WHEN y = 1996 THEN n END) AS n0,
+               MAX(CASE WHEN y = 1996 THEN rev END) AS rev0,
+               MAX(CASE WHEN y = 1997 THEN n END) AS n1,
+               MAX(CASE WHEN y = 1997 THEN rev END) AS rev1
+        FROM yr GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n0) AS BIGINT) AS tn0, CAST(SUM(n1) AS BIGINT) AS tn1
+        FROM w
+    )
+    SELECT w.grp,
+           CAST(w.rev1 - w.rev0 AS BIGINT) AS delta_rev_c,
+           CAST((w.n1 - w.n0) * (w.rev0 // w.n0) AS BIGINT)
+               AS volume_effect_c,
+           CAST(w.n1 * ((w.rev1 // w.n1) - (w.rev0 // w.n0)) AS BIGINT)
+               AS rate_effect_c,
+           CAST(w.rev1 - w.rev0
+                - (w.n1 - w.n0) * (w.rev0 // w.n0)
+                - w.n1 * ((w.rev1 // w.n1) - (w.rev0 // w.n0))
+                AS BIGINT) AS residual_c
+    FROM w CROSS JOIN tot
+    ORDER BY w.grp
+    """,
+)
+def q_agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME/RATE DECOMPOSITION of year-over-year revenue change
+    (1996 -> 1997, per priority) — the FP&A bridge chart: how much of
+    each cohort's delta came from MORE ORDERS (volume effect, at the
+    old average ticket) vs BIGGER ORDERS (rate effect, at the new
+    volume). Average tickets are integer floor-means, so both effects
+    are exact integers and the identity delta = volume + rate +
+    residual holds EXACTLY, with the residual (floor-rounding slack,
+    bounded by n0 + n1 cents) emitted rather than hidden — an honest
+    exact-arithmetic bridge instead of a floats-that-almost-add-up
+    one. One filtered scan, one (group, year) aggregate, a 5-row
+    pivot. Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    yr = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            ),
+        )
+    )
+    w = yr.groupBy("grp").agg(
+        F.max(F.when(F.col("y") == 1996, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("y") == 1996, F.col("rev"))).alias("rev0"),
+        F.max(F.when(F.col("y") == 1997, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("y") == 1997, F.col("rev"))).alias("rev1"),
+    )
+    return w.select(
+        "grp",
+        (F.col("rev1") - F.col("rev0")).alias("delta_rev_c"),
+        F.expr("(n1 - n0) * (rev0 DIV n0)").alias("volume_effect_c"),
+        F.expr("n1 * ((rev1 DIV n1) - (rev0 DIV n0))").alias("rate_effect_c"),
+        F.expr(
+            "rev1 - rev0 - (n1 - n0) * (rev0 DIV n0)"
+            " - n1 * ((rev1 DIV n1) - (rev0 DIV n0))"
+        ).alias("residual_c"),
+    ).orderBy("grp")

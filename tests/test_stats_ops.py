@@ -1142,3 +1142,30 @@ def test_event_order_audit_bounded_by_injected_delay(spark, sf_dir):
         assert r["inversion_ppm"] == (
             1_000_000 * r["n_inversions"] // max(r["n_events"] - 1, 1)
         )
+
+
+def test_percent_of_parent_sums(spark, sf_dir):
+    rows = _queries()["q_agg_percent_of_parent"](spark, sf_dir).collect()
+    assert rows
+    per_region: dict[str, int] = {}
+    region_ppm: dict[str, int] = {}
+    for r in rows:
+        per_region[r["region"]] = per_region.get(r["region"], 0) + r["pct_of_region_ppm"]
+        region_ppm[r["region"]] = r["region_pct_ppm"]
+    # nation shares within a region sum to ~1e6 (floor truncation slack
+    # bounded by nations-per-region)
+    for region, s in per_region.items():
+        n_nations = sum(1 for r in rows if r["region"] == region)
+        assert 1_000_000 - n_nations <= s <= 1_000_000
+    total = sum(region_ppm.values())
+    assert 1_000_000 - len(region_ppm) <= total <= 1_000_000
+
+
+def test_mix_shift_bridge_is_exact(spark, sf_dir):
+    rows = _queries()["q_agg_mix_shift"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (
+            r["volume_effect_c"] + r["rate_effect_c"] + r["residual_c"]
+            == r["delta_rev_c"]
+        )
