@@ -440,3 +440,47 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority, o_orderkey
         """
     )
+
+
+@register(
+    "q_sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_custkey % 17 = 0
+    ORDER BY o_custkey, CAST(o_orderdate AS DATE) DESC, o_orderkey
+    """,
+)
+def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON surface — the Postgres/DuckDB idiom for "one row per
+    key, picked by an ORDER BY" (each customer's most recent order
+    here). Spark has no DISTINCT ON keyword; the engine exposes the
+    exact rewrite every implementation uses — row_number over
+    (key, order) filtered to 1 — which Catalyst additionally optimizes
+    with WindowGroupLimit (rank pruned inside the sort, before the
+    shuffle materializes losers). Ties broken by orderkey so both
+    engines pick the same row. Third member of the dialect-surface
+    family (q_sql_qualify, q_sql_distinct_on, q_sql_window_clause).
+    Reference analog: none — target-only capability."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 17 == 0)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("o_custkey")
+    )

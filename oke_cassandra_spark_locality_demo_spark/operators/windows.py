@@ -2744,3 +2744,73 @@ def q_ts_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q_fraud_double_charge",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000
+                   AS amount_band,
+               CAST(o_orderdate AS DATE) AS d,
+               o_orderkey,
+               LAG(CAST(o_orderdate AS DATE)) OVER w AS prev_d,
+               LAG(o_orderkey) OVER w AS prev_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000
+            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    )
+    SELECT o_custkey, amount_band,
+           CAST(prev_key AS BIGINT) AS first_orderkey,
+           CAST(o_orderkey AS BIGINT) AS second_orderkey,
+           CAST(d - prev_d AS BIGINT) AS gap_days
+    FROM seq
+    WHERE prev_d IS NOT NULL AND d - prev_d <= 3
+    ORDER BY o_custkey, amount_band, second_orderkey
+    """,
+)
+def q_fraud_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAPID-REPEAT CHARGE DETECTION — same customer, similar amount
+    (the same $10k band on this fixture's price range; production tunes
+    the band to the amount distribution — exact-cent matching measured
+    VACUOUS on random TPC-H prices), within 3 days: the
+    duplicate-transaction screen every payments pipeline runs. The
+    naive shape is a band self-join on (customer, amount-band,
+    |date diff| <= 3) — quadratic inside hot cells; the linear
+    formulation sorts each (customer, band) partition once and flags
+    ADJACENT pairs via LAG (a chain of k same-band charges emits k-1
+    review pairs, not C(k,2)). Exact integer bands and day gaps;
+    deterministic orderkey tiebreaks. One window over one shuffle.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 1000000"
+        ).alias("amount_band"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_custkey", "amount_band").orderBy("d", "o_orderkey")
+    flagged = seq.select(
+        "o_custkey",
+        "amount_band",
+        "d",
+        "o_orderkey",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    ).filter(
+        F.col("prev_d").isNotNull()
+        & (F.datediff("d", "prev_d") <= 3)
+    )
+    return flagged.select(
+        "o_custkey",
+        "amount_band",
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("second_orderkey"),
+        F.datediff("d", "prev_d").cast("long").alias("gap_days"),
+    ).orderBy("o_custkey", "amount_band", "second_orderkey")

@@ -1169,3 +1169,44 @@ def test_mix_shift_bridge_is_exact(spark, sf_dir):
             r["volume_effect_c"] + r["rate_effect_c"] + r["residual_c"]
             == r["delta_rev_c"]
         )
+
+
+def test_distinct_on_picks_latest(spark, sf_dir):
+    rows = _queries()["q_sql_distinct_on"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE)
+        FROM '{sf_dir}/orders.parquet' WHERE o_custkey % 17 = 0"""
+    ).fetchall()
+    best: dict[int, tuple] = {}
+    for ck, ok_, d in raw:
+        cur = best.get(ck)
+        # latest date, then smallest orderkey
+        cand = (d, -ok_)
+        if cur is None or cand > cur[0]:
+            best[ck] = (cand, ok_)
+    assert {r["o_custkey"]: r["o_orderkey"] for r in rows} == {
+        k: v[1] for k, v in best.items()
+    }
+    assert len(rows) == len(best)
+
+
+def test_double_charge_pairs_valid(spark, sf_dir):
+    rows = _queries()["q_fraud_double_charge"](spark, sf_dir).collect()
+    import duckdb
+
+    raw = {
+        k: (int(round(p * 100)) // 1000000, d)
+        for k, p, d in duckdb.sql(
+            f"SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE)"
+            f" FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    }
+    for r in rows:
+        b1, d1 = raw[r["first_orderkey"]]
+        b2, d2 = raw[r["second_orderkey"]]
+        assert b1 == b2 == r["amount_band"]
+        assert 0 <= (d2 - d1).days <= 3
+        assert r["gap_days"] == (d2 - d1).days
