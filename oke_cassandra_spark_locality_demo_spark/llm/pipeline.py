@@ -2578,3 +2578,80 @@ def q_quality_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_privacy_uniqueness",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey AS q1,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS q2,
+               c_mktsegment AS q3
+        FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qi),
+    u1 AS (SELECT COUNT(*) AS u FROM (SELECT q1 FROM qi GROUP BY q1 HAVING COUNT(*) = 1)),
+    u2 AS (SELECT COUNT(*) AS u FROM (SELECT q2 FROM qi GROUP BY q2 HAVING COUNT(*) = 1)),
+    u3 AS (SELECT COUNT(*) AS u FROM (SELECT q3 FROM qi GROUP BY q3 HAVING COUNT(*) = 1)),
+    u12 AS (SELECT COUNT(*) AS u FROM (SELECT q1, q2 FROM qi GROUP BY q1, q2 HAVING COUNT(*) = 1)),
+    u13 AS (SELECT COUNT(*) AS u FROM (SELECT q1, q3 FROM qi GROUP BY q1, q3 HAVING COUNT(*) = 1)),
+    u23 AS (SELECT COUNT(*) AS u FROM (SELECT q2, q3 FROM qi GROUP BY q2, q3 HAVING COUNT(*) = 1)),
+    u123 AS (SELECT COUNT(*) AS u FROM (SELECT q1, q2, q3 FROM qi GROUP BY q1, q2, q3 HAVING COUNT(*) = 1)),
+    stacked AS (
+        SELECT 'nation' AS qi_subset, u FROM u1
+        UNION ALL SELECT 'band', u FROM u2
+        UNION ALL SELECT 'segment', u FROM u3
+        UNION ALL SELECT 'nation+band', u FROM u12
+        UNION ALL SELECT 'nation+segment', u FROM u13
+        UNION ALL SELECT 'band+segment', u FROM u23
+        UNION ALL SELECT 'nation+band+segment', u FROM u123
+    )
+    SELECT s.qi_subset, CAST(s.u AS BIGINT) AS n_unique_rows,
+           CAST(1000000 * s.u // t.n AS BIGINT) AS unique_ppm
+    FROM stacked s CROSS JOIN tot t
+    ORDER BY s.qi_subset
+    """,
+)
+def q_privacy_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUASI-IDENTIFIER UNIQUENESS LADDER — re-identification risk per
+    attribute SUBSET (Sweeney's "87% of Americans are unique under
+    {zip, gender, dob}" analysis): for every non-empty subset of the
+    three quasi-identifiers, how many rows are singletons? This ranks
+    WHICH column combination drives linkage risk — the input
+    q_privacy_kanon (fixed full QI) and q_privacy_suppress (the action)
+    both consume. Seven grouped aggregates over the same scan (Spark
+    unions them; at scale each is map-side combinable and the scan is
+    shared via cache-once semantics), each a singleton count, joined to
+    the exact row total for truncating ppm rates. Reference analog:
+    none — target-only capability."""
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").alias("q1"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("q2"),
+        F.col("c_mktsegment").alias("q3"),
+    ).localCheckpoint()
+    n = qi.count()
+    subsets = [
+        ("nation", ["q1"]),
+        ("band", ["q2"]),
+        ("segment", ["q3"]),
+        ("nation+band", ["q1", "q2"]),
+        ("nation+segment", ["q1", "q3"]),
+        ("band+segment", ["q2", "q3"]),
+        ("nation+band+segment", ["q1", "q2", "q3"]),
+    ]
+    parts = None
+    for name, cols in subsets:
+        u = (
+            qi.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == 1)
+            .agg(F.count(F.lit(1)).alias("u"))
+            .select(
+                F.lit(name).alias("qi_subset"),
+                F.col("u").alias("n_unique_rows"),
+                F.expr(f"1000000 * u DIV {n}").alias("unique_ppm"),
+            )
+        )
+        parts = u if parts is None else parts.unionAll(u)
+    return parts.orderBy("qi_subset")

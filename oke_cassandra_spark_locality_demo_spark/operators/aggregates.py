@@ -3513,3 +3513,118 @@ def q_agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - n1 * ((rev1 DIV n1) - (rev0 DIV n0))"
         ).alias("residual_c"),
     ).orderBy("grp")
+
+
+@register(
+    "q_agg_linreg2",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y,
+               CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE)
+                    AS BIGINT) AS x1,
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS x2
+        FROM orders
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM base
+    )
+    SELECT n,
+           CAST(ROUND(1000000.0 * (
+               ((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE))
+                - (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  - (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+           ), 0) AS BIGINT) AS beta1_micro,
+           CAST(ROUND(1000000.0 * (
+               ((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE))
+                - (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                  - (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+           ), 0) AS BIGINT) AS beta2_micro
+    FROM m
+    """,
+)
+def q_agg_linreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-FEATURE OLS via normal equations — the multivariate step up
+    from q_agg_regr's simple regression: price regressed on order age
+    (days) and priority level, solved in CLOSED FORM with Cramer's rule
+    on the centered 2x2 Gram system. The nine sufficient statistics are
+    EXACT int64 sums from one map-side-combinable pass (x1 <= ~2600
+    days, x1*y <= ~1.6e13/row: int64-safe to ~500k rows/partition sum —
+    and Spark's sum is exact regardless since these are integers); both
+    betas are single IEEE double expressions over those exact scalars
+    (products/differences/one division — correctly rounded, engine
+    identical), micro-rounded. The same pattern extends to any
+    fixed-k feature set; beyond k~5 you'd switch to a distributed
+    gramian + driver-side solve. Reference analog: none — target-only
+    capability."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")
+        )
+        .cast("long")
+        .alias("x1"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x2"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    a11 = d("n") * d("s11") - d("s1") * d("s1")
+    a22 = d("n") * d("s22") - d("s2") * d("s2")
+    a12 = d("n") * d("s12") - d("s1") * d("s2")
+    b1 = d("n") * d("s1y") - d("s1") * d("sy")
+    b2 = d("n") * d("s2y") - d("s2") * d("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (a22 * b1 - a12 * b2) / det
+    beta2 = (a11 * b2 - a12 * b1) / det
+    return m.select(
+        "n",
+        F.round(F.lit(1000000.0) * beta1, 0).cast("long").alias("beta1_micro"),
+        F.round(F.lit(1000000.0) * beta2, 0).cast("long").alias("beta2_micro"),
+    )

@@ -1210,3 +1210,56 @@ def test_double_charge_pairs_valid(spark, sf_dir):
         assert b1 == b2 == r["amount_band"]
         assert 0 <= (d2 - d1).days <= 3
         assert r["gap_days"] == (d2 - d1).days
+
+
+def test_uniqueness_ladder_monotone(spark, sf_dir):
+    rows = {r["qi_subset"]: r for r in _queries()["q_privacy_uniqueness"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "nation", "band", "segment", "nation+band",
+        "nation+segment", "band+segment", "nation+band+segment",
+    }
+    # adding a column can only increase (or keep) singleton counts
+    assert rows["nation+band"]["n_unique_rows"] >= rows["nation"]["n_unique_rows"]
+    assert rows["nation+band"]["n_unique_rows"] >= rows["band"]["n_unique_rows"]
+    assert (
+        rows["nation+band+segment"]["n_unique_rows"]
+        >= rows["nation+band"]["n_unique_rows"]
+    )
+    # single coarse attributes on a sizable table are never unique
+    assert rows["nation"]["n_unique_rows"] == 0
+    assert rows["segment"]["n_unique_rows"] == 0
+    import duckdb
+
+    expect = duckdb.sql(
+        f"""SELECT COUNT(*) FROM (
+        SELECT c_nationkey, CAST(FLOOR(c_acctbal/1000.0) AS BIGINT), c_mktsegment
+        FROM '{sf_dir}/customer.parquet'
+        GROUP BY 1, 2, 3 HAVING COUNT(*) = 1)"""
+    ).fetchone()[0]
+    assert rows["nation+band+segment"]["n_unique_rows"] == expect
+
+
+def test_linreg2_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = _queries()["q_agg_linreg2"](spark, sf_dir).collect()[0]
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT CAST(ROUND(o_totalprice*100) AS BIGINT),
+        CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS BIGINT),
+        CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)
+        FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    y = np.array([a for a, _, _ in raw], dtype=float)
+    X = np.column_stack(
+        [
+            np.ones(len(raw)),
+            np.array([b for _, b, _ in raw], dtype=float),
+            np.array([c for _, _, c in raw], dtype=float),
+        ]
+    )
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert abs(r["beta1_micro"] / 1e6 - beta[1]) < 1e-3
+    assert abs(r["beta2_micro"] / 1e6 - beta[2]) < 1e-3
+    assert r["n"] == len(raw)
