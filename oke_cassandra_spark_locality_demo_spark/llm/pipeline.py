@@ -2655,3 +2655,113 @@ def q_privacy_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts = u if parts is None else parts.unionAll(u)
     return parts.orderBy("qi_subset")
+
+
+@register(
+    "q_budget_waterfill",
+    oracle="""
+    WITH supply AS (
+        SELECT lang,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY lang
+    ),
+    b AS (SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS budget FROM supply),
+    ranked AS (
+        SELECT lang, tokens,
+               ROW_NUMBER() OVER (ORDER BY tokens, lang) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m,
+               CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+        FROM supply
+    ),
+    flagged AS (
+        SELECT r.lang, r.tokens, r.rn, r.m, r.prefix, b.budget,
+               r.tokens * (r.m - r.rn + 1) + r.prefix <= b.budget
+                   AS saturated
+        FROM ranked r CROSS JOIN b
+    ),
+    sat AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN saturated THEN tokens END), 0)
+                    AS BIGINT) AS sat_total,
+               CAST(SUM(CASE WHEN saturated THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_unsat
+        FROM flagged
+    )
+    SELECT f.lang, f.tokens AS supply_tokens, f.saturated,
+           CAST(CASE WHEN f.saturated THEN f.tokens
+                ELSE (f.budget - s.sat_total) // s.n_unsat END AS BIGINT)
+               AS alloc_tokens,
+           f.budget
+    FROM flagged f CROSS JOIN sat s
+    ORDER BY f.lang
+    """,
+)
+def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATER-FILLING TOKEN-BUDGET ALLOCATOR — the training-mix planner:
+    given a global token budget (half the corpus here) and per-language
+    supplies, give every language an EQUAL share except where supply
+    runs out, in which case the saturated language contributes all it
+    has and its unused share is re-spread (the classic max-min fair /
+    water-filling allocation, the same math as link-bandwidth sharing).
+    The iterative fill has a CLOSED FORM over supplies sorted
+    ascending: language k saturates iff s_k*(m-k+1) + prefix_{k-1} <=
+    B (its equal share at the time it's reached exceeds its supply);
+    unsaturated languages split B minus the saturated total by
+    truncating division. One 5-row sort window + one scalar aggregate —
+    everything integer-exact, Sum(alloc) <= B with remainder <
+    n_unsat (asserted in tests). Reference analog: none —
+    target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    supply = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens")
+    )
+    from pyspark.sql.window import Window
+
+    budget_val = supply.agg(
+        F.expr("sum(tokens) DIV 2").alias("b")
+    ).collect()[0]["b"]
+    w_rank = Window.orderBy("tokens", "lang")
+    ranked = supply.select(
+        "lang",
+        "tokens",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        F.coalesce(
+            F.sum("tokens").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+    )
+    flagged = ranked.select(
+        "lang",
+        "tokens",
+        (
+            F.col("tokens") * (F.col("m") - F.col("rn") + 1)
+            + F.col("prefix")
+            <= F.lit(budget_val)
+        ).alias("saturated"),
+    ).localCheckpoint()
+    sat = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("tokens"))), F.lit(0)
+        ).alias("sat_total"),
+        F.sum(F.when(F.col("saturated"), 0).otherwise(1)).alias("n_unsat"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(sat))
+        .select(
+            "lang",
+            F.col("tokens").alias("supply_tokens"),
+            "saturated",
+            F.when(F.col("saturated"), F.col("tokens"))
+            .otherwise(
+                F.expr(f"({budget_val} - sat_total) DIV n_unsat")
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.lit(budget_val).cast("long").alias("budget"),
+        )
+        .orderBy("lang")
+    )

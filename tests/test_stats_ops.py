@@ -1263,3 +1263,45 @@ def test_linreg2_matches_numpy(spark, sf_dir):
     assert abs(r["beta1_micro"] / 1e6 - beta[1]) < 1e-3
     assert abs(r["beta2_micro"] / 1e6 - beta[2]) < 1e-3
     assert r["n"] == len(raw)
+
+
+def test_waterfill_max_min_fair(spark, sf_dir):
+    rows = _queries()["q_budget_waterfill"](spark, sf_dir).collect()
+    assert rows
+    budget = rows[0]["budget"]
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    n_unsat = sum(1 for r in rows if not r["saturated"])
+    # feasibility + near-exhaustion (floor slack bounded by unsat count)
+    assert total_alloc <= budget
+    assert budget - total_alloc < max(n_unsat, 1)
+    for r in rows:
+        assert r["alloc_tokens"] <= r["supply_tokens"]
+        if r["saturated"]:
+            assert r["alloc_tokens"] == r["supply_tokens"]
+    # max-min fairness: all unsaturated languages get the same share,
+    # and that share is >= every saturated language's full supply
+    unsat_allocs = {r["alloc_tokens"] for r in rows if not r["saturated"]}
+    assert len(unsat_allocs) <= 1
+    if unsat_allocs:
+        level = unsat_allocs.pop()
+        for r in rows:
+            if r["saturated"]:
+                assert r["supply_tokens"] <= level + 1
+    # brute-force iterative water-filling agrees
+    supplies = {r["lang"]: r["supply_tokens"] for r in rows}
+    remaining = budget
+    alloc = {}
+    active = dict(supplies)
+    while active:
+        share = remaining // len(active)
+        sat = {k: v for k, v in active.items() if v <= share}
+        if not sat:
+            for k in active:
+                alloc[k] = share
+            break
+        for k, v in sat.items():
+            alloc[k] = v
+            remaining -= v
+            del active[k]
+    got = {r["lang"]: r["alloc_tokens"] for r in rows}
+    assert got == alloc
