@@ -3628,3 +3628,78 @@ def q_agg_linreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1000000.0) * beta1, 0).cast("long").alias("beta1_micro"),
         F.round(F.lit(1000000.0) * beta2, 0).cast("long").alias("beta2_micro"),
     )
+
+
+@register(
+    "q_agg_purchase_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        FROM orders
+    ),
+    gaps AS (
+        SELECT CAST(d - prev_d AS BIGINT) AS gap_days
+        FROM seq WHERE prev_d IS NOT NULL
+    ),
+    bucketed AS (
+        SELECT CASE WHEN gap_days <= 7 THEN 0
+                    WHEN gap_days <= 30 THEN 1
+                    WHEN gap_days <= 90 THEN 2
+                    WHEN gap_days <= 365 THEN 3
+                    ELSE 4 END AS bucket,
+               gap_days
+        FROM gaps
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days,
+           CAST(SUM(gap_days) // COUNT(*) AS BIGINT) AS mean_days
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_agg_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-PURCHASE GAP DISTRIBUTION — the repeat-behavior histogram
+    (week / month / quarter / year / dormant buckets) that calibrates
+    churn windows and reorder nudges: consecutive order gaps per
+    customer from one LAG window (deterministic orderkey tiebreak for
+    same-day orders), bucketed into operational bands with exact
+    integer min/max/floor-mean per band. One shuffle (customer
+    partition), O(5)-row emission. The bands are the input
+    q_label_churn's 7-day horizon was chosen from. Reference analog:
+    none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), F.col("o_orderkey")
+    )
+    seq = orders.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        F.datediff("d", "prev_d").cast("long").alias("gap_days")
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, 0)
+        .when(F.col("gap_days") <= 30, 1)
+        .when(F.col("gap_days") <= 90, 2)
+        .when(F.col("gap_days") <= 365, 3)
+        .otherwise(4)
+    )
+    return (
+        gaps.select(bucket.cast("long").alias("bucket"), "gap_days")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+            F.expr("sum(gap_days) DIV count(*)").alias("mean_days"),
+        )
+        .orderBy("bucket")
+    )

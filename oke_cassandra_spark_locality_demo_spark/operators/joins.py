@@ -835,3 +835,66 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f_ts").isNotNull(), f_gap)
         .alias("gap_us"),
     )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH kc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {EVENTS_US} GROUP BY user_id
+    ),
+    quart AS (
+        SELECT cnt * cnt AS pairs,
+               CAST(NTILE(4) OVER (ORDER BY cnt, user_id) AS BIGINT)
+                   AS cnt_quartile
+        FROM kc
+    ),
+    grouped AS (
+        SELECT cnt_quartile, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(pairs) AS BIGINT) AS est_rows
+        FROM quart GROUP BY cnt_quartile
+    ),
+    actual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM {EVENTS_US} a JOIN {EVENTS_US} b ON a.user_id = b.user_id
+    )
+    SELECT g.cnt_quartile, g.n_keys, g.est_rows, a.actual_rows
+    FROM grouped g CROSS JOIN actual a
+    ORDER BY g.cnt_quartile
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY PRE-FLIGHT — compute the EXACT output size of an
+    equi-join from the key histograms BEFORE running it: |A ⋈ B| =
+    SUM_k cnt_A(k) * cnt_B(k), here for the events self-join on
+    user_id. This is the guard a pipeline runs before an expensive join
+    to catch quadratic hot keys (the estimate costs one hash aggregate;
+    the join it predicts can cost hours at 100 TB) — and because the
+    formula is exact for equi-joins, the op ALSO runs the join and
+    emits actual_rows to prove estimate == actual (asserted in tests).
+    Output: per count-quartile of keys, how many join rows those keys
+    contribute — the skew readout ("the top quartile of users produces
+    X% of the join"). Reference analog: none — target-only
+    capability."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    contrib = kc.select(
+        "user_id", "cnt", (F.col("cnt") * F.col("cnt")).alias("pairs")
+    )
+    actual = (
+        ev.alias("a")
+        .join(ev.alias("b"), "user_id")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    q = F.ntile(4).over(W.orderBy("cnt", "user_id"))
+    quart = contrib.select("pairs", q.cast("long").alias("cnt_quartile"))
+    return (
+        quart.groupBy("cnt_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("pairs").alias("est_rows"),
+        )
+        .crossJoin(F.broadcast(actual))
+        .orderBy("cnt_quartile")
+    )

@@ -962,3 +962,192 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_micro"),
     )
+
+
+@register(
+    "q_stats_overdispersion",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+              FROM events) _e
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, sx,
+           CAST(ROUND(1000000.0 * (
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / ((CAST(n AS DOUBLE) - 1.0) * CAST(sx AS DOUBLE))
+           ), 0) AS BIGINT) AS dispersion_micro
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_stats_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION INDEX (variance-to-mean ratio of daily counts) —
+    the Poisson-ness diagnostic run before choosing a count model or an
+    anomaly threshold: a Poisson arrival stream has dispersion ~1;
+    bursty/clumped streams run >1 and need negative-binomial handling
+    (and wider alert bands). Per event type, the daily-count moments
+    (n, Sx, Sxx) are exact int64 from two chained hash aggregates, and
+    the index VAR/MEAN = (n*Sxx - Sx^2) / ((n-1)*Sx) is one IEEE double
+    expression over them, micro-rounded (the q_stats_welch_ttest
+    discipline). Nothing scales past the daily aggregate. Reference
+    analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    disp = (d("n") * d("sxx") - d("sx") * d("sx")) / (
+        (d("n") - F.lit(1.0)) * d("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "sx",
+        F.round(F.lit(1000000.0) * disp, 0).cast("long").alias(
+            "dispersion_micro"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_wilcoxon",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x96,
+               CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x97,
+               SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+                   AS n96,
+               SUM(CASE WHEN YEAR(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+                   AS n97
+        FROM orders GROUP BY o_custkey
+    ),
+    pairs AS (
+        SELECT x97 - x96 AS diff, ABS(x97 - x96) AS ad
+        FROM spend WHERE n96 > 0 AND n97 > 0 AND x97 <> x96
+    ),
+    vc AS (
+        SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c
+        FROM pairs GROUP BY ad
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p.diff > 0 THEN 2 * v.c + v.t + 1
+                        ELSE 0 END) AS BIGINT) AS r2_plus,
+               CAST(SUM(CASE WHEN p.diff < 0 THEN 2 * v.c + v.t + 1
+                        ELSE 0 END) AS BIGINT) AS r2_minus
+        FROM pairs p JOIN vc v ON p.ad = v.ad
+    )
+    SELECT n, r2_plus, r2_minus,
+           CAST(ROUND(1000000.0 * (
+               (CAST(r2_plus AS DOUBLE) / 2.0
+                - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+               / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0)
+           ), 0) AS BIGINT) AS z_micro
+    FROM s
+    """,
+)
+def q_stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK TEST — the PAIRED complement that completes
+    the rank-test family (q_stats_mannwhitney: independent two-group;
+    q_stats_kruskal: k-group; this: same entities measured twice): did
+    per-customer spend shift from 1996 to 1997? Zero-differences drop
+    (standard Wilcoxon), |differences| get tie-averaged ranks via the
+    doubled-rank identity at VALUE granularity (2c+t+1 — exact int64,
+    no N-row sort; see q_stats_kruskal), signed rank-sums R2± stay
+    exact integers, and the normal-approximation z (no tie correction —
+    integer-cent diffs make ties measure-rare, documented) is ONE IEEE
+    double expression micro-rounded. Identity R2+ + R2- = 2 * n(n+1)/2
+    asserted in tests. One customer aggregate + one value-level rank
+    pass. Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.year("o_orderdate") == 1996, cents).otherwise(0)).alias(
+            "x96"
+        ),
+        F.sum(F.when(F.year("o_orderdate") == 1997, cents).otherwise(0)).alias(
+            "x97"
+        ),
+        F.sum(F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)).alias(
+            "n96"
+        ),
+        F.sum(F.when(F.year("o_orderdate") == 1997, 1).otherwise(0)).alias(
+            "n97"
+        ),
+    )
+    pairs = (
+        spend.filter(
+            (F.col("n96") > 0) & (F.col("n97") > 0) & (F.col("x97") != F.col("x96"))
+        )
+        .select(
+            (F.col("x97") - F.col("x96")).alias("diff"),
+            F.abs(F.col("x97") - F.col("x96")).alias("ad"),
+        )
+        .localCheckpoint()
+    )
+    vc = pairs.groupBy("ad").agg(F.count(F.lit(1)).alias("t"))
+    vc = vc.select(
+        "ad",
+        "t",
+        F.coalesce(
+            F.sum("t").over(
+                W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("c"),
+    )
+    r2 = 2 * F.col("c") + F.col("t") + 1
+    s = pairs.join(vc, "ad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("diff") > 0, r2).otherwise(0)).alias("r2_plus"),
+        F.sum(F.when(F.col("diff") < 0, r2).otherwise(0)).alias("r2_minus"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    z = (
+        d("r2_plus") / F.lit(2.0)
+        - d("n") * (d("n") + F.lit(1.0)) / F.lit(4.0)
+    ) / F.sqrt(
+        d("n") * (d("n") + F.lit(1.0)) * (F.lit(2.0) * d("n") + F.lit(1.0))
+        / F.lit(24.0)
+    )
+    return s.select(
+        "n",
+        "r2_plus",
+        "r2_minus",
+        F.round(F.lit(1000000.0) * z, 0).cast("long").alias("z_micro"),
+    )

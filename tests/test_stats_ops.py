@@ -1305,3 +1305,57 @@ def test_waterfill_max_min_fair(spark, sf_dir):
             del active[k]
     got = {r["lang"]: r["alloc_tokens"] for r in rows}
     assert got == alloc
+
+
+def test_overdispersion_recompute(spark, sf_dir):
+    rows = {r["event_type"]: r for r in _queries()["q_stats_overdispersion"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT), COUNT(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for t, _, x in raw:
+        per.setdefault(t, []).append(x)
+    for t, xs in per.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        assert abs(rows[t]["dispersion_micro"] / 1e6 - var / mean) < 1e-4
+
+
+def test_wilcoxon_rank_identity(spark, sf_dir):
+    r = _queries()["q_stats_wilcoxon"](spark, sf_dir).collect()[0]
+    n = r["n"]
+    # doubled signed rank sums partition the doubled total rank mass
+    assert r["r2_plus"] + r["r2_minus"] == 2 * n * (n + 1) // 2
+    w_plus = r["r2_plus"] / 2
+    import math
+
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24
+    )
+    assert abs(r["z_micro"] / 1e6 - z) < 2e-6
+
+
+def test_join_size_estimate_is_exact(spark, sf_dir):
+    rows = _queries()["q_join_size_estimate"](spark, sf_dir).collect()
+    assert {r["cnt_quartile"] for r in rows} <= {1, 2, 3, 4}
+    est_total = sum(r["est_rows"] for r in rows)
+    assert est_total == rows[0]["actual_rows"]
+    # top quartile contributes the most pairs (sorted by key count)
+    per = {r["cnt_quartile"]: r["est_rows"] for r in rows}
+    assert per[max(per)] == max(per.values())
+
+
+def test_purchase_gaps_cover_all_pairs(spark, sf_dir):
+    rows = _queries()["q_agg_purchase_gaps"](spark, sf_dir).collect()
+    import duckdb
+
+    n_orders, n_cust = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert r["min_days"] <= r["mean_days"] <= r["max_days"]
