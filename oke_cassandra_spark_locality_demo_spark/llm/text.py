@@ -2087,3 +2087,85 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_text_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang, word FROM (
+            SELECT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' '))
+                AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY lang
+    ),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM vocab a JOIN vocab b
+          ON a.word = b.word AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, sa.v AS vocab_a, sb.v AS vocab_b, i.common,
+           CAST(1000000 * i.common // (sa.v + sb.v - i.common) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON i.lang_a = sa.lang
+    JOIN sizes sb ON i.lang_b = sb.lang
+    ORDER BY i.lang_a, i.lang_b
+    """,
+)
+def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LANGUAGE VOCABULARY OVERLAP — exact Jaccard of the word
+    sets for every language pair: the corpus-contamination /
+    code-switching readout (an 'en'-labeled slice sharing most of its
+    vocabulary with 'fr' is mislabeled or machine-translated; loanword
+    rates between related languages are the expected baseline).
+    Dataflow: one explode -> DISTINCT (lang, word) — the only
+    data-sized shuffle, keyed on word — then the pair intersection is a
+    self-join ON WORD (co-partitioned with the distinct's own
+    partitioning; output bounded by shared vocabulary, never the
+    corpus) and the union sizes come from the inclusion-exclusion
+    identity |A|+|B|-|A∩B| rather than a second join. Truncating ppm.
+    Reference analog: none — target-only capability."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "word")
+    b = vocab.select(F.col("lang").alias("lang_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "common",
+            F.expr(
+                "1000000 * common DIV (vocab_a + vocab_b - common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -3703,3 +3703,134 @@ def q_agg_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_agg_growth_accounting",
+    oracle="""
+    WITH qrev AS (
+        SELECT o_custkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) * 10
+                   + CAST((MONTH(o_orderdate) + 2) // 3 AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders
+        WHERE YEAR(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    firstq AS (
+        SELECT o_custkey, MIN(q) AS q0 FROM qrev GROUP BY o_custkey
+    ),
+    qs AS (SELECT DISTINCT q FROM qrev),
+    state AS (
+        SELECT cur.q, cur.o_custkey, cur.rev,
+               prev.rev AS prev_rev,
+               f.q0,
+               CASE WHEN f.q0 = cur.q THEN 'new'
+                    WHEN prev.rev IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM qrev cur
+        JOIN firstq f ON cur.o_custkey = f.o_custkey
+        LEFT JOIN qrev prev
+          ON prev.o_custkey = cur.o_custkey AND prev.q =
+             CASE WHEN cur.q % 10 = 1 THEN cur.q - 10 + 3 ELSE cur.q - 1 END
+    ),
+    churned AS (
+        SELECT CASE WHEN prev.q % 10 = 4 THEN prev.q + 10 - 3
+                    ELSE prev.q + 1 END AS q,
+               COUNT(*) AS n, CAST(SUM(prev.rev) AS BIGINT) AS rev
+        FROM qrev prev
+        LEFT JOIN qrev cur
+          ON cur.o_custkey = prev.o_custkey AND cur.q =
+             CASE WHEN prev.q % 10 = 4 THEN prev.q + 10 - 3
+                  ELSE prev.q + 1 END
+        WHERE cur.o_custkey IS NULL
+        GROUP BY 1
+    )
+    SELECT s.q, s.status,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(s.rev) AS BIGINT) AS revenue_c
+    FROM state s
+    GROUP BY s.q, s.status
+    UNION ALL
+    SELECT c.q, 'churned', CAST(c.n AS BIGINT), CAST(-c.rev AS BIGINT)
+    FROM churned c
+    WHERE c.q IN (SELECT q FROM qs)
+    ORDER BY q, status
+    """,
+)
+def q_agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (new / retained / resurrected / churned) — the
+    quarter-over-quarter customer-revenue bridge a subscription or
+    marketplace business reports: every active (customer, quarter) is
+    classified by first-ever activity (new), previous-quarter presence
+    (retained), or gap-return (resurrected), and customers active last
+    quarter but silent this quarter post as CHURNED with their lost
+    revenue carried NEGATIVE — so the four statuses reconcile growth
+    exactly. Quarter keys are integer year*10+q with explicit
+    wrap-around arithmetic (no date-interval semantics to diverge).
+    Dataflow: one (customer, quarter) aggregate, a min-per-customer
+    broadcast, and two self-joins on the LAGGED quarter key — all
+    co-partitioned on customer. Churn for quarters beyond the window is
+    clipped to observed quarters. Exact integer cents. Reference
+    analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    q_expr = (
+        F.year("o_orderdate").cast("long") * 10
+        + ((F.month("o_orderdate") + 2) / 3).cast("long")
+    )
+    qrev = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", q_expr.alias("q"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+        .localCheckpoint()
+    )
+    firstq = qrev.groupBy("o_custkey").agg(F.min("q").alias("q0"))
+    prev_q = F.when(F.col("q") % 10 == 1, F.col("q") - 7).otherwise(
+        F.col("q") - 1
+    )
+    next_q = F.when(F.col("q") % 10 == 4, F.col("q") + 7).otherwise(
+        F.col("q") + 1
+    )
+    prev = qrev.select(
+        "o_custkey", next_q.alias("q"), F.col("rev").alias("prev_rev")
+    )
+    state = (
+        qrev.join(firstq, "o_custkey")
+        .join(prev, ["o_custkey", "q"], "left")
+        .select(
+            "q",
+            "rev",
+            F.when(F.col("q0") == F.col("q"), "new")
+            .when(F.col("prev_rev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    present = qrev.select("o_custkey", "q", F.lit(1).alias("_hit"))
+    churn = (
+        qrev.select(
+            "o_custkey", next_q.alias("q"), F.col("rev").alias("lost")
+        )
+        .join(present, ["o_custkey", "q"], "left_anti")
+        .join(qrev.select("q").distinct(), "q", "left_semi")
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (-F.sum("lost")).alias("revenue_c"),
+        )
+        .select("q", F.lit("churned").alias("status"), "n_customers", "revenue_c")
+    )
+    out = (
+        state.groupBy("q", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("revenue_c"),
+        )
+        .unionByName(churn)
+    )
+    return out.orderBy("q", "status")

@@ -2814,3 +2814,102 @@ def q_fraud_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("second_orderkey"),
         F.datediff("d", "prev_d").cast("long").alias("gap_days"),
     ).orderBy("o_custkey", "amount_band", "second_orderkey")
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM {EVENTS_US}
+        GROUP BY 1
+    ),
+    roll AS (
+        SELECT d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, n,
+           CAST(ROUND(1000000.0 * (
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           ), 0) AS BIGINT) AS corr_micro
+    FROM roll
+    WHERE rn >= 14
+    ORDER BY d
+    """,
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 14-DAY CORRELATION between the click and purchase
+    revenue series — the co-movement monitor behind "are conversions
+    tracking engagement this week?" alerts. The portability trap is
+    that rolling VARIANCE/CORR functions accumulate floats in
+    engine-specific (segment-tree) orders; here every windowed quantity
+    is an EXACT INT64 rolling sum (counts/cents and their products over
+    a 14-row frame — integer window sums are order-free), and the
+    Pearson ratio is one per-row IEEE expression over those exact
+    scalars, micro-rounded (the q_graph_assortativity idiom, per row).
+    Emitted only once the full lookback exists. One daily aggregate +
+    one ordered window over the O(days) series. Reference analog:
+    none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-13, 0)
+    roll = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.row_number().over(W.orderBy("d")).alias("rn"),
+    )
+
+    def dd(c: str):
+        return F.col(c).cast("double")
+
+    corr = (dd("n") * dd("sxy") - dd("sx") * dd("sy")) / (
+        F.sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx"))
+        * F.sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy"))
+    )
+    return (
+        roll.filter(F.col("rn") >= 14)
+        .select(
+            "d",
+            "n",
+            F.round(F.lit(1000000.0) * corr, 0).cast("long").alias(
+                "corr_micro"
+            ),
+        )
+        .orderBy("d")
+    )

@@ -1359,3 +1359,79 @@ def test_purchase_gaps_cover_all_pairs(spark, sf_dir):
     assert sum(r["n_gaps"] for r in rows) == n_orders - n_cust
     for r in rows:
         assert r["min_days"] <= r["mean_days"] <= r["max_days"]
+
+
+def test_growth_accounting_reconciles(spark, sf_dir):
+    rows = _queries()["q_agg_growth_accounting"](spark, sf_dir).collect()
+    per_q: dict[int, dict[str, int]] = {}
+    for r in rows:
+        per_q.setdefault(r["q"], {})[r["status"]] = r["revenue_c"]
+    import duckdb
+
+    truth = dict(
+        duckdb.sql(
+            f"""SELECT CAST(YEAR(o_orderdate) AS BIGINT)*10
+                + CAST((MONTH(o_orderdate)+2)//3 AS BIGINT),
+            SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet'
+            WHERE YEAR(o_orderdate) IN (1996, 1997) GROUP BY 1"""
+        ).fetchall()
+    )
+    # positive statuses sum to the quarter's actual revenue
+    for q, st in per_q.items():
+        pos = sum(v for k, v in st.items() if k != "churned")
+        assert pos == truth[q]
+        assert st.get("churned", 0) <= 0
+    # the first quarter has only 'new'
+    q0 = min(per_q)
+    assert set(per_q[q0]) <= {"new", "churned"}
+
+
+def test_rolling_corr_bounds_and_recompute(spark, sf_dir):
+    rows = _queries()["q_win_rolling_corr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_001 <= r["corr_micro"] <= 1_000_001
+        assert r["n"] == 14
+    # recompute the last row brute force
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) d,
+        SUM(CASE WHEN event_type='click' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) x,
+        SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) y
+        FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    last = rows[-1]
+    window = [t for t in daily if last["d"] - 13 <= t[0] <= last["d"]]
+    n = len(window)
+    sx = sum(x for _, x, _ in window)
+    sy = sum(y for _, _, y in window)
+    sxx = sum(x * x for _, x, _ in window)
+    syy = sum(y * y for _, _, y in window)
+    sxy = sum(x * y for _, x, y in window)
+    corr = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert abs(last["corr_micro"] / 1e6 - corr) < 2e-6
+
+
+def test_vocab_overlap_symmetric_truth(spark, sf_dir):
+    rows = _queries()["q_text_vocab_overlap"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    vocab = duckdb.sql(
+        f"""SELECT DISTINCT lang, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) w
+        FROM '{sf_dir}/documents.parquet'"""
+    ).fetchall()
+    per: dict[str, set] = {}
+    for lang, w in vocab:
+        if w:
+            per.setdefault(lang, set()).add(w)
+    for r in rows:
+        a, b = per[r["lang_a"]], per[r["lang_b"]]
+        common = len(a & b)
+        assert r["common"] == common
+        assert r["vocab_a"] == len(a) and r["vocab_b"] == len(b)
+        assert r["jaccard_ppm"] == 1_000_000 * common // len(a | b)
