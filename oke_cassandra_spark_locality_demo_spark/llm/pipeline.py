@@ -2765,3 +2765,72 @@ def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_stream_watermark_planner",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_id,
+               ('0x' || SUBSTRING(MD5('lag' ||
+                    CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                 % 120000000 AS delay_us
+        FROM {EVENTS_US}
+    ),
+    cand AS (
+        SELECT UNNEST([10, 30, 60, 90, 120]) AS wm_sec
+    )
+    SELECT CAST(c.wm_sec AS BIGINT) AS wm_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN a.delay_us > c.wm_sec * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(1000000 * SUM(CASE WHEN a.delay_us > c.wm_sec * 1000000
+                    THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS drop_ppm
+    FROM arr a CROSS JOIN cand c
+    GROUP BY c.wm_sec
+    ORDER BY wm_sec
+    """,
+)
+def q_stream_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-DELAY PLANNER — the capacity-vs-completeness tradeoff
+    table a streaming team reads before setting withWatermark(): for
+    each candidate delay (10/30/60/90/120 s), what fraction of events
+    would arrive too late and be dropped? Works on the same
+    deterministic 0-120 s simulated delivery delay as
+    q_quality_event_order (seeded 'lag' — the two ops share one
+    synthesis so the planner's numbers explain the audit's inversions),
+    crossed against the 5-row candidate table (broadcast) and reduced
+    in one pass. Monotone-decreasing drop rate asserted in tests; the
+    120 s row must drop zero (the injected delay's upper bound).
+    Truncating ppm over exact counts. Reference analog: none —
+    target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('lag',"
+            " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 120000000"
+        ).alias("delay_us")
+    )
+    cand = spark.createDataFrame(
+        [(10,), (30,), (60,), (90,), (120,)], "wm_sec long"
+    )
+    dropped = F.sum(
+        F.when(F.col("delay_us") > F.col("wm_sec") * 1_000_000, 1).otherwise(0)
+    )
+    return (
+        arr.crossJoin(F.broadcast(cand))
+        .groupBy("wm_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dropped.alias("n_dropped"),
+        )
+        .select(
+            "wm_sec",
+            "n_events",
+            "n_dropped",
+            F.expr("1000000 * n_dropped DIV n_events").alias("drop_ppm"),
+        )
+        .orderBy("wm_sec")
+    )

@@ -3834,3 +3834,115 @@ def q_agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(churn)
     )
     return out.orderBy("q", "status")
+
+
+@register(
+    "q_agg_abc_xyz",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_partkey AS part,
+               CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE)
+                   AS mon,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT part,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(rev) AS BIGINT) AS total_rev,
+               CAST(SUM(rev * rev) AS BIGINT) AS sqsum
+        FROM monthly GROUP BY part
+    ),
+    ranked AS (
+        SELECT part, n_months, total_rev, sqsum,
+               CAST(SUM(total_rev) OVER (ORDER BY total_rev DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_rev,
+               CAST(SUM(total_rev) OVER () AS BIGINT) AS grand
+        FROM per_part
+    ),
+    classed AS (
+        SELECT part,
+               CASE WHEN 5 * cum_rev <= 4 * grand THEN 'A'
+                    WHEN 20 * cum_rev <= 19 * grand THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN n_months < 3 THEN 'Z'
+                    WHEN (n_months * sqsum - total_rev * total_rev) * 4
+                         <= total_rev * total_rev THEN 'X'
+                    WHEN n_months * sqsum - total_rev * total_rev
+                         <= total_rev * total_rev THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               total_rev
+        FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(total_rev) AS BIGINT) AS revenue_c
+    FROM classed
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+    """,
+)
+def q_agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ INVENTORY MATRIX — the two-axis SKU classification supply
+    chains plan stock by: ABC = cumulative-revenue Pareto class (top 80%
+    / next 15% / tail, cross-multiplied as 5*cum <= 4*grand so the
+    cutoffs are EXACT integer predicates, the q_agg_abc_pareto
+    discipline), XYZ = demand-variability class from the coefficient of
+    variation of monthly revenue — ALSO exact: CV^2 <= 1/4 (X, steady)
+    and CV^2 <= 1 (Y) become n*sqsum - s^2 <= s^2/4-style
+    cross-multiplied int64 comparisons, no sqrt, no floats anywhere;
+    parts seen under 3 months are Z by insufficient history. One
+    monthly aggregate, one part rollup, one Pareto window, a 9-cell
+    emission. Reference analog: none — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev"
+        )
+    )
+    per_part = monthly.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sqsum"),
+    )
+    w_cum = Window.orderBy(F.desc("total_rev"), "part").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "part",
+        "n_months",
+        "total_rev",
+        "sqsum",
+        F.sum("total_rev").over(w_cum).alias("cum_rev"),
+        F.sum("total_rev").over(Window.partitionBy()).alias("grand"),
+    )
+    var_num = F.col("n_months") * F.col("sqsum") - F.col("total_rev") * F.col(
+        "total_rev"
+    )
+    classed = ranked.select(
+        F.when(5 * F.col("cum_rev") <= 4 * F.col("grand"), "A")
+        .when(20 * F.col("cum_rev") <= 19 * F.col("grand"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("n_months") < 3, "Z")
+        .when(
+            var_num * 4 <= F.col("total_rev") * F.col("total_rev"), "X"
+        )
+        .when(var_num <= F.col("total_rev") * F.col("total_rev"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "total_rev",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("total_rev").alias("revenue_c"),
+        )
+        .orderBy("abc", "xyz")
+    )

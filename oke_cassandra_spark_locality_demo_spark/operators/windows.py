@@ -2913,3 +2913,67 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q_ts_dau_mau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+        FROM {EVENTS_US}
+    ),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    mau_c AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(d, d + 27)) AS t FROM ud
+    ),
+    mau AS (
+        SELECT t AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM mau_c GROUP BY t
+    )
+    SELECT dau.d, dau.dau, mau.mau,
+           CAST(1000000 * dau.dau // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON dau.d = mau.d CROSS JOIN span s
+    WHERE dau.d >= s.d0 + 27 AND dau.d <= s.d1
+    ORDER BY dau.d
+    """,
+)
+def q_ts_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS — the engagement-quality ratio (what fraction
+    of the monthly audience shows up on a given day), reported only for
+    days with a FULL 28-day trailing window (a partial MAU inflates
+    stickiness — the classic dashboard bug). Same scatter idiom as
+    q_ts_wau with a 28-day support fan-out of the deduped (user, day)
+    pairs; DAU is the plain per-day distinct count; the ratio is
+    truncating ppm of two exact counts. Thin emission on the ~30-day
+    fixture (the last few days) by design — the windows are the point.
+    Reference analog: none — target-only capability."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct().localCheckpoint()
+    span = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = (
+        ud.select("user_id", F.explode(F.sequence("d", F.col("d") + 27)).alias("t"))
+        .groupBy(F.col("t").alias("d"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "d")
+        .crossJoin(F.broadcast(span))
+        .filter((F.col("d") >= F.col("d0") + 27) & (F.col("d") <= F.col("d1")))
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.expr("1000000 * dau DIV mau").alias("stickiness_ppm"),
+        )
+        .orderBy("d")
+    )

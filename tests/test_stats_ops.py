@@ -1435,3 +1435,66 @@ def test_vocab_overlap_symmetric_truth(spark, sf_dir):
         assert r["common"] == common
         assert r["vocab_a"] == len(a) and r["vocab_b"] == len(b)
         assert r["jaccard_ppm"] == 1_000_000 * common // len(a | b)
+
+
+def test_dau_mau_full_windows_only(spark, sf_dir):
+    rows = _queries()["q_ts_dau_mau"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["mau"]
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+        assert r["stickiness_ppm"] == 1_000_000 * r["dau"] // r["mau"]
+    import duckdb
+
+    probe = rows[0]
+    mau_true = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'
+        WHERE CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+              BETWEEN {probe["d"]} - 27 AND {probe["d"]}"""
+    ).fetchone()[0]
+    assert probe["mau"] == mau_true
+
+
+def test_watermark_planner_monotone(spark, sf_dir):
+    rows = _queries()["q_stream_watermark_planner"](spark, sf_dir).collect()
+    assert [r["wm_sec"] for r in rows] == [10, 30, 60, 90, 120]
+    drops = [r["n_dropped"] for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    assert rows[-1]["n_dropped"] == 0  # injected delay capped at 120 s
+    assert rows[0]["n_dropped"] > 0  # 10 s watermark must lose events
+    # consistency with the event-order audit's shared synthesis
+    import hashlib
+
+    import duckdb
+
+    ids = [
+        i
+        for (i,) in duckdb.sql(
+            f"SELECT event_id FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    ]
+    dropped_60 = sum(
+        1
+        for i in ids
+        if int(hashlib.md5(f"lag{i}".encode()).hexdigest()[:8], 16)
+        % 120_000_000
+        > 60_000_000
+    )
+    assert {r["wm_sec"]: r["n_dropped"] for r in rows}[60] == dropped_60
+
+
+def test_abc_xyz_matrix_partitions_parts(spark, sf_dir):
+    rows = _queries()["q_agg_abc_xyz"](spark, sf_dir).collect()
+    import duckdb
+
+    n_parts = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    classes = {(r["abc"], r["xyz"]) for r in rows}
+    assert classes <= {(a, x) for a in "ABC" for x in "XYZ"}
+    # Pareto sanity: the A band carries the revenue majority
+    rev = {}
+    for r in rows:
+        rev[r["abc"]] = rev.get(r["abc"], 0) + r["revenue_c"]
+    assert rev.get("A", 0) > rev.get("C", 0)
