@@ -279,7 +279,23 @@ _MODIFIED_THIS_ROUND = [
 #: q_sample_class_quota, q_ts_resample_weekly, q_geo_grid_density,
 #: q_split_kfold_grouped, q_stats_prop_ztest, q_win_path_topk,
 #: q_vec_jl_projection, q_join_asof_nearest, q_fn_codec,
-#: q_export_manifest).
+#: q_export_manifest, q_feature_target_encode, q_feature_impute,
+#: q_text_compress_ratio, q_scan_dpp, q_graph_2hop_reach,
+#: q_rank_ndcg, q_win_distinct_bitmask, q_stats_levene,
+#: q_win_concurrency_sweep, q_agg_hist_equidepth,
+#: q_graph_degree_powerlaw, q_agg_vwap, q_sample_negative_downsample,
+#: q_stats_spearman, q_ts_backtest_snaive, q_fn_stable_id,
+#: q_sql_window_clause, q_privacy_suppress, q_ts_new_users,
+#: q_win_rsi, q_stats_gtest, q_graph_neighbor_sample,
+#: q_text_script_mix, q_stats_mcnemar, q_fn_time_bucket,
+#: q_ts_wau, q_shard_rendezvous, q_agg_rfm, q_label_churn,
+#: q_quality_event_order, q_agg_percent_of_parent, q_agg_mix_shift,
+#: q_sql_distinct_on, q_fraud_double_charge, q_privacy_uniqueness,
+#: q_agg_linreg2, q_budget_waterfill, q_stats_overdispersion,
+#: q_stats_wilcoxon, q_join_size_estimate, q_agg_purchase_gaps,
+#: q_agg_growth_accounting, q_win_rolling_corr,
+#: q_text_vocab_overlap, q_ts_dau_mau, q_stream_watermark_planner,
+#: q_agg_abc_xyz).
 #: 50 slots cover fewer than half — prioritize the oracle-backed
 #: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
 #: commit order; the remainder fronts in r7/r8, after which the
