@@ -767,3 +767,93 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(scene_cuts, schema=_SCENE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_multimodal_payload_entropy",
+    oracle="""
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               LOWER(HEX(ENCODE(text))) AS hx
+        FROM documents
+    ),
+    bytes_ AS (
+        SELECT media_type, UNNEST(REGEXP_EXTRACT_ALL(hx, '..')) AS b
+        FROM media
+    ),
+    cnt AS (
+        SELECT media_type, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bytes_ GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT media_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS distinct_bytes
+        FROM cnt GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.media_type,
+               CAST(SUM(c.c * CAST(ROUND(1000000.0 *
+                    LN(CAST(c.c AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                   AS clnc_micro
+        FROM cnt c GROUP BY 1
+    )
+    SELECT t.media_type, t.n AS n_bytes, t.distinct_bytes,
+           CAST(CAST(ROUND(1000000.0 * LN(CAST(t.n AS DOUBLE)))
+                AS BIGINT) - x.clnc_micro // t.n AS BIGINT)
+               AS entropy_micro_nats
+    FROM tot t JOIN terms x ON t.media_type = x.media_type
+    ORDER BY t.media_type
+    """,
+)
+def q_multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL SHANNON ENTROPY of binary payloads per media type —
+    the corruption / encryption / wrong-codec smoke test a media
+    ingestion pipeline runs on opaque blobs (plain text runs ~4.2 nats,
+    compressed/encrypted payloads approach ln 256 ~ 5.55, constant
+    padding collapses toward 0). The byte histogram is computed
+    RELATIONALLY with zero UDFs: hex-render the payload (the
+    byte-indexing idiom of the multimodal oracles), split into 2-char
+    byte labels with one regexp_extract_all, and hash-aggregate —
+    the fan-out is bytes, but the aggregate is map-side-combinable and
+    the state is <= 256 rows per type. H = ln N - (Σ c·ln c)/N uses the
+    HOUSE LOG-TERM RULE: each ln is micro-rounded once, then the
+    weighted sum and the final division are exact integers. Lowercased
+    hex on both engines (case conventions differ for blob rendering).
+    Reference analog: none — target-only capability."""
+    media = media_table(spark, sf_dir).select(
+        "media_type", F.lower(F.hex(F.col("payload"))).alias("hx")
+    )
+    bytes_ = media.select(
+        "media_type",
+        F.explode(F.regexp_extract_all("hx", F.lit(".."), 0)).alias("b"),
+    )
+    cnt = bytes_.groupBy("media_type", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("media_type").agg(
+        F.sum("c").alias("n_bytes"),
+        F.count(F.lit(1)).alias("distinct_bytes"),
+    )
+    term = F.round(
+        F.lit(1000000.0) * F.log(F.col("c").cast("double"))
+    ).cast("long")
+    terms = cnt.groupBy("media_type").agg(
+        F.sum(F.col("c") * term).alias("clnc_micro")
+    )
+    ln_n = F.round(
+        F.lit(1000000.0) * F.log(F.col("n_bytes").cast("double"))
+    ).cast("long")
+    return (
+        tot.join(terms, "media_type")
+        .select(
+            "media_type",
+            "n_bytes",
+            "distinct_bytes",
+            (ln_n - F.expr("clnc_micro DIV n_bytes")).alias(
+                "entropy_micro_nats"
+            ),
+        )
+        .orderBy("media_type")
+    )

@@ -1151,3 +1151,172 @@ def q_stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2_minus",
         F.round(F.lit(1000000.0) * z, 0).cast("long").alias("z_micro"),
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1998-01-01' AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    pre AS (
+        SELECT d, v,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(SUM(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS ps,
+               CAST(SUM(v * v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS pss,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(v) OVER () AS BIGINT) AS ts_,
+               CAST(SUM(v * v) OVER () AS BIGINT) AS tss
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, i, n,
+               (CAST(pss AS DOUBLE)
+                - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE)
+                  / CAST(i AS DOUBLE))
+               + (CAST(tss - pss AS DOUBLE)
+                  - CAST(ts_ - ps AS DOUBLE) * CAST(ts_ - ps AS DOUBLE)
+                    / CAST(n - i AS DOUBLE)) AS sse
+        FROM pre
+        WHERE i < n
+    ),
+    best AS (
+        SELECT d, sse FROM scored ORDER BY sse, d LIMIT 1
+    )
+    SELECT b.d AS change_day,
+           CAST(ROUND(b.sse / 1000000.0) AS BIGINT) AS sse_micro_c2,
+           CAST((SELECT MAX(n) FROM pre) AS BIGINT) AS n_days
+    FROM best b
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE CHANGE-POINT DETECTION (single binary segmentation step):
+    the split day minimizing total within-segment SSE of the 1998+
+    daily-revenue series — the batch complement to q_drift_cusum's
+    online alarm. Every candidate split is scored from PREFIX SUMS
+    (exact int64 running Σv, Σv² — one ordered window pass), so the
+    full argmin costs O(days), not O(days²); each split's SSE is one
+    IEEE double expression over exact integers, computed IDENTICALLY on
+    both engines, so the argmin ordering — and therefore the chosen
+    day, tie-broken by day — is portable even though SSE itself is a
+    double (emitted down-scaled to micro-cents² for the record). The
+    window input is the O(days) daily table, never raw orders. The
+    series is integer KILO-dollars (floor of the exact integer daily
+    dollar sum) so the prefix Σv² stays inside int64 to SF 1000 —
+    cent-level units overflowed the running square sum at sf0.01.
+    Reference analog: none — target-only capability."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1998-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice, 0) AS BIGINT)) DIV 1000"
+            ).alias("v")
+        )
+    )
+    w_ord = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    pre = daily.select(
+        "d",
+        F.row_number().over(W.orderBy("d")).cast("long").alias("i"),
+        F.sum("v").over(w_ord).alias("ps"),
+        F.sum(F.col("v") * F.col("v")).over(w_ord).alias("pss"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_all).alias("ts_"),
+        F.sum(F.col("v") * F.col("v")).over(w_all).alias("tss"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    sse = (
+        d("pss") - d("ps") * d("ps") / d("i")
+    ) + (
+        (F.col("tss") - F.col("pss")).cast("double")
+        - (F.col("ts_") - F.col("ps")).cast("double")
+        * (F.col("ts_") - F.col("ps")).cast("double")
+        / (F.col("n") - F.col("i")).cast("double")
+    )
+    scored = pre.filter(F.col("i") < F.col("n")).select(
+        "d", "n", sse.alias("sse")
+    )
+    best = scored.orderBy("sse", "d").limit(1)
+    return best.select(
+        F.col("d").alias("change_day"),
+        F.round(F.col("sse") / F.lit(1000000.0)).cast("long").alias(
+            "sse_micro_c2"
+        ),
+        F.col("n").alias("n_days"),
+    )
+
+
+@register(
+    "q_stats_ess",
+    oracle="""
+    WITH w AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS wt FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(wt) AS BIGINT) AS sum_w,
+           CAST(SUM(wt * wt) AS BIGINT) AS sum_w2,
+           CAST(ROUND(1000000.0 * (
+               (CAST(SUM(wt) AS DOUBLE) * CAST(SUM(wt) AS DOUBLE)
+                / CAST(SUM(wt * wt) AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE)
+           ), 0) AS BIGINT) AS ess_ratio_micro
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_stats_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of a weighted corpus — Kish's
+    ESS = (Σw)²/Σw², per language with document length as the weight:
+    the diagnostic that says how much statistical power a
+    length-weighted (or importance-weighted — same math applies to
+    q_select_dsir's ratios) sample REALLY carries. Emitted as the
+    ESS/n ratio in micro-units (1e6 = equal weights, small = a few
+    giant docs dominate). Weight moments are exact int64 from one
+    map-side-combinable aggregate; the ratio is one IEEE double
+    expression over them. Reference analog: none — target-only
+    capability."""
+    d_ = load(spark, sf_dir, "documents")
+    m = d_.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_w"),
+        F.sum(
+            F.col("n_chars").cast("long") * F.col("n_chars").cast("long")
+        ).alias("sum_w2"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    ess_ratio = (d("sum_w") * d("sum_w") / d("sum_w2")) / d("n")
+    return m.select(
+        "lang",
+        "n",
+        "sum_w",
+        "sum_w2",
+        F.round(F.lit(1000000.0) * ess_ratio, 0).cast("long").alias(
+            "ess_ratio_micro"
+        ),
+    ).orderBy("lang")

@@ -1498,3 +1498,65 @@ def test_abc_xyz_matrix_partitions_parts(spark, sf_dir):
     for r in rows:
         rev[r["abc"]] = rev.get(r["abc"], 0) + r["revenue_c"]
     assert rev.get("A", 0) > rev.get("C", 0)
+
+
+def test_changepoint_is_argmin(spark, sf_dir):
+    r = _queries()["q_ts_changepoint"](spark, sf_dir).collect()[0]
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1998-01-01' AS BIGINT) d,
+        SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) // 1000 v
+        FROM '{sf_dir}/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vals = [v for _, v in daily]
+    n = len(vals)
+
+    def sse(seg):
+        m = sum(seg) / len(seg)
+        return sum((x - m) ** 2 for x in seg)
+
+    best = min(
+        range(1, n),
+        key=lambda i: (sse(vals[:i]) + sse(vals[i:]), daily[i - 1][0]),
+    )
+    assert r["change_day"] == daily[best - 1][0]
+    assert r["n_days"] == n
+
+
+def test_ess_bounds(spark, sf_dir):
+    rows = _queries()["q_stats_ess"](spark, sf_dir).collect()
+    for r in rows:
+        # ESS/n is in (0, 1]; equality only under perfectly equal weights
+        assert 0 < r["ess_ratio_micro"] <= 1_000_000
+        ess = r["sum_w"] ** 2 / r["sum_w2"]
+        assert abs(r["ess_ratio_micro"] / 1e6 - ess / r["n"]) < 1e-4
+
+
+def test_payload_entropy_matches_bruteforce(spark, sf_dir):
+    import math
+
+    rows = {r["media_type"]: r for r in _queries()["q_multimodal_payload_entropy"](spark, sf_dir).collect()}
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, dict[int, int]] = {}
+    for doc_id, text in docs:
+        mt = ["image/png", "audio/wav", "video/mp4"][doc_id % 3]
+        h = per.setdefault(mt, {})
+        for b in text.encode("utf-8"):
+            h[b] = h.get(b, 0) + 1
+    for mt, hist in per.items():
+        n = sum(hist.values())
+        r = rows[mt]
+        assert r["n_bytes"] == n
+        assert r["distinct_bytes"] == len(hist)
+        expect = round(1e6 * math.log(n)) - (
+            sum(c * round(1e6 * math.log(c)) for c in hist.values()) // n
+        )
+        assert r["entropy_micro_nats"] == expect
+        # text payloads sit well inside (0, ln 256)
+        assert 0 < r["entropy_micro_nats"] < 5_550_000
