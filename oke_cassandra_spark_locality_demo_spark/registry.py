@@ -295,7 +295,8 @@ _MODIFIED_THIS_ROUND = [
 #: q_stats_wilcoxon, q_join_size_estimate, q_agg_purchase_gaps,
 #: q_agg_growth_accounting, q_win_rolling_corr,
 #: q_text_vocab_overlap, q_ts_dau_mau, q_stream_watermark_planner,
-#: q_agg_abc_xyz).
+#: q_agg_abc_xyz, q_ts_changepoint, q_stats_ess,
+#: q_multimodal_payload_entropy).
 #: 50 slots cover fewer than half — prioritize the oracle-backed
 #: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
 #: commit order; the remainder fronts in r7/r8, after which the
