@@ -723,3 +723,52 @@ def q_fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
         .orderBy("bucket_us")
     )
+
+
+@register(
+    "q_fn_split_part",
+    oracle="""
+    SELECT o_orderkey,
+           SPLIT_PART(o_orderpriority, '-', 1) AS prio_code,
+           SPLIT_PART(o_orderpriority, '-', 2) AS prio_label,
+           SPLIT_PART(o_orderpriority, '-', 3) AS past_end,
+           SPLIT_PART(CAST(o_orderkey AS VARCHAR) || '.' ||
+                      o_orderstatus || '.' ||
+                      CAST(YEAR(o_orderdate) AS VARCHAR), '.', 2)
+               AS status_from_key
+    FROM orders
+    WHERE o_orderkey % 23 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT_PART delimited-field extraction — the composite-key /
+    log-line field accessor (ids like '1-URGENT', 'order.status.year')
+    that avoids regexes entirely. Verified identical semantics this
+    round: 1-based indexing, empty string (not NULL, not error) past
+    the last field, whole input when the delimiter is absent — the
+    three edge cases that differ across SQL dialects but agree between
+    Spark and DuckDB. Pure codegen'd scalar over a pushed-down scan.
+    Reference analog: none — target-only capability."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    composite = F.concat_ws(
+        ".",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.year("o_orderdate").cast("string"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias(
+            "prio_code"
+        ),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias(
+            "prio_label"
+        ),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(3)).alias(
+            "past_end"
+        ),
+        F.split_part(composite, F.lit("."), F.lit(2)).alias(
+            "status_from_key"
+        ),
+    ).orderBy("o_orderkey")
