@@ -3946,3 +3946,74 @@ def q_agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+@register(
+    "q_agg_cr4",
+    oracle="""
+    WITH srev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nation, rev,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY rev DESC, l_suppkey) AS rnk
+        FROM srev
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN rnk <= 4 THEN rev ELSE 0 END) AS BIGINT)
+               AS top4_rev_c,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_c,
+           CAST(1000000 * SUM(CASE WHEN rnk <= 4 THEN rev ELSE 0 END)
+                // SUM(rev) AS BIGINT) AS cr4_ppm
+    FROM ranked
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def q_agg_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-FIRM CONCENTRATION RATIO (CR4) per nation — the antitrust /
+    supplier-risk companion to q_agg_hhi: what share of each nation's
+    lineitem revenue flows through its top four suppliers? (HHI weights
+    every firm quadratically; CR4 is the head-count regulators and
+    procurement teams quote.) One fact-dim broadcast join, a supplier
+    revenue aggregate, a per-nation rank window over the O(suppliers)
+    table (never raw lineitem), and an exact truncating-ppm share with
+    deterministic suppkey tiebreaks. Nations with <= 4 suppliers read
+    CR4 = 1e6 by construction — asserted in tests. Reference analog:
+    none — target-only capability."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("rev"), "l_suppkey")
+    ranked = srev.select(
+        "nation", "rev", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.when(F.col("rnk") <= 4, F.col("rev")).otherwise(0)).alias(
+                "top4_rev_c"
+            ),
+            F.sum("rev").alias("total_rev_c"),
+            F.expr(
+                "1000000 * sum(CASE WHEN rnk <= 4 THEN rev ELSE 0 END)"
+                " DIV sum(rev)"
+            ).alias("cr4_ppm"),
+        )
+        .orderBy("nation")
+    )

@@ -1560,3 +1560,28 @@ def test_payload_entropy_matches_bruteforce(spark, sf_dir):
         assert r["entropy_micro_nats"] == expect
         # text payloads sit well inside (0, ln 256)
         assert 0 < r["entropy_micro_nats"] < 5_550_000
+
+
+def test_cr4_bounds_and_bruteforce(spark, sf_dir):
+    rows = _queries()["q_agg_cr4"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT s.s_nationkey, l.l_suppkey,
+        SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for nat, _, rev in raw:
+        per.setdefault(nat, []).append(rev)
+    for r in rows:
+        revs = sorted(per[r["nation"]], reverse=True)
+        assert r["n_suppliers"] == len(revs)
+        assert r["top4_rev_c"] == sum(revs[:4])
+        assert r["total_rev_c"] == sum(revs)
+        assert r["cr4_ppm"] == 1_000_000 * sum(revs[:4]) // sum(revs)
+        if len(revs) <= 4:
+            assert r["cr4_ppm"] == 1_000_000
