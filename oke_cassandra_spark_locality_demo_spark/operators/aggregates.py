@@ -4017,3 +4017,74 @@ def q_agg_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_agg_theil",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_acctbal > 0
+    ),
+    vals AS (
+        SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY grp, cents
+    ),
+    m AS (
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * cents) AS BIGINT) AS s,
+               CAST(SUM(c * cents * CAST(ROUND(1000000.0 *
+                    LN(CAST(cents AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                   AS xlnx_micro
+        FROM vals GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST(xlnx_micro // s
+                - CAST(ROUND(1000000.0 * LN(CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))) AS BIGINT) AS BIGINT)
+               AS theil_micro_nats
+    FROM m
+    ORDER BY grp
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INEQUALITY INDEX per segment — the third canonical
+    inequality measure next to q_agg_lorenz_gini (rank-based) and
+    q_agg_hhi (share-squared): T = Sum (x_i/S)·ln(x_i/mu), which unlike
+    Gini DECOMPOSES additively into within/between-group terms — why
+    economists aggregate it across hierarchies. Rearranged for
+    exactness as (Sum x·ln x)/S - ln(mu): the per-VALUE log terms use
+    the HOUSE LOG-TERM RULE (micro-rounded once; computed per DISTINCT
+    cents value — the q_stats_kruskal value-granularity trick — so the
+    log evaluation count scales with distinct values, not rows), the
+    weighted sum and the division are exact integers, and the single
+    trailing ln(mean) is itself one micro-rounded term (the true-mean
+    ratio S/n is evaluated inside the ln identically on both engines).
+    Positive-balance slice keeps the logs defined. x·lnx <= 1e6 cents ·
+    14e6 micro-nats ~ 1.4e13/row: int64-safe to ~650k rows per value
+    group times values — far past the fixtures. Reference analog:
+    none — target-only capability."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    base = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    vals = base.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("c"))
+    lnx = F.round(
+        F.lit(1000000.0) * F.log(F.col("cents").cast("double"))
+    ).cast("long")
+    m = vals.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("cents")).alias("s"),
+        F.sum(F.col("c") * F.col("cents") * lnx).alias("xlnx_micro"),
+    )
+    ln_mu = F.round(
+        F.lit(1000000.0)
+        * F.log(F.col("s").cast("double") / F.col("n").cast("double"))
+    ).cast("long")
+    return m.select(
+        "grp",
+        "n",
+        (F.expr("xlnx_micro DIV s") - ln_mu).alias("theil_micro_nats"),
+    ).orderBy("grp")

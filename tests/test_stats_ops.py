@@ -1585,3 +1585,25 @@ def test_cr4_bounds_and_bruteforce(spark, sf_dir):
         assert r["cr4_ppm"] == 1_000_000 * sum(revs[:4]) // sum(revs)
         if len(revs) <= 4:
             assert r["cr4_ppm"] == 1_000_000
+
+
+def test_theil_matches_bruteforce(spark, sf_dir):
+    import math
+
+    rows = {r["grp"]: r for r in _queries()["q_agg_theil"](spark, sf_dir).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""SELECT c_mktsegment, CAST(ROUND(c_acctbal*100) AS BIGINT)
+        FROM '{sf_dir}/customer.parquet' WHERE c_acctbal > 0"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for g, x in raw:
+        per.setdefault(g, []).append(x)
+    for g, xs in per.items():
+        n, s = len(xs), sum(xs)
+        mu = s / n
+        theil = sum((x / s) * math.log(x / mu) for x in xs)
+        # micro-rounded log terms introduce <= ~2e-6 nats of slack
+        assert abs(rows[g]["theil_micro_nats"] / 1e6 - theil) < 5e-6
+        assert rows[g]["theil_micro_nats"] >= 0 or theil < 1e-9
