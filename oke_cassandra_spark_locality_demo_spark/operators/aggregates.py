@@ -4088,3 +4088,55 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.expr("xlnx_micro DIV s") - ln_mu).alias("theil_micro_nats"),
     ).orderBy("grp")
+
+
+@register(
+    "q_agg_arpu",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(DATE_TRUNC('month', CAST(ts AS DATE)) AS DATE) AS mon,
+               user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM {EVENTS_US} WHERE event_type = 'purchase'
+    )
+    SELECT mon,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(SUM(cents) AS BIGINT) AS revenue_c,
+           CAST(SUM(cents) // COUNT(DISTINCT user_id) AS BIGINT)
+               AS arpu_c,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM base
+    GROUP BY mon
+    ORDER BY mon
+    """,
+)
+def q_agg_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTHLY ARPU (average revenue per purchasing user) — the
+    unit-economics headline: purchase revenue over distinct purchasers
+    per calendar month. The trap this op pins down is the DENOMINATOR:
+    revenue / purchases (basket size) and revenue / users (ARPU) answer
+    different questions, so both counts are emitted next to the exact
+    truncating-cents ratio. COUNT(DISTINCT) inside a grouped aggregate
+    expands to Spark's two-phase distinct aggregation — partial
+    distinct state per (month, user), then the merge — which stays
+    map-side-combinable at any scale. Calendar bucketing shares the
+    verified DATE_TRUNC parity. Reference analog: none — target-only
+    capability."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("mon"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.groupBy("mon")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.sum("cents").alias("revenue_c"),
+            F.expr(
+                "sum(cents) DIV count(DISTINCT user_id)"
+            ).alias("arpu_c"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy("mon")
+    )

@@ -1607,3 +1607,19 @@ def test_theil_matches_bruteforce(spark, sf_dir):
         # micro-rounded log terms introduce <= ~2e-6 nats of slack
         assert abs(rows[g]["theil_micro_nats"] / 1e6 - theil) < 5e-6
         assert rows[g]["theil_micro_nats"] >= 0 or theil < 1e-9
+
+
+def test_arpu_consistency(spark, sf_dir):
+    rows = _queries()["q_agg_arpu"](spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    total_rev, total_purch = duckdb.sql(
+        f"""SELECT SUM(CAST(ROUND(value*100) AS BIGINT)), COUNT(*)
+        FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchone()
+    assert sum(r["revenue_c"] for r in rows) == total_rev
+    assert sum(r["n_purchases"] for r in rows) == total_purch
+    for r in rows:
+        assert r["active_users"] <= r["n_purchases"]
+        assert r["arpu_c"] == r["revenue_c"] // r["active_users"]
