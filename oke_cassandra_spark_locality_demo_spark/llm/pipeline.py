@@ -2834,3 +2834,69 @@ def q_stream_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wm_sec")
     )
+
+
+@register(
+    "q_split_three_way",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN ('0x' || SUBSTRING(MD5('3way' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 <= 7
+                    THEN 'train'
+                    WHEN ('0x' || SUBSTRING(MD5('3way' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 = 8
+                    THEN 'dev' ELSE 'test' END AS split
+        FROM documents
+    ),
+    tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        FROM tagged GROUP BY lang
+    )
+    SELECT t.split, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1000000 * COUNT(*) // x.n_lang AS BIGINT) AS share_ppm
+    FROM tagged t JOIN tot x ON t.lang = x.lang
+    GROUP BY t.split, t.lang, x.n_lang
+    ORDER BY t.split, t.lang
+    """,
+)
+def q_split_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/DEV/TEST 80-10-10 SPLIT audit — the three-way companion to
+    q_split_train_test (two-way) and q_split_kfold_grouped (CV):
+    deterministic md5-bucket assignment (buckets 0-7 train, 8 dev, 9
+    test — stable across reruns, topologies, and corpus growth: a doc
+    never migrates between splits when new docs arrive, the property
+    random splits lose), audited PER LANGUAGE with ppm shares so
+    stratification skew is visible per slice (hash splits are only
+    proportionate in expectation; the emission is the check). Stateless
+    map + one aggregate. Reference analog: none — target-only
+    capability."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('3way',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 10
+    )
+    tagged = d.select(
+        "lang",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "dev")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = tagged.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        tagged.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.expr("1000000 * n_docs DIV n_lang").alias("share_ppm"),
+        )
+        .orderBy("split", "lang")
+    )

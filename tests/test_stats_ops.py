@@ -1623,3 +1623,24 @@ def test_arpu_consistency(spark, sf_dir):
     for r in rows:
         assert r["active_users"] <= r["n_purchases"]
         assert r["arpu_c"] == r["revenue_c"] // r["active_users"]
+
+
+def test_three_way_split_partitions(spark, sf_dir):
+    rows = _queries()["q_split_three_way"](spark, sf_dir).collect()
+    import duckdb
+
+    langs = dict(
+        duckdb.sql(
+            f"SELECT lang, COUNT(*) FROM '{sf_dir}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+        assert r["split"] in {"train", "dev", "test"}
+        assert r["share_ppm"] == 1_000_000 * r["n_docs"] // langs[r["lang"]]
+    assert per_lang == langs
+    # train dominates every language
+    train = {r["lang"]: r["n_docs"] for r in rows if r["split"] == "train"}
+    for lang, n in train.items():
+        assert n > langs[lang] // 2
