@@ -183,143 +183,80 @@ _DRIVER_ADJUDICATED = frozenset(
     q_text_tfidf q_text_clean q_text_url_extract q_text_pmi
     q_text_entropy q_text_perplexity q_multimodal_cols
     q_multimodal_binary q_multimodal_frames q_pipeline_e2e q_udf_python
+    q_dedup_minhash q_multimodal_resize q_sim_ivf q_sim_pq
+    q_sim_pq_audit q_vec_pca q_pack_sequences q_stream_tumbling
+    q_stream_sliding q_stream_session q_stream_watermark_late
+    q_stream_dedup q_stream_stateful q_stream_stateful_tws
+    q_stream_sink q_stream_join_static q_stream_join_interval
+    q_stream_join_semi q_stream_multires q_stream_foreach_batch
+    q_stream_cdc_upsert q_stream_pyds q_udf_pandas q_udf_grouped_agg
+    q_udf_arrow q_udtf q_udtf_python q_source_text q_source_binaryfile
+    q_source_json_corrupt q_source_orc q_source_schema_evolution
+    q_source_pyds_scan q_source_pyds_lookup q_sink_pyds
+    q_insert_upsert q_meta_engine_info q_tpch_q1 q_tpch_q3 q_tpch_q5
+    q_tpch_q6 q_tpch_q9 q_tpch_q18 q_tpch_q21
     """.split()
 )
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 5:
-#: the two r4 emission-type hash-fails (oracle CAST(SUM AS BIGINT);
-#: integer-cents decimal emission), the dedup keys whose verification
-#: broadcasts gained the _CAND_BROADCAST_CAP gate / lost the O(N_docs)
-#: sizes broadcast (VERDICT r4 #4), q_text_pmi's unigram joins un-pinned
-#: from broadcast, the byte-based multimodal-resize oracle (ADVICE r4),
-#: and the ANN keys whose quantizer memo key gained hyperparameters +
-#: corpus fingerprint (ADVICE r4 — results identical, but the training
-#: path changed so they are re-graded).
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 6:
+#: the two r5-verdict `weak` scale guards landed in code — the
+#: document-frequency cap in q_dedup_containment (impl change, oracle
+#: hash unchanged by construction) and parameterized banding in
+#: q_dedup_simhash (rows-only) — plus q_source_json_corrupt's fixture
+#: writer swapped from a driver-side collect loop to a distributed
+#: single-partition df.write (VERDICT r5 #4), and q_privacy_dp_count's
+#: demo-mechanism hardening (release-nonce preimage + explicit
+#: demo_only flag column, ADVICE r5).
 _MODIFIED_THIS_ROUND = [
-    "q_feature_rare_collapse",
-    "q_fn_cast_decimal",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_ngram_prefix",
-    "q_dedup_minhash",
-    "q_text_pmi",
-    "q_multimodal_resize",
-    "q_sim_ivf",
-    "q_sim_ivf_audit",
-    "q_sim_pq",
-    "q_sim_pq_audit",
-    "q_vec_pca",
-    # oracle emission fix (windowed-SUM HUGEINT → CAST AS BIGINT), found
-    # by the new PandasUpcastHazard sweep; never driver-adjudicated
-    "q_pack_sequences",
+    "q_dedup_containment",
+    "q_dedup_simhash",
+    "q_source_json_corrupt",
+    "q_privacy_dp_count",
 ]
 
-#: Round-5 sampling priority among never-adjudicated keys (VERDICT r4
-#: "Next round" items 2/4/5/6): the full streaming block first (13
-#: survey keys + the two stream-adjacent late-r4 keys — the one block
-#: with zero driver verdicts), then the vectorized-UDF tail, the source
-#: tail, the last two Layer-A rows (A3 insert/upsert, A5 engine meta),
-#: and the marquee TPC-H slice (Q1/Q3/Q5/Q6/Q9/Q18/Q21). With the
-#: 13 _MODIFIED keys this fills the driver's 50-slot prefix exactly
-#: (13 + 37 = 50; verified by test_driver_sample_prefix_is_oracle_backed).
+#: Round-6 sampling priority among never-adjudicated keys (VERDICT r5
+#: "Next round" item 1): the 15 remaining q_tpch_* (the marquee
+#: relational suite), then the late-r4 sketch/warehouse block, then
+#: the late-r4 operator/scalar tail in commit order. With the 4
+#: _MODIFIED keys this fills the driver's 50-slot prefix exactly
+#: (4 + 46 = 50; verified by test_driver_sample_prefix_is_oracle_backed).
 #: Keys not listed fall back to registration order behind these.
 #:
-#: ROUND-6 PLAYBOOK (for the next session, after CORRECTNESS_r05
-#: lands): (1) append r5's 50 sampled keys to _DRIVER_ADJUDICATED;
-#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r6;
-#: (3) replace this list with 50 of the ~109 still-never-adjudicated
-#: keys (302 registered after the late-r5 blocks; 142 adjudicated
-#: through r4 + 50 sampled in r5) —
-#: the remaining 15 q_tpch_* (q2/q4/q7/q8/q10/q11/q12/q13/q14/q15/q16/
-#: q17/q19/q20/q22), the late-r4 operator additions (q_sessionize,
-#: q_join_bloom, q_join_bucketed, q_agg_sketch_cms, q_agg_sketch_theta,
-#: q_agg_sketch_moments, q_agg_bitmap_distinct, q_agg_bitmap_overlap,
-#: q_dedup_span, q_dedup_containment, q_text_bm25, q_text_zipf,
-#: q_shuffle_epoch, q_mv_incremental, q_merge_multi_action, q_win_ewma,
-#: q_sample_temperature, q_sample_stratified, q_sql_scripting,
-#: q_export_webdataset, q_export_jsonl_shards,
-#: q_ordinal_assign, q_feature_bucketize, q_maintenance_compact,
-#: q_scan_partition_pruned), the scalar-fn tail (q_fn_bitwise/
-#: collation/explode/generators/sequence/struct/try/variant/xml), and
-#: the rows-only stragglers (q_dedup_simhash), and the late-r5
-#: additions (q_text_bpe_train, q_text_bpe_encode, q_text_boilerplate,
-#: q_join_asof_tolerance, q_dedup_incremental_fuzzy,
-#: q_win_rolling_median, q_sim_ivf_index, q_sample_ppl_band,
-#: q_corpus_card, q_text_perplexity_bigram, q_privacy_kanon,
-#: q_text_bpe_fertility, q_select_dsir, q_order_curriculum,
-#: q_multimodal_phash, q_drift_ks, q_classify_nb, q_split_leakage,
-#: q_text_novelty, q_quality_gopher, q_rank_wilson,
-#: q_graph_triangles, q_graph_bfs, q_agg_percentile_exact, q_text_ql,
-#: q_rank_rrf, q_profile_skew, q_dedup_priority, q_fn_sql_udf,
-#: q_join_cardinality_sketch, q_win_sketch_distinct, q_graph_cc,
-#: q_graph_common_neighbors, q_pareto_frontier, q_text_phrase_search,
-#: q_ts_downsample_m4, q_drift_cusum, q_rank_eval,
-#: q_stats_mannwhitney, q_agg_gini, q_multimodal_audio_energy,
-#: q_graph_kcore, q_ts_autocorr, q_dedup_url, q_text_rake,
-#: q_stats_welch_ttest, q_privacy_ldiversity, q_graph_assortativity,
-#: q_agg_heavy_hitters, q_geo_radius_join, q_ts_seasonal_dow,
-#: q_text_dechunk, q_multimodal_dedup_bytes, q_agg_abc_pareto,
-#: q_text_langid_eval, q_intersect_all, q_except_all,
-#: q_stats_permutation, q_stats_bootstrap_ci, q_graph_sssp,
-#: q_fn_editdistance, q_multimodal_scenecut, q_privacy_dp_count,
-#: q_geo_knn, q_source_xml, q_drift_jsd, q_agg_weighted_median,
-#: q_text_autocomplete, q_win_rolling_slope, q_rank_tau,
-#: q_graph_modularity, q_agg_heavy_changers, q_ts_outlier_rolling,
-#: q_agg_cohort_ltv, q_agg_benford, q_text_hapax,
-#: q_funnel_multistep, q_stats_runs_test, q_agg_lorenz_gini,
-#: q_text_burstiness, q_agg_hhi, q_sql_group_by_all,
-#: q_agg_log_histogram, q_win_time_to_convert), and the
-#: continuation-r5 blocks (q_stats_kruskal, q_stats_anova_f,
-#: q_stats_cohen_kappa, q_stats_kaplan_meier, q_sql_qualify,
-#: q_agg_argmax, q_win_drawdown, q_ts_interpolate_linear,
-#: q_privacy_tclose, q_text_readability, q_agg_decay_sum,
-#: q_agg_winsorized_mean, q_agg_ohlc, q_agg_simpson,
-#: q_sample_class_quota, q_ts_resample_weekly, q_geo_grid_density,
-#: q_split_kfold_grouped, q_stats_prop_ztest, q_win_path_topk,
-#: q_vec_jl_projection, q_join_asof_nearest, q_fn_codec,
-#: q_export_manifest, q_feature_target_encode, q_feature_impute,
-#: q_text_compress_ratio, q_scan_dpp, q_graph_2hop_reach,
-#: q_rank_ndcg, q_win_distinct_bitmask, q_stats_levene,
-#: q_win_concurrency_sweep, q_agg_hist_equidepth,
-#: q_graph_degree_powerlaw, q_agg_vwap, q_sample_negative_downsample,
-#: q_stats_spearman, q_ts_backtest_snaive, q_fn_stable_id,
-#: q_sql_window_clause, q_privacy_suppress, q_ts_new_users,
-#: q_win_rsi, q_stats_gtest, q_graph_neighbor_sample,
-#: q_text_script_mix, q_stats_mcnemar, q_fn_time_bucket,
-#: q_ts_wau, q_shard_rendezvous, q_agg_rfm, q_label_churn,
-#: q_quality_event_order, q_agg_percent_of_parent, q_agg_mix_shift,
-#: q_sql_distinct_on, q_fraud_double_charge, q_privacy_uniqueness,
-#: q_agg_linreg2, q_budget_waterfill, q_stats_overdispersion,
-#: q_stats_wilcoxon, q_join_size_estimate, q_agg_purchase_gaps,
-#: q_agg_growth_accounting, q_win_rolling_corr,
-#: q_text_vocab_overlap, q_ts_dau_mau, q_stream_watermark_planner,
-#: q_agg_abc_xyz, q_ts_changepoint, q_stats_ess,
-#: q_multimodal_payload_entropy).
-#: 50 slots cover fewer than half — prioritize the oracle-backed
-#: TPC-H tail and late-r4 blocks first, then the late-r5 blocks in
-#: commit order; the remainder fronts in r7/r8, after which the
-#: rotation retires.
+#: ROUND-7 PLAYBOOK (for the next session, after CORRECTNESS_r06
+#: lands): (1) append r6's 50 sampled keys to _DRIVER_ADJUDICATED;
+#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r7;
+#: (3) replace _ROUND_PRIORITY with the next 50 never-adjudicated
+#: keys. After the r6 rotation 214-50 = ~164 keys remain unadjudicated
+#: (tools/rotation_remaining.py prints the exact list in registration
+#: order). Front them in commit order: first the remaining late-r4/r5
+#: additions (q_fn_variant, q_fn_xml, the graph suite, the stats/
+#: econometrics block, time-series, privacy ladder, BPE tokenizer,
+#: ranking-eval), then the late-r5 product-analytics blocks. The
+#: remainder fronts in r8/r9, after which the rotation retires and
+#: _sample_order can revert to registration order.
 _ROUND_PRIORITY = [
-    # streaming block — never graded by the driver (VERDICT r4 gap #1)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful",
-    "q_stream_stateful_tws", "q_stream_sink", "q_stream_join_static",
-    "q_stream_join_interval", "q_stream_join_semi", "q_stream_multires",
-    "q_stream_foreach_batch", "q_stream_cdc_upsert", "q_stream_pyds",
-    # vectorized-UDF tail (gap #2)
-    "q_udf_pandas", "q_udf_grouped_agg", "q_udf_arrow", "q_udtf",
-    "q_udtf_python",
-    # source/sink tail
-    "q_source_text", "q_source_binaryfile", "q_source_json_corrupt",
-    "q_source_orc", "q_source_schema_evolution", "q_source_pyds_scan",
-    "q_source_pyds_lookup", "q_sink_pyds",
-    # Layer-A closure (A3, A5)
-    "q_insert_upsert", "q_meta_engine_info",
-    # TPC-H marquee slice (gap #3; rest rotate in r6)
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q9",
-    "q_tpch_q18", "q_tpch_q21",
+    # TPC-H tail — the 15 queries not in r5's marquee slice
+    # (VERDICT r5 "Next round" #1)
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19",
+    "q_tpch_q20", "q_tpch_q22",
+    # late-r4 sketch/warehouse block (VERDICT r5 #1)
+    "q_agg_sketch_cms", "q_agg_sketch_theta", "q_agg_sketch_moments",
+    "q_agg_bitmap_distinct", "q_agg_bitmap_overlap", "q_mv_incremental",
+    "q_merge_multi_action", "q_sessionize", "q_join_bloom",
+    "q_join_bucketed",
+    # late-r4 operator/scalar tail in commit order (fills the prefix)
+    "q_dedup_span", "q_text_bm25", "q_text_zipf", "q_shuffle_epoch",
+    "q_win_ewma", "q_sample_temperature", "q_sample_stratified",
+    "q_sql_scripting", "q_export_webdataset", "q_export_jsonl_shards",
+    "q_ordinal_assign", "q_feature_bucketize", "q_maintenance_compact",
+    "q_scan_partition_pruned", "q_fn_bitwise", "q_fn_collation",
+    "q_fn_explode", "q_fn_generators", "q_fn_sequence", "q_fn_struct",
+    "q_fn_try",
 ]
 
 

@@ -265,6 +265,18 @@ def test_driver_sample_prefix_is_oracle_backed():
     assert not accidental_rows_only, accidental_rows_only
     for k in registry._MODIFIED_THIS_ROUND:
         assert k in q[:50], f"{k} fell out of the adjudicated prefix"
+    # VERDICT r5 item 6: the rotation must never waste a sampled slot
+    # re-grading an already-adjudicated key unless that key was
+    # modified this round (the honesty guard is the ONLY legitimate
+    # reason for a repeat) — structural lock on the r5-verified
+    # behavior, not just convention.
+    wasted = [
+        k
+        for k in q[:50]
+        if k in registry._DRIVER_ADJUDICATED
+        and k not in registry._MODIFIED_THIS_ROUND
+    ]
+    assert not wasted, f"adjudicated keys burning prefix slots: {wasted}"
 
 
 def test_oracle_float_parity_lint():
