@@ -8,11 +8,12 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 count-style action (no driver-side collect of payloads).
 
 Contention hardening (the r2 artifact recorded a 3.3x "regression" that
-was pure host contention): min-of-3 per query, the per-query ratio vs
-the round-1 anchor is embedded in the output, and a load check (1-min
-loadavg before the run + median anchor ratio) makes a contended run
-detectable from the artifact alone — a near-uniform ratio inflation
-across all queries is contention, not a code regression.
+was pure host contention): a bounded wait-until-idle gate ahead of the
+first repeat, min-of-5 per query, the per-query ratio vs the round-1
+anchor is embedded in the output, and a load check (1-min loadavg
+before the run + median anchor ratio) makes a contended run detectable
+from the artifact alone — a near-uniform ratio inflation across all
+queries is contention, not a code regression.
 """
 
 from __future__ import annotations
@@ -23,28 +24,47 @@ import statistics
 import sys
 import time
 
-#: round-1 anchor (BENCH_r01.json, sf0.1, local[32]) — the reference repo
-#: publishes no numbers (3-row demo table; BASELINE.md), so round 1 is the
-#: throughput anchor every later round is compared against.
+#: round-1 anchor: the ROUND-1 CODE's steady-state floor at sf0.1 on
+#: local[32] — the reference repo publishes no numbers (3-row demo
+#: table; BASELINE.md), so round 1 is the throughput anchor every
+#: later round is compared against.
+#:
+#: RE-BASELINED r6 (ADVICE r5, medium): the original BENCH_r01.json
+#: values were min-of-2 single-run numbers while REPEATS later rose to
+#: 5, so ratio_vs_anchor compared numbers taken under different repeat
+#: disciplines. These values were re-measured from the round-1 tree
+#: itself (git worktree @ 14236e2, the end-of-round-1 snapshot) on an
+#: idle host (loadavg < 1): three independent min-of-5 runs, anchor =
+#: per-query MEDIAN across the runs — i.e. the EXPECTED value of
+#: exactly the measurement each later round produces (one min-of-5
+#: pass), not the 15-sample floor (elementwise min across all runs
+#: measured ~7.406 s total, but comparing a 5-sample min against a
+#: 15-sample floor re-introduces the bias in the other direction —
+#: the three runs' totals were 10.08/7.56/8.04 s, so whole-run
+#: variance is real and the median is the robust center).
+#: Ratios in r1-r5 artifacts used the old min-of-2 anchor
+#: (total 9.709 s vs 8.196 s here, a ~1.18× methodology factor) and
+#: are not directly comparable to r6+ ratios. The artifact records
+#: anchor_methodology for exactly this reason.
 ANCHOR_SF01 = {
-    "q_flagship_pricing_summary": 0.479,
-    "q_scan_pushdown": 0.272,
-    "q_join_inner": 0.404,
-    "q_join_broadcast": 0.488,
-    "q_join_multiway": 0.85,
-    "q_join_asof": 0.273,
-    "q_agg_hash": 0.345,
-    "q_agg_distinct": 0.234,
-    "q_win_rank": 0.17,
-    "q_topk_per_group": 0.935,
-    "q_stream_tumbling": 0.307,
-    "q_stream_session": 0.528,
-    "q_dedup_exact": 0.273,
-    "q_dedup_ngram_jaccard": 1.571,
-    "q_sim_knn_blas": 0.514,
-    "q_text_tfidf": 0.903,
-    "q_multimodal_cols": 0.284,
-    "q_pipeline_e2e": 0.879,
+    "q_flagship_pricing_summary": 0.466,
+    "q_scan_pushdown": 0.221,
+    "q_join_inner": 0.328,
+    "q_join_broadcast": 0.456,
+    "q_join_multiway": 0.768,
+    "q_join_asof": 0.299,
+    "q_agg_hash": 0.333,
+    "q_agg_distinct": 0.211,
+    "q_win_rank": 0.159,
+    "q_topk_per_group": 0.864,
+    "q_stream_tumbling": 0.249,
+    "q_stream_session": 0.344,
+    "q_dedup_exact": 0.248,
+    "q_dedup_ngram_jaccard": 1.246,
+    "q_sim_knn_blas": 0.377,
+    "q_text_tfidf": 0.821,
+    "q_multimodal_cols": 0.243,
+    "q_pipeline_e2e": 0.563,
 }
 
 #: min-of-5 on the headline: consecutive full runs on this host were
@@ -170,9 +190,36 @@ def time_suite(
 
 
 
+#: wait-until-idle gate (VERDICT r5 item 5): r5's driver-captured
+#: numbers carried a 5.66 pre-run loadavg from the preceding
+#: correctness drive and inflated the TPC-H tail 15-75%. Block until
+#: the 1-min loadavg drops below the threshold (bounded — never wait
+#: more than IDLE_MAX_WAIT_SEC), so captured numbers are
+#: contention-clean by construction rather than by luck.
+IDLE_LOADAVG_MAX = 2.0
+IDLE_MAX_WAIT_SEC = 300
+
+
+def wait_until_idle() -> float:
+    """Sleep until loadavg_1m < IDLE_LOADAVG_MAX or the bounded wait
+    expires; returns the loadavg observed when the gate opened."""
+    deadline = time.monotonic() + IDLE_MAX_WAIT_SEC
+    load = os.getloadavg()[0]
+    while load > IDLE_LOADAVG_MAX and time.monotonic() < deadline:
+        print(
+            f"bench: waiting for idle host (loadavg_1m {load:.2f} > "
+            f"{IDLE_LOADAVG_MAX})",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    wait_until_idle()
     spark = build_session(app_name="spark-graft-bench")
 
     queries = registry.all_queries()
@@ -200,7 +247,7 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Secondary suite: all 22 TPC-H queries (min-of-2 — a coarser probe
-    # than the headline's min-of-3; this is the classic-warehouse-shape
+    # than the headline's min-of-5; this is the classic-warehouse-shape
     # throughput statement, reported alongside but never mixed into the
     # anchored headline metric).
     tpch_names = sorted(
@@ -250,6 +297,14 @@ def main() -> None:
                 "ratio_vs_anchor": ratios,
                 "load_check": load_check,
                 "repeats": REPEATS,
+                # ratio denominators: r1-code re-measured at r6 as the
+                # per-query median of 3 idle-host min-of-5 runs — the
+                # expected value of the same measurement the numerators
+                # are (ADVICE r5). Ratios in r1-r5 artifacts used the
+                # old min-of-2 anchor (~1.18× looser) and are not
+                # comparable to r6+.
+                "anchor_methodology": "r1-tree@14236e2, idle host, "
+                "median of 3 runs x min-of-5; re-baselined r6",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -615,8 +615,10 @@ def q_fn_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY CODEC surface — hex and base64 encode/decode round-trips,
     the byte-level plumbing an export pipeline needs (payload
     fingerprints in manifests, webdataset member names, URL-safe ids).
-    Verified bit-portable this round: both engines hex strings
-    LOWERCASE byte-wise, hex integers UPPERCASE minimal-width, and
+    Verified bit-portable (casing re-checked r6, ADVICE r5): both
+    engines hex strings UPPERCASE byte-wise (`hex('1-URGENT')` =
+    '312D555247454E54' in Spark AND DuckDB — digits A-F upper), hex
+    integers UPPERCASE minimal-width, and
     produce identical RFC-4648 base64 with padding; the decode
     round-trip re-materializes the original priority string. Pure
     codegen'd scalar functions over a pushed-down scan — no shuffle at

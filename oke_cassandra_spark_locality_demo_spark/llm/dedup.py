@@ -654,13 +654,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SimHash banding parameters (VERDICT r5 item 3 — the fixed 4×16-bit
+#: split was a silent scale ceiling; it is now a named, tunable policy
+#: with the saturation math in the open).
+#:
+#: The fingerprint has SIMHASH_BITS bits split into SIMHASH_NBANDS
+#: equal bands of width W = BITS/NBANDS; by pigeonhole, any pair
+#: within Hamming distance NBANDS−1 agrees on ≥1 whole band, so
+#: banded candidate generation has recall 1.0 for d ≤ NBANDS−1.
+#: Each band has 2^W buckets, so expected bucket occupancy at N docs
+#: is N/2^W and each bucket emits ~occ²/2 candidate pairs per band:
+#:
+#:   N docs   | 4×16 (2^16 buckets) occ | 2×32 (2^32 buckets) occ
+#:   ---------|-------------------------|------------------------
+#:   10^6     | 15                      | ~0 (0.0002)
+#:   10^8     | 1,526                   | 0.02
+#:   10^9     | 15,259  ← saturated     | 0.23
+#:   10^10    | 152,588 ← saturated     | 2.3
+#:
+#: Policy: 4×16 (recall 1.0 at d ≤ 3) holds to ~10^8 docs; beyond
+#: that switch to NBANDS=2 (32-bit buckets, recall guarantee drops to
+#: d ≤ 1 with the d ≤ 6 tier becoming best-effort), or grow
+#: SIMHASH_BITS to 128 with 4×32 bands — the code below derives
+#: widths/masks from the constants, so either is a constant change,
+#: not a rewrite. SIMHASH_BUCKET_CAP is the hard fan-out guard
+#: either way: a band-bucket holding more docs than the cap is
+#: degenerate (near-identical boilerplate or a saturated band) and is
+#: dropped from candidate generation instead of emitting occ²/2
+#: pairs — bounding per-bucket work by a named constant rather than
+#: by corpus size. The cap is far above any fixture occupancy
+#: (max ≈ 2 at sf0.1), so test-scale results are unchanged
+#: (test_simhash_band_params_consistent asserts both properties).
+SIMHASH_BITS = 64
+SIMHASH_NBANDS = 4
+SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_NBANDS
+SIMHASH_BUCKET_CAP = 100_000
+#: verification tier: emit pairs with bit_count(xor) ≤ this. Recall is
+#: exactly 1.0 up to SIMHASH_NBANDS−1; best-effort between that and
+#: the tier bound.
+SIMHASH_HAMMING_MAX = 6
+
+
 @register("q_dedup_simhash")  # rows-only: banded Hamming search, recall < 1
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint (sign of per-bit sums of
-    word hashes), split into 4 16-bit bands; pairs agreeing on ≥1 band are
-    verified with bit_count(xor) ≤ 6. By pigeonhole, any pair within
-    Hamming distance 3 shares a clean band — recall 1.0 for d ≤ 3; the
-    d ≤ 6 output tier is best-effort (rows-only)."""
+    """SimHash near-dup pairs: SIMHASH_BITS-bit fingerprint (sign of
+    per-bit sums of word hashes), split into SIMHASH_NBANDS equal
+    bands; pairs agreeing on ≥1 band are verified with
+    bit_count(xor) ≤ SIMHASH_HAMMING_MAX. By pigeonhole, any pair
+    within Hamming distance NBANDS−1 shares a clean band — recall 1.0
+    for d ≤ 3 at the default 4×16 split; the d ≤ 6 output tier is
+    best-effort (rows-only). Banding geometry and the per-bucket
+    fan-out cap are module constants with the occupancy scale table —
+    see the SIMHASH_* block above."""
     d = load(spark, sf_dir, "documents")
     words = _spread(d).select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
@@ -684,6 +729,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     )
+    band_mask = (1 << SIMHASH_BAND_WIDTH) - 1
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -692,15 +738,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(
+                            F.col("simhash"), b * SIMHASH_BAND_WIDTH
+                        )
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_NBANDS)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    # fan-out guard: a band-bucket above the occupancy cap would emit
+    # ~occ²/2 pairs; drop it instead (degenerate boilerplate or a
+    # saturated band — the scale table above says when to re-band).
+    ok_buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= SIMHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bands = bands.join(ok_buckets, ["band", "bucket"])
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -715,7 +773,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -1242,6 +1300,22 @@ def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
 #: "A contains B" (quotation / subset duplication).
 CONTAINMENT_THRESHOLD = 0.9
 
+#: Document-frequency cap on the containment inverted index: a shingle
+#: present in more than this many documents is dropped BEFORE the
+#: self-join (it is corpus boilerplate — "terms of service apply" —
+#: and carries no containment signal, while generating df·(df−1)/2
+#: candidate pairs). The cap bounds per-shingle join fan-out to
+#: ~5·10^7 pairs regardless of corpus size — the guard that keeps the
+#: plan alive at 10^9+ docs, where an uncapped stop-shingle with
+#: df ≈ N would alone produce ~N²/2 rows. Chosen FAR above the
+#: fixture's observed maximum df (25 at sf0.1, 7 at sf0.01 — asserted
+#: in tests/test_llm_ops.py) so results at test scales are
+#: bit-identical to the uncapped oracle; at production scale the
+#: dropped shingles change containment for affected pairs by design
+#: (accepting that a pair connected ONLY through boilerplate is not a
+#: containment pair).
+CONTAINMENT_DF_CAP = 10_000
+
 
 @register(
     "q_dedup_containment",
@@ -1286,19 +1360,33 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles they share (hashed to 64-bit keys for the shuffle), never
     an N² scan.
 
-    100 TB posture: common/stop shingles are the fan-out risk; AQE
-    skew-join splitting covers moderate skew, and a production corpus
-    adds a document-frequency cap on the index (drop shingles in >
-    ~10^4 docs — they carry no containment signal) or moves to
-    MinHash-style containment sketches; at fixture scale the exact
-    index IS the oracle semantics, so no cap is applied."""
+    100 TB posture: common/stop shingles are the fan-out risk. The
+    CONTAINMENT_DF_CAP filter drops any shingle indexed by more than
+    10^4 documents BEFORE the self-join (one extra hash aggregate over
+    the shingle stream — cheap, map-side-combinable), bounding the
+    candidate pairs any single shingle can emit; AQE skew-join
+    splitting then handles the sub-cap skew that remains. The cap is
+    chosen far above the fixture's maximum df (25 at sf0.1), so at
+    test scales the capped plan is bit-identical to the uncapped
+    oracle — asserted by test_containment_df_cap_exceeds_fixture_df."""
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
+    # doc sizes are computed BEFORE the df-cap: |S_B| is a property of
+    # the document, not of the pruned index (capping the denominator
+    # too would silently inflate containment for boilerplate-heavy
+    # docs).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    df_ok = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("h")
+    )
+    indexed = sh.join(df_ok, "h")
+    a = indexed.select(F.col("doc_id").alias("doc_a"), "h")
+    b = indexed.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))

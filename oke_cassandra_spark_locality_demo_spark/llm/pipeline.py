@@ -1501,6 +1501,16 @@ def _geo_draw_sql(u: str) -> str:
     return f"CASE {branches} ELSE 16 END"
 
 
+#: Release nonce mixed into the noise-draw hash preimage
+#: (ADVICE r5): with the default fixture tag the draws are
+#: deterministic and PUBLIC — a demo of the mechanism, not a private
+#: release — and the output carries demo_only = TRUE to say so. A
+#: production caller passes a secret per-release nonce, which flips
+#: demo_only to FALSE without touching the plan. The oracle models the
+#: fixture default (the only nonce a deterministic oracle CAN model).
+DP_FIXTURE_NONCE = "fixture-demo-nonce"
+
+
 @register(
     "q_privacy_dp_count",
     oracle=f"""
@@ -1511,22 +1521,25 @@ def _geo_draw_sql(u: str) -> str:
     noised AS (
         SELECT nation, n_true,
                {_geo_draw_sql(
-                   "(('0x' || SUBSTRING(MD5('dpA|' || "
+                   "(('0x' || SUBSTRING(MD5('fixture-demo-nonce|dpA|' || "
                    "CAST(nation AS VARCHAR)), 1, 8))::UBIGINT)"
                )}
                - {_geo_draw_sql(
-                   "(('0x' || SUBSTRING(MD5('dpB|' || "
+                   "(('0x' || SUBSTRING(MD5('fixture-demo-nonce|dpB|' || "
                    "CAST(nation AS VARCHAR)), 1, 8))::UBIGINT)"
                )} AS z
         FROM counts
     )
     SELECT nation, CAST(n_true AS BIGINT) AS n_true,
            CAST(z AS BIGINT) AS z_noise,
-           CAST(GREATEST(n_true + z, 0) AS BIGINT) AS n_noisy
+           CAST(GREATEST(n_true + z, 0) AS BIGINT) AS n_noisy,
+           TRUE AS demo_only
     FROM noised ORDER BY nation
     """,
 )
-def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_privacy_dp_count(
+    spark: SparkSession, sf_dir: str, nonce: str = DP_FIXTURE_NONCE
+) -> DataFrame:
     """DIFFERENTIALLY-PRIVATE COUNT MECHANISM (geometric / discrete
     Laplace, epsilon = 1) over per-nation customer counts — the release
     mechanism a privacy-gated aggregation endpoint runs (Ghosh,
@@ -1536,25 +1549,30 @@ def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer inverse-CDF cutoffs (floor(CDF * 2^32)) on 32-bit md5
     draws — the q_stats_bootstrap_ci idiom — so both engines produce
     identical noise with no float RNG; negatives clamp at 0
-    (post-processing preserves DP). SEEDED-DEMO CAVEAT, documented: a
-    production release derives the draw from a secret per-release
-    nonce instead of the public group key (deterministic public draws
-    are NOT private; the mechanism, sensitivity-1 dataflow, and
-    clamping are what this operator demonstrates, and the nonce slots
-    into the hash preimage without touching the plan). Dataflow: one
-    map-side-combinable count aggregation, noise as a narrow
-    25-row map — nothing about the mechanism touches the corpus scan.
-    Emissions all-integer; n_true is emitted alongside for
-    verifiability on fixtures (a real release omits it). Reference
-    analog: none — target-only capability."""
+    (post-processing preserves DP).
+
+    NONCE CONTRACT (ADVICE r5): the draw preimage is
+    `nonce|dpA/dpB|group-key`. With the default DP_FIXTURE_NONCE the
+    draws are deterministic and PUBLIC — a demo of the mechanism, not
+    a private release — and every row carries `demo_only = TRUE` so a
+    consumer cannot mistake the output for one. A production caller
+    passes a secret per-release nonce (flipping demo_only to FALSE);
+    the plan is identical either way. Dataflow: one map-side-
+    combinable count aggregation, noise as a narrow 25-row map —
+    nothing about the mechanism touches the corpus scan. Emissions
+    all-integer; n_true is emitted alongside for verifiability on
+    fixtures (a real release omits it, and MUST omit it — with n_true
+    and z_noise published the release is vacuous regardless of nonce).
+    Reference analog: none — target-only capability."""
     c = load(spark, sf_dir, "customer")
     counts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_true")
     )
+    safe_nonce = nonce.replace("'", "''")
 
     def draw(tag: str) -> str:
         u = (
-            f"CAST(conv(substring(md5(concat('{tag}|',"
+            f"CAST(conv(substring(md5(concat('{safe_nonce}|{tag}|',"
             f" CAST(nation AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         )
         branches = " ".join(
@@ -1574,6 +1592,7 @@ def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(
                 F.col("n_true") + F.col("z_noise"), F.lit(0)
             ).cast("long").alias("n_noisy"),
+            F.lit(nonce == DP_FIXTURE_NONCE).alias("demo_only"),
         )
         .orderBy("nation")
     )

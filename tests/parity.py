@@ -158,34 +158,43 @@ def _rowset(cols, rows):
     )
 
 
+#: DuckDB declared types that ``fetchdf`` materializes as a float
+#: dtype even when every value is non-null — the ones that diverge
+#: from a Spark integer emission at driver-hash time.
+_FLOAT_FETCH_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "DOUBLE", "FLOAT", "REAL")
+
+
 def assert_no_pandas_upcast(spark_df, con, oracle: str) -> None:
     """Refuse oracle columns that pandas upcasts to float where Spark
     emits an integer type (the driver fetches oracles via ``fetchdf``,
     this mirror via ``fetchall`` — the r4 HUGEINT blind spot).
 
-    Null-bearing integer columns are exempt: pandas upcasts BOTH sides
-    (the driver's Spark fetch included) to float64 there, so the hashes
-    still agree; only an all-non-null float-fetched column opposite a
-    Spark integer schema is a real divergence."""
-    import pandas as pd
+    The check is TYPE-derived via ``DESCRIBE <oracle>`` (plan-only —
+    binds the query without executing it), not a second full
+    ``fetchdf`` execution, which doubled oracle cost on every
+    integer-emitting compare (ADVICE r5). Declared-integer columns
+    (e.g. BIGINT) are never flagged: when null-bearing, pandas upcasts
+    BOTH sides — the driver's Spark fetch included — to float64, so
+    the hashes still agree; the divergent case is a column DuckDB
+    declares as HUGEINT/DECIMAL/DOUBLE (float-fetched even fully
+    non-null) opposite a Spark integer schema."""
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     if not any(isinstance(f.dataType, int_types) for f in spark_df.schema.fields):
-        return  # nothing to upcast against — skip the second oracle run
-    odf = con.execute(oracle).fetchdf()
-    by_lower = {c.lower(): c for c in odf.columns}
+        return  # nothing to upcast against — skip the DESCRIBE round-trip
+    desc = con.execute(f"DESCRIBE {oracle}").fetchall()
+    otype = {row[0].lower(): row[1].upper() for row in desc}
     for f in spark_df.schema.fields:
-        oc = by_lower.get(f.name.lower())
-        if oc is None or not isinstance(f.dataType, int_types):
+        t = otype.get(f.name.lower())
+        if t is None or not isinstance(f.dataType, int_types):
             continue
-        series = odf[oc]
-        if pd.api.types.is_float_dtype(series) and series.notna().all():
+        if t.startswith(_FLOAT_FETCH_TYPES):
             raise PandasUpcastHazard(
-                f"oracle column {oc!r} fetches as {series.dtype} via pandas "
-                f"while Spark emits {f.dataType.simpleString()} — likely a "
-                "DuckDB HUGEINT (SUM over an integer column); wrap the "
-                "aggregate in CAST(... AS BIGINT) in the oracle SQL"
+                f"oracle column {f.name!r} is declared {t} (pandas-fetches "
+                f"as float64) while Spark emits {f.dataType.simpleString()} "
+                "— likely a DuckDB HUGEINT (SUM over an integer column); "
+                "wrap the aggregate in CAST(... AS BIGINT) in the oracle SQL"
             )
 
 

@@ -1634,3 +1634,30 @@ def test_2hop_reach_matches_bruteforce(spark, sf_dir):
         if two:
             expect[u] = len(two)
     assert got == expect
+
+
+def test_containment_df_cap_in_plan(spark, sf_dir):
+    """The r6 scale guard must actually be IN the executed plan, not
+    just in the source: the containment inverted index is pruned by a
+    df <= CONTAINMENT_DF_CAP filter on a per-shingle count aggregate
+    BEFORE the pair-generating self-join (VERDICT r5 item 2)."""
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        CONTAINMENT_DF_CAP,
+    )
+
+    df = get("q_dedup_containment").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert f"<= {CONTAINMENT_DF_CAP}" in plan, plan[:2000]
+
+
+def test_simhash_bucket_cap_in_plan(spark, sf_dir):
+    """Same for the simhash fan-out guard: a band-bucket occupancy
+    count filtered at SIMHASH_BUCKET_CAP must appear in the candidate
+    plan (VERDICT r5 item 3)."""
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        SIMHASH_BUCKET_CAP,
+    )
+
+    df = get("q_dedup_simhash").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert f"<= {SIMHASH_BUCKET_CAP}" in plan, plan[:2000]
