@@ -1120,11 +1120,17 @@ def test_dp_count_noise_matches_mechanism(spark, sf_dir):
     clamp must hold."""
     import hashlib
 
-    from oke_cassandra_spark_locality_demo_spark.llm.pipeline import _DP_GEO_CUTS
+    from oke_cassandra_spark_locality_demo_spark.llm.pipeline import (
+        DP_FIXTURE_NONCE,
+        _DP_GEO_CUTS,
+    )
 
     def geo(tag, nation):
         u = int(
-            hashlib.md5(f"{tag}|{nation}".encode()).hexdigest()[:8], 16
+            hashlib.md5(
+                f"{DP_FIXTURE_NONCE}|{tag}|{nation}".encode()
+            ).hexdigest()[:8],
+            16,
         )
         for k, c in enumerate(_DP_GEO_CUTS):
             if u < c:
@@ -1136,6 +1142,8 @@ def test_dp_count_noise_matches_mechanism(spark, sf_dir):
     for r in rows:
         assert r.z_noise == geo("dpA", r.nation) - geo("dpB", r.nation)
         assert r.n_noisy == max(r.n_true + r.z_noise, 0)
+        # fixture-nonce runs are demos, flagged as such (ADVICE r5)
+        assert r.demo_only is True
 
 
 def test_geo_knn_certificate_and_residual(spark, sf_dir):
