@@ -177,7 +177,17 @@ def assert_no_pandas_upcast(spark_df, con, oracle: str) -> None:
     BOTH sides — the driver's Spark fetch included — to float64, so
     the hashes still agree; the divergent case is a column DuckDB
     declares as HUGEINT/DECIMAL/DOUBLE (float-fetched even fully
-    non-null) opposite a Spark integer schema."""
+    non-null) opposite a Spark integer schema.
+
+    POLICY (ADVICE r6): declared-float-vs-Spark-int is banned OUTRIGHT,
+    including the null-bearing case where both sides would upcast to
+    float64 and the hashes would happen to agree. That agreement is
+    fragile (it holds only while every value round-trips through
+    float64 exactly, i.e. |v| < 2^53, and only while the column stays
+    null-bearing at the graded SF), and checking for actual nulls
+    would execute the DataFrame this check exists to avoid executing.
+    A legitimate oracle fixes this in one line: CAST the column to
+    BIGINT on the DuckDB side or to DOUBLE on the Spark side."""
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)

@@ -16,6 +16,16 @@ from oke_cassandra_spark_locality_demo_spark.operators.joins import asof_join
 
 _BASE = datetime(2024, 1, 1)
 
+
+def _row_key(row):
+    """Total-order sort key for canonicalized row tuples. Plain
+    sorted() dies with TypeError on rows mixing None with tuples
+    (e.g. q_fn_try's nullable struct column): None has no ordering
+    against _canon's type-tagged tuples. Null-flag + repr gives a
+    deterministic total order without changing equality semantics —
+    the invariance assertion still compares the full row lists."""
+    return tuple((v is None, repr(v)) for v in row)
+
 # (user, ts_offset_seconds, value)
 _rows = st.lists(
     st.tuples(
@@ -202,7 +212,8 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
             spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
             for name in names:
                 rows = sorted(
-                    tuple(r) for r in get(name).fn(spark, sf_dir).collect()
+                    (tuple(r) for r in get(name).fn(spark, sf_dir).collect()),
+                    key=_row_key,
                 )
                 results.setdefault(name, []).append(rows)
         for name, (a, b, c) in results.items():
@@ -234,7 +245,11 @@ def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
             for name, fn in prefix:
                 rows = sorted(
-                    tuple(_canon(v) for v in r) for r in fn(spark, sf_dir).collect()
+                    (
+                        tuple(_canon(v) for v in r)
+                        for r in fn(spark, sf_dir).collect()
+                    ),
+                    key=_row_key,
                 )
                 results.setdefault(name, []).append(rows)
         diffs = [n for n, (a, b) in results.items() if a != b]
