@@ -102,6 +102,18 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
     normalized text as the single shingle (same as the per-position
     form and the DuckDB oracle).
     """
+    return _spread(df).select(
+        "doc_id", F.explode(_shingle_array(k)).alias("shingle")
+    )
+
+
+def _shingle_array(k: int = 3):
+    """Distinct k-word shingle ARRAY of `text` as a single narrow
+    column expression — the un-exploded form of _shingles. Consumers
+    that only need per-document shingle COUNTS (containment's |S_B|
+    denominator) use F.size over this directly: a per-row map with no
+    explode and no shuffle, where the exploded form would cost a full
+    shingle-stream aggregation (VERDICT r6 #6)."""
     words = F.split(_norm_text(F.col("text")), " ")
     acc = words
     for j in range(2, k + 1):
@@ -109,11 +121,8 @@ def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
             words, j, F.greatest(F.size(words) - j + 1, F.lit(1))
         )
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    shingles = F.slice(
-        acc, 1, F.greatest(F.size(words) - k + 1, F.lit(1))
-    )
-    return _spread(df).select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    return F.array_distinct(
+        F.slice(acc, 1, F.greatest(F.size(words) - k + 1, F.lit(1)))
     )
 
 
@@ -702,7 +711,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands; pairs agreeing on ≥1 band are verified with
     bit_count(xor) ≤ SIMHASH_HAMMING_MAX. By pigeonhole, any pair
     within Hamming distance NBANDS−1 shares a clean band — recall 1.0
-    for d ≤ 3 at the default 4×16 split; the d ≤ 6 output tier is
+    for d ≤ 3 at the default 4×16 split, CONDITIONAL on the pair's
+    shared band-bucket staying under SIMHASH_BUCKET_CAP (a saturated
+    bucket is dropped before the join, so a pair connected only
+    through it is missed; guaranteed vacuous at fixture scale by
+    test_simhash_band_params_consistent). The d ≤ 6 output tier is
     best-effort (rows-only). Banding geometry and the per-bucket
     fan-out cap are module constants with the occupancy scale table —
     see the SIMHASH_* block above."""
@@ -1362,10 +1375,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: common/stop shingles are the fan-out risk. The
     CONTAINMENT_DF_CAP filter drops any shingle indexed by more than
-    10^4 documents BEFORE the self-join (one extra hash aggregate over
-    the shingle stream — cheap, map-side-combinable), bounding the
-    candidate pairs any single shingle can emit; AQE skew-join
-    splitting then handles the sub-cap skew that remains. The cap is
+    10^4 documents BEFORE the self-join (one count-only hash aggregate
+    over the shingle stream — cheap, map-side-combinable, tiny output;
+    an index built by collect_list would instead carry O(df) aggregate
+    state per stop-shingle, which is why the count-prefilter shape is
+    kept), bounding the candidate pairs any single shingle can emit;
+    AQE skew-join splitting then handles the sub-cap skew that
+    remains. The |S_B| denominators need no second aggregation at all:
+    size(_shingle_array()) is a narrow per-row map (VERDICT r6 #6
+    folded the former sizes shuffle away). The cap is
     chosen far above the fixture's maximum df (25 at sf0.1), so at
     test scales the capped plan is bit-identical to the uncapped
     oracle — asserted by test_containment_df_cap_exceeds_fixture_df."""
@@ -1376,8 +1394,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc sizes are computed BEFORE the df-cap: |S_B| is a property of
     # the document, not of the pruned index (capping the denominator
     # too would silently inflate containment for boilerplate-heavy
-    # docs).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # docs). |S_B| = size(distinct-shingle array) is a NARROW per-row
+    # map over the un-exploded array (VERDICT r6 #6) — the previous
+    # groupBy(doc_id) over the exploded stream shuffled every shingle
+    # a second time just to count them.
+    sizes = _spread(d).select(
+        "doc_id", F.size(_shingle_array()).cast("long").alias("n_sh")
+    )
     df_ok = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -1568,23 +1568,34 @@ def q_privacy_dp_count(
     counts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_true")
     )
-    safe_nonce = nonce.replace("'", "''")
 
-    def draw(tag: str) -> str:
-        u = (
-            f"CAST(conv(substring(md5(concat('{safe_nonce}|{tag}|',"
-            f" CAST(nation AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        )
-        branches = " ".join(
-            f"WHEN {u} < {cut} THEN {k}"
-            for k, cut in enumerate(_DP_GEO_CUTS)
-        )
-        return f"CASE {branches} ELSE 16 END"
+    def draw(tag: str):
+        # Column expressions, not interpolated SQL text (ADVICE r6):
+        # the nonce rides inside F.lit, so a nonce containing quotes
+        # or backslashes can never be re-parsed as Spark SQL syntax —
+        # the md5 preimage is exactly `nonce|tag|group-key` for EVERY
+        # nonce, matching the Python/DuckDB model byte-for-byte.
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{nonce}|{tag}|"),
+                        F.col("nation").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = F.when(u < F.lit(int(_DP_GEO_CUTS[0])), F.lit(0))
+        for k, cut in enumerate(_DP_GEO_CUTS[1:], start=1):
+            out = out.when(u < F.lit(int(cut)), F.lit(k))
+        return out.otherwise(F.lit(16))
 
     return (
-        counts.withColumn(
-            "z_noise", F.expr(f"({draw('dpA')}) - ({draw('dpB')})")
-        )
+        counts.withColumn("z_noise", draw("dpA") - draw("dpB"))
         .select(
             "nation",
             "n_true",
