@@ -196,23 +196,37 @@ def time_suite(
 #: the 1-min loadavg drops below the threshold (bounded — never wait
 #: more than IDLE_MAX_WAIT_SEC), so captured numbers are
 #: contention-clean by construction rather than by luck.
-IDLE_LOADAVG_MAX = 2.0
+#:
+#: r7 tightening (VERDICT r6 item 4): BENCH_r06 was captured at
+#: loadavg 2.07 — the 2.0 gate opened AT its boundary and the captured
+#: median read ~5-10% pessimistic vs contention-clean runs. Gate at
+#: 1.5, and when the bounded wait expires above threshold, grant one
+#: extra settle cycle (a second bounded wait) before giving up — a
+#: decaying load that just missed the deadline usually clears in the
+#: next minute, and a truly-loaded host still exits in bounded time.
+IDLE_LOADAVG_MAX = 1.5
 IDLE_MAX_WAIT_SEC = 300
+IDLE_RETRY_CYCLES = 1
 
 
 def wait_until_idle() -> float:
     """Sleep until loadavg_1m < IDLE_LOADAVG_MAX or the bounded wait
-    expires; returns the loadavg observed when the gate opened."""
-    deadline = time.monotonic() + IDLE_MAX_WAIT_SEC
-    load = os.getloadavg()[0]
-    while load > IDLE_LOADAVG_MAX and time.monotonic() < deadline:
-        print(
-            f"bench: waiting for idle host (loadavg_1m {load:.2f} > "
-            f"{IDLE_LOADAVG_MAX})",
-            file=sys.stderr,
-        )
-        time.sleep(15)
+    expires (plus up to IDLE_RETRY_CYCLES extra bounded waits if the
+    gate would open contended); returns the loadavg observed when the
+    gate opened."""
+    for cycle in range(1 + IDLE_RETRY_CYCLES):
+        deadline = time.monotonic() + IDLE_MAX_WAIT_SEC
         load = os.getloadavg()[0]
+        while load > IDLE_LOADAVG_MAX and time.monotonic() < deadline:
+            print(
+                f"bench: waiting for idle host (loadavg_1m {load:.2f} > "
+                f"{IDLE_LOADAVG_MAX}, cycle {cycle + 1})",
+                file=sys.stderr,
+            )
+            time.sleep(15)
+            load = os.getloadavg()[0]
+        if load <= IDLE_LOADAVG_MAX:
+            break
     return load
 
 

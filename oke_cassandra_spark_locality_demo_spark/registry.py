@@ -195,68 +195,91 @@ _DRIVER_ADJUDICATED = frozenset(
     q_source_pyds_scan q_source_pyds_lookup q_sink_pyds
     q_insert_upsert q_meta_engine_info q_tpch_q1 q_tpch_q3 q_tpch_q5
     q_tpch_q6 q_tpch_q9 q_tpch_q18 q_tpch_q21
+    q_dedup_containment q_dedup_simhash q_privacy_dp_count
+    q_tpch_q2 q_tpch_q4 q_tpch_q7 q_tpch_q8 q_tpch_q10 q_tpch_q11
+    q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17
+    q_tpch_q19 q_tpch_q20 q_tpch_q22
+    q_agg_sketch_cms q_agg_sketch_theta q_agg_sketch_moments
+    q_agg_bitmap_distinct q_agg_bitmap_overlap q_mv_incremental
+    q_merge_multi_action q_sessionize q_join_bloom q_join_bucketed
+    q_dedup_span q_text_bm25 q_text_zipf q_shuffle_epoch q_win_ewma
+    q_sample_temperature q_sample_stratified q_sql_scripting
+    q_export_webdataset q_export_jsonl_shards q_ordinal_assign
+    q_feature_bucketize q_maintenance_compact q_scan_partition_pruned
+    q_fn_bitwise q_fn_collation q_fn_explode q_fn_generators
+    q_fn_sequence q_fn_struct q_fn_try
     """.split()
 )
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 6:
-#: the two r5-verdict `weak` scale guards landed in code — the
-#: document-frequency cap in q_dedup_containment (impl change, oracle
-#: hash unchanged by construction) and parameterized banding in
-#: q_dedup_simhash (rows-only) — plus q_source_json_corrupt's fixture
-#: writer swapped from a driver-side collect loop to a distributed
-#: single-partition df.write (VERDICT r5 #4), and q_privacy_dp_count's
-#: demo-mechanism hardening (release-nonce preimage + explicit
-#: demo_only flag column, ADVICE r5).
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 7:
+#: q_dedup_containment's |S_B| sizes computation folded from a full
+#: exploded-stream groupBy into a narrow per-row size(_shingle_array())
+#: map (VERDICT r6 #6 — one fewer shingle shuffle; oracle unchanged,
+#: parity re-verified at sf0.001/0.01/0.1), and q_privacy_dp_count's
+#: noise draw rebuilt from interpolated SQL text into pure column
+#: expressions (ADVICE r6: removes the nonce escaping/injection
+#: surface; identical md5 preimage, hash-identical on the fixture
+#: nonce). The _shingles helper refactor extracted the identical
+#: expression tree into _shingle_array — consumers' plans are
+#: unchanged, re-confirmed by the full drive_contract.
 _MODIFIED_THIS_ROUND = [
     "q_dedup_containment",
-    "q_dedup_simhash",
-    "q_source_json_corrupt",
     "q_privacy_dp_count",
 ]
 
-#: Round-6 sampling priority among never-adjudicated keys (VERDICT r5
-#: "Next round" item 1): the 15 remaining q_tpch_* (the marquee
-#: relational suite), then the late-r4 sketch/warehouse block, then
-#: the late-r4 operator/scalar tail in commit order. With the 4
-#: _MODIFIED keys this fills the driver's 50-slot prefix exactly
-#: (4 + 46 = 50; verified by test_driver_sample_prefix_is_oracle_backed).
-#: Keys not listed fall back to registration order behind these.
+#: Round-7 sampling priority among never-adjudicated keys (VERDICT r6
+#: "Next round" items 2 and 3): the two rows-only keys that have never
+#: received ANY external verdict (q_sim_lsh, q_text_compress_ratio —
+#: their audits are hash-green but the keys themselves have no
+#: adjudication row), then the remaining late-r4/r5 additions in
+#: commit order — variant/xml + scalar-fn tail, the graph suite, geo,
+#: the stats/econometrics block, privacy ladder, BPE tokenizer,
+#: ranking-eval. With the 2 _MODIFIED keys this fills the driver's
+#: 50-slot prefix exactly (2 + 48 = 50; verified by
+#: test_driver_sample_prefix_is_oracle_backed). Keys not listed fall
+#: back to registration order behind these.
 #:
-#: ROUND-7 PLAYBOOK (for the next session, after CORRECTNESS_r06
-#: lands): (1) append r6's 50 sampled keys to _DRIVER_ADJUDICATED;
-#: (2) reset _MODIFIED_THIS_ROUND to the keys actually touched in r7;
-#: (3) replace _ROUND_PRIORITY with the next 50 never-adjudicated
-#: keys. After the r6 rotation 214-50 = ~164 keys remain unadjudicated
-#: (tools/rotation_remaining.py prints the exact list in registration
-#: order). Front them in commit order: first the remaining late-r4/r5
-#: additions (q_fn_variant, q_fn_xml, the graph suite, the stats/
-#: econometrics block, time-series, privacy ladder, BPE tokenizer,
-#: ranking-eval), then the late-r5 product-analytics blocks. The
-#: remainder fronts in r8/r9, after which the rotation retires and
-#: _sample_order can revert to registration order.
+#: ROUND-8 PLAYBOOK (for the next session, after CORRECTNESS_r07
+#: lands): (1) append r7's 50 sampled keys to _DRIVER_ADJUDICATED
+#: (the 2 _MODIFIED slots re-grade already-adjudicated keys, so the
+#: prefix retires 48 of the ~115 keys still unadjudicated after r7 —
+#: tools/rotation_remaining.py prints the exact list in registration
+#: order); (2) reset _MODIFIED_THIS_ROUND to the keys actually touched
+#: in r8; (3) replace _ROUND_PRIORITY with the next 50 from the
+#: remaining list — the late-r5 product-analytics / time-series /
+#: window blocks (q_agg_abc_pareto … q_ts_dau_mau), then the SQL-
+#: dialect and source/export tail. The final ~65 front in r9, after
+#: which the rotation retires and _sample_order can revert to
+#: registration order.
 _ROUND_PRIORITY = [
-    # TPC-H tail — the 15 queries not in r5's marquee slice
-    # (VERDICT r5 "Next round" #1)
-    "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19",
-    "q_tpch_q20", "q_tpch_q22",
-    # late-r4 sketch/warehouse block (VERDICT r5 #1)
-    "q_agg_sketch_cms", "q_agg_sketch_theta", "q_agg_sketch_moments",
-    "q_agg_bitmap_distinct", "q_agg_bitmap_overlap", "q_mv_incremental",
-    "q_merge_multi_action", "q_sessionize", "q_join_bloom",
-    "q_join_bucketed",
-    # late-r4 operator/scalar tail in commit order (fills the prefix)
-    "q_dedup_span", "q_text_bm25", "q_text_zipf", "q_shuffle_epoch",
-    "q_win_ewma", "q_sample_temperature", "q_sample_stratified",
-    "q_sql_scripting", "q_export_webdataset", "q_export_jsonl_shards",
-    "q_ordinal_assign", "q_feature_bucketize", "q_maintenance_compact",
-    "q_scan_partition_pruned", "q_fn_bitwise", "q_fn_collation",
-    "q_fn_explode", "q_fn_generators", "q_fn_sequence", "q_fn_struct",
-    "q_fn_try",
+    # rows-only keys owed their first external verdict (VERDICT r6 #3)
+    "q_sim_lsh", "q_text_compress_ratio",
+    # late-r4 scalar/source tail in commit order
+    "q_fn_variant", "q_fn_xml", "q_fn_editdistance", "q_fn_codec",
+    "q_fn_stable_id", "q_fn_time_bucket", "q_fn_split_part",
+    # graph suite (VERDICT r6 #2)
+    "q_graph_triangles", "q_graph_bfs", "q_graph_cc",
+    "q_graph_common_neighbors", "q_graph_kcore", "q_graph_assortativity",
+    "q_graph_sssp", "q_graph_modularity", "q_graph_2hop_reach",
+    "q_graph_degree_powerlaw", "q_graph_neighbor_sample",
+    # geospatial block
+    "q_geo_radius_join", "q_geo_knn", "q_geo_grid_density",
+    # stats / econometrics block
+    "q_stats_kruskal", "q_stats_anova_f", "q_stats_cohen_kappa",
+    "q_stats_kaplan_meier", "q_stats_levene", "q_stats_spearman",
+    "q_ts_backtest_snaive", "q_stats_gtest", "q_stats_mcnemar",
+    "q_stats_overdispersion", "q_stats_wilcoxon", "q_ts_changepoint",
+    "q_stats_ess",
+    # privacy ladder (q_privacy_dp_count re-grades via _MODIFIED)
+    "q_privacy_kanon", "q_privacy_ldiversity", "q_privacy_tclose",
+    "q_privacy_suppress", "q_privacy_uniqueness",
+    # BPE tokenizer
+    "q_text_bpe_train", "q_text_bpe_encode", "q_text_bpe_fertility",
+    # ranking-eval
+    "q_rank_rrf", "q_rank_eval", "q_rank_tau", "q_rank_ndcg",
 ]
 
 

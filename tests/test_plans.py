@@ -1669,3 +1669,63 @@ def test_simhash_bucket_cap_in_plan(spark, sf_dir):
     df = get("q_dedup_simhash").fn(spark, sf_dir)
     plan = simple_plan(df)
     assert f"<= {SIMHASH_BUCKET_CAP}" in plan, plan[:2000]
+
+
+def test_2hop_reach_no_cartesian_and_anti_join(spark, sf_dir):
+    """q_graph_2hop_reach (r7-fronted): the friends-of-friends
+    enumeration must stay a keyed self-join on the middle vertex plus
+    an ANTI-join against known edges — a BroadcastNestedLoopJoin or
+    CartesianProduct would mean the candidate-minus-known shape
+    degraded to all-pairs."""
+    plan = simple_plan(get("q_graph_2hop_reach").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_spearman_ranks_at_value_granularity(spark, sf_dir):
+    """q_stats_spearman (r7-fronted): the tie-averaged ranks must be
+    computed over VALUE-level count aggregates, never by sorting the
+    raw per-part stream through one reducer. Mechanically: every rank
+    join back to the measures is a hash join (no NLJ / cartesian), and
+    the plan carries the two value-level hash aggregates feeding the
+    cumulative windows."""
+    plan = simple_plan(get("q_stats_spearman").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("windowspecdefinition") >= 2, plan[:2000]
+
+
+def test_geo_radius_join_is_cell_blocked_equi_join(spark, sf_dir):
+    """q_geo_radius_join (r7-fronted): the radius predicate must be
+    evaluated inside grid-cell candidate blocks via a plain equi-join
+    on the cell key — the oracle's O(|c|x|s|) theta join shape
+    (BroadcastNestedLoopJoin / CartesianProduct) must NOT appear in
+    the engine plan."""
+    plan = simple_plan(get("q_geo_radius_join").fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "cell_lat" in plan, plan[:2000]
+
+
+def test_privacy_kanon_two_chained_aggregates(spark, sf_dir):
+    """q_privacy_kanon (r7-fronted): the k-anonymity audit is two
+    chained hash aggregates (quasi-id classes, then the nation
+    rollup) — no joins, no windows, and at most one exchange per
+    aggregate plus the presentation sort."""
+    df = get("q_privacy_kanon").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_rank_ndcg_bounded_list_with_broadcast_relevance(spark, sf_dir):
+    """q_rank_ndcg (r7-fronted): the global row_number window must run
+    over the TakeOrdered 20-row BM25 list (constant-size input), and
+    the relevance labels must arrive via a broadcast join — the only
+    corpus-proportional work is the relevance scan itself."""
+    df = get("q_rank_ndcg").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrdered" in plan, plan[:2000]
+    assert has_broadcast_join(df), plan[:2000]
