@@ -1729,3 +1729,66 @@ def test_rank_ndcg_bounded_list_with_broadcast_relevance(spark, sf_dir):
     plan = simple_plan(df)
     assert "TakeOrdered" in plan, plan[:2000]
     assert has_broadcast_join(df), plan[:2000]
+
+
+def test_concurrency_sweep_is_join_free_sweep_line(spark, sf_dir):
+    """q_win_concurrency_sweep (r8 block): the max-overlap curve must
+    come from the +1/-1 sweep line — a per-key partitioned running
+    sum — never the quadratic interval self-join the oracle runs. The
+    only join allowed is the broadcast of the 1-row-per-key peak
+    table back onto the curve."""
+    df = get("q_win_concurrency_sweep").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert has_broadcast_join(df), plan[:2000]
+    import re
+
+    assert re.search(r"windowspecdefinition\(event_type#", plan), plan[:2000]
+
+
+def test_wau_scatter_has_no_window(spark, sf_dir):
+    """q_ts_wau (r8 block): rolling 7-day distinct users must be the
+    dedupe-then-scatter shape — explode of the (user, day) pair table
+    to its 7 report days plus a per-day distinct count. Any
+    windowspecdefinition in the plan would mean it regressed to the
+    distinct-over-RANGE-frame formulation that funnels each key's
+    whole history through one reducer."""
+    plan = simple_plan(get("q_ts_wau").fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    assert "explode" in plan, plan[:2000]
+
+
+def test_double_charge_is_single_window_no_self_join(spark, sf_dir):
+    """q_fraud_double_charge (r8 block): adjacent-pair flagging via LAG
+    over one (customer, band)-partitioned window — the band self-join
+    (quadratic inside hot cells) must NOT appear: no join of any kind
+    in the plan."""
+    plan = simple_plan(get("q_fraud_double_charge").fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    import re
+
+    assert re.search(r"windowspecdefinition\(o_custkey#", plan), plan[:2000]
+
+
+def test_rolling_median_frame_is_bounded_rows(spark, sf_dir):
+    """q_win_rolling_median (r8 block): the exact median must come from
+    a BOUNDED ROWS frame (-6..current) over a user-partitioned window —
+    constant memory per row. An unbounded or RANGE frame would make
+    per-row state grow with history length."""
+    import re
+
+    plan = simple_plan(get("q_win_rolling_median").fn(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(user_id#", plan), plan[:2000]
+    assert "-6" in plan and "currentrow" in plan.lower(), plan[:2000]
+    assert "unboundedpreceding" not in plan.lower(), plan[:2000]
+
+
+def test_path_topk_rank_pruned_and_take_ordered(spark, sf_dir):
+    """q_win_path_topk (r8 block): the per-user rank filter (rn <= 3)
+    must be pushed into the window sort as a WindowGroupLimit (each
+    partition keeps 3 rows, not the full history), and the final
+    top-10 must be a TakeOrdered, not a global sort."""
+    plan = simple_plan(get("q_win_path_topk").fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "TakeOrdered" in plan, plan[:2000]
