@@ -1792,3 +1792,47 @@ def test_path_topk_rank_pruned_and_take_ordered(spark, sf_dir):
     plan = simple_plan(get("q_win_path_topk").fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "TakeOrdered" in plan, plan[:2000]
+
+
+def test_ewma_is_user_partitioned_lag_stencil(spark, sf_dir):
+    """q_win_ewma (r8 block): the finite-lookback EWMA is a stack of
+    LAG taps over ONE user-partitioned ordered window — no join, and
+    no unpartitioned window anywhere (the recursive formulation would
+    need a sequential fold; the stencil keeps it one partition pass)."""
+    import re
+
+    plan = simple_plan(get("q_win_ewma").fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert re.search(r"windowspecdefinition\(user_id#", plan), plan[:2000]
+
+
+def test_rolling_corr_windows_daily_aggregate(spark, sf_dir):
+    """q_win_rolling_corr (r8 block): the 14-day rolling moments must
+    run over the DAILY aggregate (O(days) rows after a hash aggregate),
+    in a bounded -13..0 ROWS frame — never over the raw event stream."""
+    plan = simple_plan(get("q_win_rolling_corr").fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "-13" in plan, plan[:2000]
+    assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_dau_mau_scatter_has_no_window(spark, sf_dir):
+    """q_ts_dau_mau (r8 block): same dedupe-then-scatter contract as
+    q_ts_wau — the 28-day MAU support comes from an explode of the
+    deduped (user, day) pairs plus per-day distinct counts, with no
+    windowspec in the plan."""
+    plan = simple_plan(get("q_ts_dau_mau").fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    assert "explode" in plan, plan[:2000]
+
+
+def test_distinct_bitmask_frame_is_bounded_rows(spark, sf_dir):
+    """q_win_distinct_bitmask (r8 block): the rolling distinct-type
+    mask is a bit_or over a bounded 9-PRECEDING ROWS frame on a
+    user-partitioned window — constant per-row state."""
+    import re
+
+    plan = simple_plan(get("q_win_distinct_bitmask").fn(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(user_id#", plan), plan[:2000]
+    assert "-9" in plan, plan[:2000]
+    assert "unboundedpreceding" not in plan.lower(), plan[:2000]
