@@ -1836,3 +1836,36 @@ def test_distinct_bitmask_frame_is_bounded_rows(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(user_id#", plan), plan[:2000]
     assert "-9" in plan, plan[:2000]
     assert "unboundedpreceding" not in plan.lower(), plan[:2000]
+
+
+def test_new_users_first_seen_is_aggregate_not_window(spark, sf_dir):
+    """q_ts_new_users (r8 block): first-seen day must be min(day) in a
+    hash aggregate over users (map-side combinable), never a window
+    over the raw event log; the single cumulative window may only run
+    over the calendar-bounded daily table. Mechanically: exactly one
+    windowspec, no join, >= 2 hash aggregates feeding it."""
+    plan = simple_plan(get("q_ts_new_users").fn(spark, sf_dir))
+    assert plan.count("windowspecdefinition") <= 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_rsi_windows_calendar_bounded_daily_table(spark, sf_dir):
+    """q_win_rsi (r8 block): the gain/loss frames run over the daily
+    aggregate of orders (calendar-bounded input), so the plan must
+    carry the hash aggregate below the windows and no join."""
+    plan = simple_plan(get("q_win_rsi").fn(spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "HashAggregate" in plan, plan[:2000]
+    assert "13" in plan, plan[:2000]
+
+
+def test_shard_rendezvous_fanout_is_broadcast(spark, sf_dir):
+    """q_shard_rendezvous (r8/r9 block): the 9x score fan-out must ride
+    a broadcast of the 9-row shard table (bounded constant fan-out) and
+    the two arg-max reductions must be hash aggregates — no
+    CartesianProduct and no sort of the score table."""
+    df = get("q_shard_rendezvous").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "max_by" in plan, plan[:2000]
