@@ -1,0 +1,61 @@
+"""Unit coverage for bench.py's wait-until-idle gate (VERDICT r6 #4):
+the capture must not start while the 1-min loadavg sits above the
+threshold, and a decaying load that misses the first bounded wait gets
+exactly one extra settle cycle — never an unbounded spin."""
+
+from __future__ import annotations
+
+import bench
+
+
+def _run_gate(monkeypatch, loads: list[float]) -> tuple[float, int]:
+    """Drive wait_until_idle against a scripted loadavg sequence (the
+    last value repeats); returns (gate-open loadavg, sleeps taken)."""
+    seq = iter(loads)
+    last = loads[-1]
+    state = {"sleeps": 0, "now": 0.0}
+
+    def fake_loadavg():
+        return (next(seq, last), 0.0, 0.0)
+
+    def fake_sleep(s):
+        state["sleeps"] += 1
+        state["now"] += s
+
+    monkeypatch.setattr(bench.os, "getloadavg", fake_loadavg)
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    monkeypatch.setattr(bench.time, "monotonic", lambda: state["now"])
+    return bench.wait_until_idle(), state["sleeps"]
+
+
+def test_gate_opens_immediately_when_idle(monkeypatch):
+    load, sleeps = _run_gate(monkeypatch, [0.8])
+    assert load == 0.8 and sleeps == 0
+
+
+def test_gate_threshold_is_tightened(monkeypatch):
+    """r6's capture opened at loadavg 2.07 under the old 2.0 gate; the
+    r7 threshold must hold the run until the load clears 1.5."""
+    assert bench.IDLE_LOADAVG_MAX == 1.5
+    load, sleeps = _run_gate(monkeypatch, [2.07, 1.9, 1.6, 1.4])
+    assert load == 1.4 and sleeps == 3
+
+
+def test_gate_grants_one_extra_settle_cycle(monkeypatch):
+    """A load still above threshold when the first bounded wait expires
+    gets a second bounded wait (IDLE_RETRY_CYCLES=1) — a decaying load
+    that clears in that window yields a clean capture."""
+    # first cycle: 20 sleeps x 15 s exhaust the 300 s budget while the
+    # load decays but stays > 1.5; the retry cycle then sees it clear.
+    loads = [5.0] + [5.0 - 0.1 * i for i in range(20)] + [1.2]
+    load, sleeps = _run_gate(monkeypatch, loads)
+    assert load == 1.2, load
+
+
+def test_gate_is_bounded_under_sustained_load(monkeypatch):
+    """A genuinely loaded host exits after 1 + IDLE_RETRY_CYCLES
+    bounded waits — the gate must never spin forever."""
+    load, sleeps = _run_gate(monkeypatch, [9.9])
+    max_sleeps_per_cycle = bench.IDLE_MAX_WAIT_SEC / 15
+    assert load == 9.9
+    assert sleeps <= (1 + bench.IDLE_RETRY_CYCLES) * (max_sleeps_per_cycle + 1)
