@@ -403,3 +403,76 @@ def test_phash_banded_degree_equals_all_pairs(spark, sf_dir):
             deg[b] += 1
     got = {r.doc_id: r.n_near for r in rows}
     assert got == deg
+
+
+def test_rrf_matches_python_reference(spark, sf_dir):
+    """q_rank_rrf (r7-fronted) verified independently of the DuckDB
+    oracle: re-derive the two rank maps from the already-cross-checked
+    BM25/QL top-20 outputs driver-side, fuse with the textbook
+    1/(60+rank) formula in Python, and require identical rows."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    bm = get("q_text_bm25").fn(spark, sf_dir).collect()
+    ql = get("q_text_ql").fn(spark, sf_dir).collect()
+    ra = {
+        r.doc_id: i + 1
+        for i, r in enumerate(sorted(bm, key=lambda r: (-r.bm25_e6, r.doc_id)))
+    }
+    rb = {
+        r.doc_id: i + 1
+        for i, r in enumerate(sorted(ql, key=lambda r: (-r.ql_e6, r.doc_id)))
+    }
+    expect = {}
+    for d in set(ra) | set(rb):
+        s = (1.0 / (60.0 + ra[d]) if d in ra else 0.0) + (
+            1.0 / (60.0 + rb[d]) if d in rb else 0.0
+        )
+        e6 = int(
+            Decimal(repr(s * 1000000.0)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        expect[d] = (ra.get(d, 0), rb.get(d, 0), e6)
+    got = {
+        r.doc_id: (r.rank_bm25, r.rank_ql, r.rrf_e6)
+        for r in get("q_rank_rrf").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_rank_eval_matches_python_reference(spark, sf_dir):
+    """q_rank_eval (r7-fronted) verified against a from-scratch Python
+    scorer: relevance recomputed from the raw document text (the
+    conjunctive >= 3-occurrence criterion), metrics recomputed with
+    plain integer arithmetic over the BM25 top-20."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.llm.text import BM25_QUERY
+
+    bm = get("q_text_bm25").fn(spark, sf_dir).collect()
+    rnk = {
+        r.doc_id: i + 1
+        for i, r in enumerate(sorted(bm, key=lambda r: (-r.bm25_e6, r.doc_id)))
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rel = set()
+    for r in docs:
+        words = r.text.lower().strip().split(" ")
+        if all(words.count(t) >= 3 for t in BM25_QUERY):
+            rel.add(r.doc_id)
+    hit_ranks = sorted(rnk[d] for d in rel if d in rnk)
+    hits5 = sum(1 for k in hit_ranks if k <= 5)
+    hits10 = sum(1 for k in hit_ranks if k <= 10)
+    hits20 = len(hit_ranks)
+    expect = {
+        "n_rel": len(rel),
+        "hits5": hits5,
+        "hits10": hits10,
+        "hits20": hits20,
+        "p5_e6": hits5 * 200000,
+        "p10_e6": hits10 * 100000,
+        "recall20_e6": hits20 * 1000000 // len(rel) if rel else 0,
+        "mrr_e6": (1000000 // hit_ranks[0]) if hit_ranks else 0,
+    }
+    (row,) = get("q_rank_eval").fn(spark, sf_dir).collect()
+    got = {k: row[k] for k in expect}
+    assert got == expect
