@@ -1869,3 +1869,164 @@ def test_shard_rendezvous_fanout_is_broadcast(spark, sf_dir):
     plan = simple_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "max_by" in plan, plan[:2000]
+
+
+def test_cr4_rank_window_over_supplier_aggregate(spark, sf_dir):
+    """q_agg_cr4 (r8/r9 block): the per-nation rank runs over the
+    O(suppliers) revenue aggregate behind a broadcast dim join, and the
+    emissions satisfy the defining bounds — nations with <= 4 suppliers
+    read CR4 = 1e6 exactly."""
+    import re
+
+    df = get("q_agg_cr4").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert has_broadcast_join(df), plan[:2000]
+    assert re.search(r"windowspecdefinition\(nation#", plan), plan[:2000]
+    for r in df.collect():
+        assert 0 < r.cr4_ppm <= 1_000_000
+        assert r.top4_rev_c <= r.total_rev_c
+        if r.n_suppliers <= 4:
+            assert r.cr4_ppm == 1_000_000
+
+
+def test_theil_nonnegative_and_bounded(spark, sf_dir):
+    """q_agg_theil (r8/r9 block): the Theil index is >= 0 up to
+    micro-rounding noise and bounded above by ln(n) (perfect
+    concentration); join-free chained aggregates."""
+    import math
+
+    df = get("q_agg_theil").fn(spark, sf_dir)
+    for r in df.collect():
+        assert r.theil_micro_nats >= -2, r
+        assert r.theil_micro_nats <= int(1_000_000 * math.log(r.n)) + 2, r
+
+
+def test_arpu_denominator_identity(spark, sf_dir):
+    """q_agg_arpu (r8/r9 block): the emitted ratio must be exactly
+    revenue DIV distinct purchasers (not per-purchase basket size),
+    with purchases >= purchasers; single aggregate, no join/window."""
+    df = get("q_agg_arpu").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "windowspecdefinition" not in plan, plan[:2000]
+    for r in df.collect():
+        assert r.arpu_c == r.revenue_c // r.active_users
+        assert r.n_purchases >= r.active_users
+
+
+def test_simpson_flag_consistent_and_means_exact(spark, sf_dir):
+    """q_agg_simpson (r8/r9 block): the paradox flag is a single
+    corpus-level verdict (identical on every row), and both estimators
+    are positive exact integers."""
+    rows = get("q_agg_simpson").fn(spark, sf_dir).collect()
+    flags = {r.paradox for r in rows}
+    assert len(flags) == 1
+    for r in rows:
+        assert r.mean_c > 0 and r.strat_mean_c > 0
+
+
+def test_mix_shift_bridge_reconciles_exactly(spark, sf_dir):
+    """q_agg_mix_shift (r8/r9 block): the volume/rate/residual bridge
+    must reconcile the revenue delta EXACTLY per group — the floor
+    residual exists precisely so the identity is integer-exact."""
+    for r in get("q_agg_mix_shift").fn(spark, sf_dir).collect():
+        assert (
+            r.delta_rev_c
+            == r.volume_effect_c + r.rate_effect_c + r.residual_c
+        ), r
+
+
+def test_percent_of_parent_shares_truncate_to_parent(spark, sf_dir):
+    """q_agg_percent_of_parent (r8/r9 block): per region the nation
+    shares are truncating ppm — their sum lands in (1e6 - n, 1e6];
+    the region-level share is constant within a region; all shares in
+    (0, 1e6]."""
+    rows = get("q_agg_percent_of_parent").fn(spark, sf_dir).collect()
+    by_region: dict = {}
+    for r in rows:
+        assert 0 < r.pct_of_region_ppm <= 1_000_000
+        assert 0 < r.region_pct_ppm <= 1_000_000
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        s = sum(r.pct_of_region_ppm for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000, (region, s)
+        assert len({r.region_pct_ppm for r in rs}) == 1
+    assert (
+        sum({rs[0].region_pct_ppm for rs in by_region.values()})
+        > 1_000_000 - len(by_region)
+    )
+
+
+def test_purchase_gaps_bands_consistent(spark, sf_dir):
+    """q_agg_purchase_gaps (r8/r9 block): band edges honored by the
+    min/max emissions, floor-mean inside [min, max], one LAG window
+    partitioned by customer."""
+    import re
+
+    df = get("q_agg_purchase_gaps").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert re.search(r"windowspecdefinition\(o_custkey#", plan), plan[:2000]
+    edges = {0: (0, 7), 1: (8, 30), 2: (31, 90), 3: (91, 365)}
+    for r in df.collect():
+        lo, hi = edges.get(r.bucket, (366, 10**9))
+        assert lo <= r.min_days <= r.max_days <= hi, r
+        assert r.min_days <= r.mean_days <= r.max_days, r
+        assert r.n_gaps > 0
+
+
+def test_growth_accounting_matches_python_reference(spark, sf_dir):
+    """q_agg_growth_accounting (r8/r9 block) brute-forced from raw
+    orders driver-side: per-quarter status classification (first-ever
+    = new, previous-quarter presence = retained, gap-return =
+    resurrected, silent-after-active = churned with negative lost
+    revenue) recomputed in plain Python and compared row-for-row."""
+    from collections import defaultdict
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    raw = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate").cast("long") * 10
+             + ((F.month("o_orderdate") + 2) / 3).cast("long")).alias("q"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    qrev: dict = defaultdict(int)
+    for r in raw:
+        qrev[(r.o_custkey, r.q)] += r.cents
+    firstq: dict = {}
+    for (c, q) in qrev:
+        firstq[c] = min(firstq.get(c, q), q)
+
+    def prev_q(q):
+        return q - 7 if q % 10 == 1 else q - 1
+
+    def next_q(q):
+        return q + 7 if q % 10 == 4 else q + 1
+
+    observed_qs = {q for (_, q) in qrev}
+    expect: dict = defaultdict(lambda: [0, 0])
+    for (c, q), rev in qrev.items():
+        if firstq[c] == q:
+            st = "new"
+        elif (c, prev_q(q)) in qrev:
+            st = "retained"
+        else:
+            st = "resurrected"
+        e = expect[(q, st)]
+        e[0] += 1
+        e[1] += rev
+        nq = next_q(q)
+        if nq in observed_qs and (c, nq) not in qrev:
+            ch = expect[(nq, "churned")]
+            ch[0] += 1
+            ch[1] -= rev
+    got = {
+        (r.q, r.status): (r.n_customers, r.revenue_c)
+        for r in get("q_agg_growth_accounting").fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
