@@ -20,3 +20,51 @@ def test_split_part_edge_semantics(spark):
         ("plain", "", ""),
         ("x", "y", ""),
     }
+
+
+def test_variant_extraction_semantics(spark, sf_dir):
+    """q_fn_variant's contract pinned directly: variant_get extracts
+    typed paths from parse_json, try_variant_get yields NULL (never an
+    error) on a missing path, and the int/bigint extractions agree on
+    every row."""
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    rows = get("q_fn_variant").fn(spark, sf_dir).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r.missing_str is None
+        assert r.k_variant == r.k_long
+        assert r.vtype.startswith("OBJECT"), r.vtype
+
+
+def test_xml_roundtrip_preserves_typed_fields(spark, sf_dir):
+    """q_fn_xml's round-trip contract pinned against the source table:
+    the parsed cust/status/total must equal the original row values
+    (total through the decimal(12,2) print path), proving from_xml
+    actually parses rather than pattern-matching."""
+    from pyspark.sql import functions as F
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    got = {
+        r.o_orderkey: (r.cust, r.status, r.total)
+        for r in get("q_fn_xml").fn(spark, sf_dir).collect()
+    }
+    src = {
+        r.o_orderkey: (
+            r.o_custkey,
+            r.o_orderstatus,
+            float(r.total_dec),
+        )
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("total_dec"),
+        )
+        .collect()
+    }
+    assert got == src
