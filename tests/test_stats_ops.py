@@ -1644,3 +1644,43 @@ def test_three_way_split_partitions(spark, sf_dir):
     train = {r["lang"]: r["n_docs"] for r in rows if r["split"] == "train"}
     for lang, n in train.items():
         assert n > langs[lang] // 2
+
+
+def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
+    """q_join_asof_tolerance (r8/r9 block) brute-forced: most-recent
+    purchase per click with the 6-hour TTL applied in plain Python —
+    matched flag, carried value, and exact microsecond staleness must
+    all agree."""
+    df = _queries()["q_join_asof_tolerance"](spark, sf_dir)
+    got = {
+        r["event_id"]: (r["matched"], r["fresh_value"], r["staleness_us"])
+        for r in df.collect()
+    }
+    import duckdb
+
+    clicks = duckdb.sql(
+        f"""SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        FROM '{sf_dir}/events.parquet' WHERE event_type='click'"""
+    ).fetchall()
+    purch = duckdb.sql(
+        f"""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), value
+        FROM '{sf_dir}/events.parquet' WHERE event_type='purchase'"""
+    ).fetchall()
+    per_user: dict[int, list[tuple[int, float]]] = {}
+    for u, t, v in purch:
+        per_user.setdefault(u, []).append((t, v))
+    for p in per_user.values():
+        p.sort()
+    assert len(got) == len(clicks)
+    ttl = 6 * 3600 * 1_000_000
+    for eid, u, t in clicks:
+        best = None
+        for pt, pv in per_user.get(u, []):
+            if pt <= t:
+                best = (pt, pv)
+            else:
+                break
+        if best is not None and t - best[0] <= ttl:
+            assert got[eid] == (True, best[1], t - best[0]), eid
+        else:
+            assert got[eid] == (False, None, None), eid
