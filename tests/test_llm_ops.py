@@ -476,3 +476,77 @@ def test_rank_eval_matches_python_reference(spark, sf_dir):
     (row,) = get("q_rank_eval").fn(spark, sf_dir).collect()
     got = {k: row[k] for k in expect}
     assert got == expect
+
+
+def test_gopher_rules_match_python_reference(spark, sf_dir):
+    """q_quality_gopher (r8/r9 block): the five rule bits recomputed
+    per document from raw text in plain Python (milli-ratios with
+    half-up rounding, truncating symbol count), bitmask and keep flag
+    compared row-for-row."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.llm.text import _STOPWORDS
+
+    def half_up(v):
+        return int(
+            Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        norm = r.text.lower().strip()
+        words = norm.split(" ")
+        n_words = len(words)
+        chars = len(norm.replace(" ", ""))
+        mean_wlen = half_up(chars * 1000.0 / n_words)
+        n_alpha = sum(1 for w in words if re.fullmatch(r"[a-z]+", w))
+        alpha = half_up(n_alpha * 1000.0 / n_words)
+        stops = sum(1 for w in words if w in set(_STOPWORDS))
+        n3 = len(re.findall(r"\.\.\.", norm))
+        sym = int(norm.count("#") + (3 * n3) / 3.0)
+        bits = (
+            (1 if 20 <= n_words <= 500 else 0)
+            + (2 if 3000 <= mean_wlen <= 10000 else 0)
+            + (4 if alpha >= 800 else 0)
+            + (8 if stops >= 2 else 0)
+            + (16 if sym * 10 < n_words else 0)
+        )
+        expect[r.doc_id] = (n_words, mean_wlen, alpha, stops, bits,
+                            bits == 31)
+    got = {
+        r.doc_id: (r.n_words, r.mean_wlen_milli, r.alpha_milli, r.stop_hits,
+                   r.rules, r.keep)
+        for r in get("q_quality_gopher").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_priority_matches_python_reference(spark, sf_dir):
+    """q_dedup_priority (r8/r9 block): the provenance-aware canonical
+    choice (tier = int(source[3:]) % 3, then doc_id) re-derived with a
+    plain Python group-min per normalized text."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    groups: dict = {}
+    for r in docs:
+        tier = int(r.source[3:]) % 3
+        key = r.text.lower().strip()
+        g = groups.setdefault(key, [])
+        g.append((tier, r.doc_id, r.source))
+    expect = {}
+    for g in groups.values():
+        tier, doc_id, source = min(g)
+        expect[doc_id] = (source, tier, len(g))
+    got = {
+        r.doc_id: (r.source, r.tier, r.n_dups)
+        for r in get("q_dedup_priority").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

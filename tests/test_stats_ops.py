@@ -1684,3 +1684,85 @@ def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
             assert got[eid] == (True, best[1], t - best[0]), eid
         else:
             assert got[eid] == (False, None, None), eid
+
+
+def test_gini_impurity_matches_bruteforce(spark, sf_dir):
+    """q_agg_gini (r8/r9 block): exact-rational Gini impurity and
+    dominant share recomputed from raw (source, lang) counts."""
+    import duckdb
+
+    df = _queries()["q_agg_gini"](spark, sf_dir)
+    got = {
+        r["source"]: (r["n"], r["n_classes"], r["gini_e6"], r["dominant_e6"])
+        for r in df.collect()
+    }
+    counts = duckdb.sql(
+        f"""SELECT source, lang, COUNT(*) FROM
+        '{sf_dir}/documents.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for s, _, c in counts:
+        per.setdefault(s, []).append(c)
+    expect = {}
+    for s, cs in per.items():
+        n = sum(cs)
+        expect[s] = (
+            n,
+            len(cs),
+            (n * n - sum(c * c for c in cs)) * 1_000_000 // (n * n),
+            max(cs) * 1_000_000 // n,
+        )
+    assert got == expect
+
+
+def test_wilson_ranking_matches_bruteforce(spark, sf_dir):
+    """q_rank_wilson (r8/r9 block): winners (integer-cents argmin with
+    lowest-suppkey tiebreak), trials, and the Wilson lower bound in the
+    documented operation order recomputed driver-side."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT l_partkey, l_suppkey,
+        CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    by_part: dict = {}
+    trials: dict = {}
+    for part, supp, cents in rows:
+        trials[supp] = trials.get(supp, 0) + 1
+        cur = by_part.get(part)
+        if cur is None or (cents, supp) < cur:
+            by_part[part] = (cents, supp)
+    wins: dict = {}
+    for _, supp in by_part.values():
+        wins[supp] = wins.get(supp, 0) + 1
+
+    def half_up(v):
+        return int(
+            Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    z, z2 = 1.96, 3.8416
+    expect = {}
+    for supp, n in trials.items():
+        w = wins.get(supp, 0)
+        nf = float(n)
+        p = float(w) / nf
+        wilson = (
+            p + z2 / (2 * nf) - z * math.sqrt((p * (1 - p) + z2 / (4 * nf)) / nf)
+        ) / (1 + z2 / nf)
+        expect[supp] = (
+            n,
+            w,
+            half_up(w * 1000000.0 / nf),
+            half_up(wilson * 1000000.0),
+        )
+    got = {
+        r["s_suppkey"]: (r["trials"], r["wins"], r["winrate_ppm"],
+                         r["wilson_lb_ppm"])
+        for r in _queries()["q_rank_wilson"](spark, sf_dir).collect()
+    }
+    assert got == expect
