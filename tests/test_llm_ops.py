@@ -550,3 +550,119 @@ def test_dedup_priority_matches_python_reference(spark, sf_dir):
         for r in get("q_dedup_priority").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_corpus_card_matches_python_reference(spark, sf_dir):
+    """q_corpus_card (r8/r9 block): every card column recomputed from
+    raw documents driver-side — counts, distinct langs/texts, the
+    integer quality gate, ceil-quarter BPE estimate, half-up dup ppm."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "lang", "text")
+        .collect()
+    )
+    per: dict = {}
+    for r in docs:
+        norm = r.text.lower().strip()
+        words = norm.split(" ")
+        nw, nu = len(words), len(set(words))
+        s = per.setdefault(
+            r.source, {"n": 0, "langs": set(), "texts": set(), "q": 0, "bpe": 0}
+        )
+        s["n"] += 1
+        s["langs"].add(r.lang)
+        s["texts"].add(norm)
+        s["q"] += 1 if (20 <= nw <= 1000 and nu * 10 >= nw * 3) else 0
+        s["bpe"] += math.ceil(len(r.text) / 4.0)
+    expect = {}
+    for src, s in per.items():
+        dup = int(
+            Decimal(
+                repr((s["n"] - len(s["texts"])) * 1000000.0 / s["n"])
+            ).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        expect[src] = (
+            s["n"], len(s["langs"]), len(s["texts"]), dup, s["bpe"], s["q"]
+        )
+    got = {
+        r.source: (r.n_docs, r.n_langs, r.n_distinct_texts, r.dup_ppm,
+                   r.total_bpe_tokens, r.n_quality_keep)
+        for r in get("q_corpus_card").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ppl_band_rank_and_keep_self_consistent(spark, sf_dir):
+    """q_sample_ppl_band (r8/r9 block): the emission is
+    self-certifying — per language the ranks must be the permutation
+    induced by (ce_milli, doc_id) over the full per-language emission,
+    and keep exactly the 10-90% integer band test."""
+    rows = get("q_sample_ppl_band").fn(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        order = sorted(rs, key=lambda r: (r.ce_milli, r.doc_id))
+        assert [r.rn for r in order] == list(range(1, n + 1)), lang
+        for r in rs:
+            assert r.keep == (10 * r.rn > n and 10 * r.rn <= 9 * n), r
+
+
+def test_split_leakage_matches_bruteforce(spark, sf_dir):
+    """q_split_leakage (r8/r9 block) brute-forced end-to-end: the
+    md5-prefix split, distinct 3-shingle sets, all eval x train Jaccard
+    pairs at the 0.6 threshold, per-doc dup count and worst ppm — all
+    recomputed in plain Python."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def shingles(text):
+        words = text.lower().strip().split(" ")
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    def split_of(source):
+        p = hashlib.md5(source.encode()).hexdigest()[:2]
+        return "train" if p < "cc" else ("val" if p < "e6" else "test")
+
+    train, evals = [], []
+    for r in docs:
+        entry = (r.doc_id, shingles(r.text), split_of(r.source))
+        (train if entry[2] == "train" else evals).append(entry)
+    expect = {}
+    for eid, se, sp in evals:
+        n_dups, worst = 0, None
+        for tid, st, _ in train:
+            common = len(se & st)
+            denom = len(se) + len(st) - common
+            if denom and common / denom >= 0.6:
+                n_dups += 1
+                ppm = int(
+                    Decimal(repr(common * 1000000.0 / denom)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                worst = ppm if worst is None else max(worst, ppm)
+        if n_dups:
+            expect[eid] = (sp, n_dups, worst)
+    got = {
+        r.doc_id: (r.split, r.n_train_dups, r.max_jac_ppm)
+        for r in get("q_split_leakage").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

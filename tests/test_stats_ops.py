@@ -1766,3 +1766,57 @@ def test_wilson_ranking_matches_bruteforce(spark, sf_dir):
         for r in _queries()["q_rank_wilson"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_cardinality_sketch_exact_and_guarantees(spark, sf_dir):
+    """q_join_cardinality_sketch (r8/r9 block): the exact M:N join
+    cardinality recomputed from raw lineitem driver-side, and the two
+    CMS guarantees (overcount, eps bound) must both hold."""
+    import duckdb
+
+    (row,) = _queries()["q_join_cardinality_sketch"](spark, sf_dir).collect()
+    counts = duckdb.sql(
+        f"""SELECT l_partkey,
+        COUNT(*) AS ca,
+        COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cb
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    exact = sum(ca * cb for _, ca, cb in counts)
+    n_left = sum(ca for _, ca, _ in counts)
+    n_right = sum(cb for _, _, cb in counts)
+    assert (row["n_left"], row["n_right"], row["exact_card"]) == (
+        n_left,
+        n_right,
+        exact,
+    )
+    assert row["est_ge_exact"] is True
+    assert row["within_eps"] is True
+
+
+def test_sql_udf_inlined_charge_matches_bruteforce(spark, sf_dir):
+    """q_fn_sql_udf (r8/r9 block): the SQL-function charge recomputed
+    per row in Python with the identical IEEE operation order and
+    half-up scale-0 rounding, summed exactly per returnflag."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT l_returnflag, l_extendedprice, l_discount, l_tax
+        FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    expect: dict = {}
+    for rf, p, d, t in rows:
+        cents = int(
+            Decimal(repr(p * (1.0 - d) * (1.0 + t) * 100)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        e = expect.setdefault(rf, [0, 0])
+        e[0] += cents
+        e[1] += 1
+    got = {
+        r["l_returnflag"]: (r["charge_cents"], r["n_items"])
+        for r in _queries()["q_fn_sql_udf"](spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
