@@ -666,3 +666,100 @@ def test_split_leakage_matches_bruteforce(spark, sf_dir):
         for r in get("q_split_leakage").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def _py_shingles(text, k=3):
+    words = text.lower().strip().split(" ")
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def test_boilerplate_matches_python_reference(spark, sf_dir):
+    """q_text_boilerplate (r8/r9 block): gram document frequencies and
+    the relative boilerplate threshold (df >= 4 AND df*200 >= N_docs)
+    re-derived from raw text; per-doc counts, half-up ppm, and the keep
+    cut compared row-for-row."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    sets = {r.doc_id: _py_shingles(r.text) for r in docs}
+    df: dict = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    expect = {}
+    for doc_id, s in sets.items():
+        n_grams = len(s)
+        n_boiler = sum(
+            1 for g in s if df[g] >= 4 and df[g] * 200 >= n_docs
+        )
+        ppm = int(
+            Decimal(repr(n_boiler * 1000000.0 / n_grams)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        expect[doc_id] = (n_grams, n_boiler, ppm, n_boiler * 10 < n_grams)
+    got = {
+        r.doc_id: (r.n_grams, r.n_boiler, r.boiler_ppm, r.keep)
+        for r in get("q_text_boilerplate").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_novelty_matches_python_reference(spark, sf_dir):
+    """q_text_novelty (r8/r9 block): df-1 shingle shares recomputed at
+    STRING granularity (the engine's 64-bit hash keys must behave
+    collision-free on the fixture for the oracle to have ever
+    matched)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = {r.doc_id: _py_shingles(r.text) for r in docs}
+    df: dict = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    expect = {}
+    for doc_id, s in sets.items():
+        n_unique = sum(1 for g in s if df[g] == 1)
+        ppm = int(
+            Decimal(repr(n_unique * 1000000.0 / len(s))).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        expect[doc_id] = (len(s), n_unique, ppm)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty_ppm)
+        for r in get("q_text_novelty").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_incremental_fuzzy_matches_bruteforce(spark, sf_dir):
+    """q_dedup_incremental_fuzzy (r8/r9 block) brute-forced: every
+    (batch, history) pair with 3-shingle Jaccard >= 0.6 enumerated
+    naively in Python — the PPJoin prefix filter must lose nothing and
+    the raw int-ratio jaccard must agree bit-for-bit."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    batch = [(r.doc_id, _py_shingles(r.text)) for r in docs if r.doc_id % 10 == 0]
+    hist = [(r.doc_id, _py_shingles(r.text)) for r in docs if r.doc_id % 10 != 0]
+    expect = {}
+    for nid, sb in batch:
+        for hid, sh in hist:
+            common = len(sb & sh)
+            denom = len(sb) + len(sh) - common
+            if denom and common / denom >= 0.6:
+                expect[(nid, hid)] = common / denom
+    got = {
+        (r.new_id, r.dup_of): r.jaccard
+        for r in get("q_dedup_incremental_fuzzy").fn(spark, sf_dir).collect()
+    }
+    assert got == expect
