@@ -68,3 +68,23 @@ def test_xml_roundtrip_preserves_typed_fields(spark, sf_dir):
         .collect()
     }
     assert got == src
+
+
+def test_source_xml_roundtrip_equals_nation(spark, sf_dir):
+    """q_source_xml (r8/r9 block): the native-XML round-trip must
+    reproduce the nation dimension exactly — same rows, declared
+    types honored (int keys come back as ints)."""
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    got = [
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in get("q_source_xml").fn(spark, sf_dir).collect()
+    ]
+    src = sorted(
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    assert got == src
