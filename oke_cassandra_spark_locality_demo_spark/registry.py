@@ -208,78 +208,83 @@ _DRIVER_ADJUDICATED = frozenset(
     q_feature_bucketize q_maintenance_compact q_scan_partition_pruned
     q_fn_bitwise q_fn_collation q_fn_explode q_fn_generators
     q_fn_sequence q_fn_struct q_fn_try
+    q_sim_lsh q_text_compress_ratio
+    q_fn_variant q_fn_xml q_fn_editdistance q_fn_codec q_fn_stable_id
+    q_fn_time_bucket q_fn_split_part
+    q_graph_triangles q_graph_bfs q_graph_cc q_graph_common_neighbors
+    q_graph_kcore q_graph_assortativity q_graph_sssp q_graph_modularity
+    q_graph_2hop_reach q_graph_degree_powerlaw q_graph_neighbor_sample
+    q_geo_radius_join q_geo_knn q_geo_grid_density
+    q_stats_kruskal q_stats_anova_f q_stats_cohen_kappa
+    q_stats_kaplan_meier q_stats_levene q_stats_spearman
+    q_ts_backtest_snaive q_stats_gtest q_stats_mcnemar
+    q_stats_overdispersion q_stats_wilcoxon q_ts_changepoint q_stats_ess
+    q_privacy_kanon q_privacy_ldiversity q_privacy_tclose
+    q_privacy_suppress q_privacy_uniqueness
+    q_text_bpe_train q_text_bpe_encode q_text_bpe_fertility
+    q_rank_rrf q_rank_eval q_rank_tau q_rank_ndcg
     """.split()
 )
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 7:
-#: q_dedup_containment's |S_B| sizes computation folded from a full
-#: exploded-stream groupBy into a narrow per-row size(_shingle_array())
-#: map (VERDICT r6 #6 — one fewer shingle shuffle; oracle unchanged,
-#: parity re-verified at sf0.001/0.01/0.1), and q_privacy_dp_count's
-#: noise draw rebuilt from interpolated SQL text into pure column
-#: expressions (ADVICE r6: removes the nonce escaping/injection
-#: surface; identical md5 preimage, hash-identical on the fixture
-#: nonce). The _shingles helper refactor extracted the identical
-#: expression tree into _shingle_array — consumers' plans are
-#: unchanged, re-confirmed by the full drive_contract.
-_MODIFIED_THIS_ROUND = [
-    "q_dedup_containment",
-    "q_privacy_dp_count",
-]
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 8:
+#: empty — per VERDICT r7 #3 (slot economy) no adjudicated key's
+#: behavior was changed this round. The ADVICE r7 items on
+#: q_dedup_containment were landed as expression-tree-identical
+#: changes only (k hoisted to CONTAINMENT_SHINGLE_K and passed
+#: explicitly — same literal 3 in the plan) plus test-side guards
+#: (fixture contract asserts documents.text is non-null at every SF),
+#: re-confirmed by the full drive_contract at HEAD.
+_MODIFIED_THIS_ROUND: list[str] = []
 
-#: Round-7 sampling priority among never-adjudicated keys (VERDICT r6
-#: "Next round" items 2 and 3): the two rows-only keys that have never
-#: received ANY external verdict (q_sim_lsh, q_text_compress_ratio —
-#: their audits are hash-green but the keys themselves have no
-#: adjudication row), then the remaining late-r4/r5 additions in
-#: commit order — variant/xml + scalar-fn tail, the graph suite, geo,
-#: the stats/econometrics block, privacy ladder, BPE tokenizer,
-#: ranking-eval. With the 2 _MODIFIED keys this fills the driver's
-#: 50-slot prefix exactly (2 + 48 = 50; verified by
+#: Round-8 sampling priority among never-adjudicated keys (VERDICT r7
+#: "Next round" item 1, executed per the ROUND-8 PLAYBOOK): the next
+#: 50 never-adjudicated keys in registration order, exactly as
+#: tools/rotation_remaining.py printed them at the r8 session open —
+#: the as-of/sketch join tail, the late-r5 product-analytics
+#: aggregate block (q_agg_abc_pareto … q_agg_arpu), and the
+#: time-series / window block through q_win_rsi. _MODIFIED is empty
+#: this round, so all 50 prefix slots grade fresh keys (verified by
 #: test_driver_sample_prefix_is_oracle_backed). Keys not listed fall
 #: back to registration order behind these.
 #:
-#: ROUND-8 PLAYBOOK (for the next session, after CORRECTNESS_r07
-#: lands): (1) append r7's 50 sampled keys to _DRIVER_ADJUDICATED
-#: (the 2 _MODIFIED slots re-grade already-adjudicated keys, so the
-#: prefix retires 48 of the ~115 keys still unadjudicated after r7 —
+#: ROUND-9 PLAYBOOK (for the next session, after CORRECTNESS_r08
+#: lands): (1) append r8's 50 sampled keys to _DRIVER_ADJUDICATED
+#: (all 50 are fresh, leaving 67 unadjudicated —
 #: tools/rotation_remaining.py prints the exact list in registration
 #: order); (2) reset _MODIFIED_THIS_ROUND to the keys actually touched
-#: in r8; (3) replace _ROUND_PRIORITY with the next 50 from the
-#: remaining list — the late-r5 product-analytics / time-series /
-#: window blocks (q_agg_abc_pareto … q_ts_dau_mau), then the SQL-
-#: dialect and source/export tail. The final ~65 front in r9, after
-#: which the rotation retires and _sample_order can revert to
-#: registration order.
+#: in r9; (3) replace _ROUND_PRIORITY with the next 50 from the
+#: remaining list — q_ts_wau/q_fraud_double_charge/q_win_rolling_corr/
+#: q_ts_dau_mau, the set-op/profile/SQL-dialect block, the
+#: source/export tail (q_source_xml, q_export_manifest, q_scan_dpp),
+#: then the LLM-pipeline tail in registration order. The final ~17
+#: front in r10, after which the rotation retires and _sample_order
+#: can revert to registration order.
 _ROUND_PRIORITY = [
-    # rows-only keys owed their first external verdict (VERDICT r6 #3)
-    "q_sim_lsh", "q_text_compress_ratio",
-    # late-r4 scalar/source tail in commit order
-    "q_fn_variant", "q_fn_xml", "q_fn_editdistance", "q_fn_codec",
-    "q_fn_stable_id", "q_fn_time_bucket", "q_fn_split_part",
-    # graph suite (VERDICT r6 #2)
-    "q_graph_triangles", "q_graph_bfs", "q_graph_cc",
-    "q_graph_common_neighbors", "q_graph_kcore", "q_graph_assortativity",
-    "q_graph_sssp", "q_graph_modularity", "q_graph_2hop_reach",
-    "q_graph_degree_powerlaw", "q_graph_neighbor_sample",
-    # geospatial block
-    "q_geo_radius_join", "q_geo_knn", "q_geo_grid_density",
-    # stats / econometrics block
-    "q_stats_kruskal", "q_stats_anova_f", "q_stats_cohen_kappa",
-    "q_stats_kaplan_meier", "q_stats_levene", "q_stats_spearman",
-    "q_ts_backtest_snaive", "q_stats_gtest", "q_stats_mcnemar",
-    "q_stats_overdispersion", "q_stats_wilcoxon", "q_ts_changepoint",
-    "q_stats_ess",
-    # privacy ladder (q_privacy_dp_count re-grades via _MODIFIED)
-    "q_privacy_kanon", "q_privacy_ldiversity", "q_privacy_tclose",
-    "q_privacy_suppress", "q_privacy_uniqueness",
-    # BPE tokenizer
-    "q_text_bpe_train", "q_text_bpe_encode", "q_text_bpe_fertility",
-    # ranking-eval
-    "q_rank_rrf", "q_rank_eval", "q_rank_tau", "q_rank_ndcg",
+    # as-of variants + sketch/size-estimate join tail
+    "q_join_asof_tolerance", "q_join_asof_nearest", "q_join_size_estimate",
+    "q_rank_wilson", "q_agg_percentile_exact", "q_join_cardinality_sketch",
+    "q_win_sketch_distinct",
+    # late-r5 product-analytics aggregate block
+    "q_agg_abc_pareto", "q_agg_weighted_median", "q_agg_heavy_changers",
+    "q_agg_benford", "q_agg_lorenz_gini", "q_agg_hhi",
+    "q_agg_log_histogram", "q_agg_argmax", "q_agg_decay_sum",
+    "q_agg_winsorized_mean", "q_agg_ohlc", "q_agg_simpson",
+    "q_agg_hist_equidepth", "q_agg_vwap", "q_agg_rfm",
+    "q_agg_percent_of_parent", "q_agg_mix_shift", "q_agg_linreg2",
+    "q_agg_purchase_gaps", "q_agg_growth_accounting", "q_agg_abc_xyz",
+    "q_agg_cr4", "q_agg_theil", "q_agg_arpu",
+    # time-series / window block (float-heavy: EWMA/rolling/RSI —
+    # sf0.1 full drive re-run before snapshot per VERDICT r7 #2)
+    "q_win_rolling_median", "q_pareto_frontier", "q_ts_downsample_m4",
+    "q_drift_cusum", "q_ts_autocorr", "q_ts_seasonal_dow",
+    "q_win_rolling_slope", "q_ts_outlier_rolling", "q_agg_cohort_ltv",
+    "q_funnel_multistep", "q_win_time_to_convert", "q_win_drawdown",
+    "q_ts_interpolate_linear", "q_ts_resample_weekly", "q_win_path_topk",
+    "q_win_distinct_bitmask", "q_win_concurrency_sweep", "q_ts_new_users",
+    "q_win_rsi",
 ]
 
 
