@@ -1329,6 +1329,16 @@ CONTAINMENT_THRESHOLD = 0.9
 #: containment pair).
 CONTAINMENT_DF_CAP = 10_000
 
+#: Shingle width shared by q_dedup_containment's numerator
+#: (_shingles → common-shingle count) and denominator
+#: (_shingle_array → |S_B|). Both call sites MUST take this one
+#: constant (ADVICE r7): the two derivations previously relied on each
+#: helper's implicit default k=3, so changing k at one site would have
+#: silently desynchronized |S_A ∩ S_B| from |S_B| and produced
+#: wrong-scaled containment with no error. Same literal 3 → the
+#: expression trees (and the adjudicated key's plan) are unchanged.
+CONTAINMENT_SHINGLE_K = 3
+
 
 @register(
     "q_dedup_containment",
@@ -1388,7 +1398,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scales the capped plan is bit-identical to the uncapped
     oracle — asserted by test_containment_df_cap_exceeds_fixture_df."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).select(
+    sh = _shingles(d, CONTAINMENT_SHINGLE_K).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
     # doc sizes are computed BEFORE the df-cap: |S_B| is a property of
@@ -1397,9 +1407,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs). |S_B| = size(distinct-shingle array) is a NARROW per-row
     # map over the un-exploded array (VERDICT r6 #6) — the previous
     # groupBy(doc_id) over the exploded stream shuffled every shingle
-    # a second time just to count them.
+    # a second time just to count them. CAVEAT (ADVICE r7): F.size is
+    # non-ANSI and returns -1 for a NULL text, where the old exploded
+    # groupBy simply omitted the doc — fine HERE because null-text docs
+    # produce no shingles and so never reach the pair join, but any
+    # reuse of this sizes frame as a general doc-size relation must
+    # null-guard first. The fixture contract pins text non-null at
+    # every SF (tests/test_llm_ops.py::test_fixture_contract_text_non_null).
     sizes = _spread(d).select(
-        "doc_id", F.size(_shingle_array()).cast("long").alias("n_sh")
+        "doc_id",
+        F.size(_shingle_array(CONTAINMENT_SHINGLE_K)).cast("long").alias("n_sh"),
     )
     df_ok = (
         sh.groupBy("h")

@@ -60,6 +60,52 @@ def test_containment_df_cap_exceeds_fixture_df(spark, sf_dir):
     )
 
 
+def test_fixture_contract_text_non_null(spark, sf_dir):
+    """Fixture contract (ADVICE r7): documents.text is non-null at every
+    SF. q_dedup_containment's |S_B| denominator uses non-ANSI F.size,
+    which returns -1 for a NULL text where the former exploded groupBy
+    omitted the doc — harmless while this contract holds (null-text docs
+    never reach the pair join), but a regenerated fixture with nulls
+    would make that sizes frame unsafe to reuse as a general doc-size
+    relation. Pin the contract here so a fixture change fails with a
+    named invariant, not a wrong-signed containment."""
+    from oke_cassandra_spark_locality_demo_spark.sources.ingest import load
+
+    d = load(spark, sf_dir, "documents")
+    assert d.filter(F.col("text").isNull()).count() == 0
+
+
+def test_containment_shingle_k_single_source(spark, sf_dir):
+    """ADVICE r7: numerator (_shingles) and denominator (_shingle_array)
+    of q_dedup_containment must derive from ONE shingle width. Verify
+    the constant exists AND that the two helpers agree under it on the
+    live fixture: per-doc exploded-distinct-shingle count ==
+    size(shingle array) for every document."""
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        CONTAINMENT_SHINGLE_K,
+        _shingle_array,
+        _shingles,
+    )
+    from oke_cassandra_spark_locality_demo_spark.sources.ingest import load
+
+    d = load(spark, sf_dir, "documents")
+    exploded = (
+        _shingles(d, CONTAINMENT_SHINGLE_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mapped = d.select(
+        "doc_id",
+        F.size(_shingle_array(CONTAINMENT_SHINGLE_K)).cast("long").alias("m"),
+    )
+    mismatches = (
+        exploded.join(mapped, "doc_id")
+        .filter(F.col("n") != F.col("m"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_simhash_band_params_consistent(spark, sf_dir):
     """Banding geometry invariants (VERDICT r5 item 3): bands tile the
     fingerprint exactly, the pigeonhole recall guarantee covers d ≤
