@@ -2030,3 +2030,84 @@ def test_growth_accounting_matches_python_reference(spark, sf_dir):
         for r in get("q_agg_growth_accounting").fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """q_fn_sql_udf (r9 tail): a SQL-language UDF must be inlined into
+    Catalyst at analysis time — the whole point of the declarative UDF
+    rung is ZERO serialization boundary. The plan therefore has no
+    Python eval node, keeps the map-side partial aggregate (the UDF body
+    lives inside partial_sum), and prunes the scan to exactly the four
+    referenced columns."""
+    df = get("q_fn_sql_udf").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan, "map-side combine lost"
+    # one hash exchange for the group-by + one range for the final sort
+    assert count_exchanges(df) == 2, plan
+    assert set(read_schema_columns(df)) == {
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax",
+    }
+
+
+def test_window_clause_specs_share_one_exchange(spark, sf_dir):
+    """q_sql_window_clause (r9 tail): both named WINDOW specs partition
+    by o_orderpriority, so the planner must satisfy the two Window
+    operators with ONE hash exchange (plus the final sort's range
+    exchange) — each window re-sorts locally but never re-shuffles. A
+    second hashpartitioning here would mean the shared-spec clause lost
+    its locality, which at 100 TB doubles the dominant shuffle."""
+    df = get("q_sql_window_clause").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Window [") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert count_exchanges(df) == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distinct_on_prunes_losers_before_shuffle(spark, sf_dir):
+    """q_sql_distinct_on (r9 tail): the DISTINCT ON rewrite must hit
+    Catalyst's WindowGroupLimit in BOTH phases — Partial (losers dropped
+    inside the map-side sort, before the exchange materializes them) and
+    Final. Without the Partial phase every order row crosses the wire to
+    be discarded on the reduce side."""
+    df = get("q_sql_distinct_on").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+    assert count_exchanges(df) == 2, plan
+
+
+def test_source_xml_reads_declared_schema_no_inference(spark, sf_dir):
+    """q_source_xml (r9 tail): the xml read declares its schema, so the
+    scan's ReadSchema is exactly the three nation columns (no inference
+    pass, no _corrupt_record leakage) and the only exchange is the final
+    order-by's range partitioning."""
+    df = get("q_source_xml").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "FileScan xml" in plan, plan
+    assert set(read_schema_columns(df)) == {
+        "n_nationkey", "n_name", "n_regionkey",
+    }
+    assert count_exchanges(df) == 1, plan
+
+
+def test_export_manifest_digest_is_partial_agg_no_python(spark, sf_dir):
+    """q_export_manifest (r9 tail): the shard digest folds per-doc md5s
+    with collect_list INSIDE the shard aggregate — partials must start
+    map-side (partial_collect_list before the first exchange) so only
+    per-shard digest state crosses the wire, never raw text; the scan
+    reads only the three needed columns and nothing drops to Python.
+    The countDistinct(lang) expansion may add one keyed exchange; all
+    hash exchanges must be keyed by shard_id (never a global
+    repartition)."""
+    df = get("q_export_manifest").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_collect_list" in plan, plan
+    assert set(read_schema_columns(df)) == {"doc_id", "text", "lang"}
+    import re as _re
+
+    hash_keys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert hash_keys and all("shard_id" in k for k in hash_keys), hash_keys
+    assert count_exchanges(df) <= 3, plan
