@@ -232,17 +232,31 @@ def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
     the harness's shuffle layout. Running each sampled key under 5 and
     32 shuffle partitions and requiring canonicalized-row equality
     probes exactly that failure mode on exactly the keys the driver
-    will grade this round."""
+    will grade this round.
+
+    Three configs, two axes (mirroring the curated float-heavy sweep
+    above): shuffle partitions 5 vs 32 vary the REDUCE-side merge
+    order; the third config also shrinks scan splits to 128 KB, which
+    varies the number of input partitions and with it the MAP-side
+    partial-aggregation order — a separate environment axis the
+    driver's host may legitimately differ on (added r8, ahead of the
+    float-heavy window/time-series block fronting this round)."""
     from oke_cassandra_spark_locality_demo_spark import registry
 
     from .parity import _canon
 
     prefix = list(registry.all_queries().items())[:50]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         results: dict[str, list] = {}
-        for n_part in ("5", "32"):
+        for n_part, split_bytes in (
+            ("5", prev_split),
+            ("32", prev_split),
+            ("7", "131072"),
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
             for name, fn in prefix:
                 rows = sorted(
                     (
@@ -252,10 +266,11 @@ def test_sample_prefix_invariant_under_partitioning(spark, sf_dir):
                     key=_row_key,
                 )
                 results.setdefault(name, []).append(rows)
-        diffs = [n for n, (a, b) in results.items() if a != b]
+        diffs = [n for n, (a, b, c) in results.items() if not (a == b == c)]
         assert not diffs, f"partitioning-dependent results: {diffs}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
 
 def test_driver_sample_prefix_is_oracle_backed():
