@@ -813,7 +813,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys bound the pair space exactly like LSH buckets do (the
     100 TB version blocks on coarse quantizer cells). Dot products use
     the same left-fold-in-element-order double arithmetic as DuckDB's
-    list_dot_product, so values are bit-identical before rounding."""
+    list_dot_product, so values are bit-identical before rounding.
+
+    The fixture holds NO same-label pair at cosine ≥ 0.95, so this key
+    returns 0 rows at every SF — a TRUE empty, not a dead pipeline:
+    tests/test_llm_ops.py::test_embedding_cosine_matches_numpy runs the
+    identical pair pipeline unthresholded against a numpy brute force
+    (and pins the fixture's max cosine below the threshold), so a
+    sign/normalization bug cannot hide behind the empty result."""
+    return _embedding_cosine_pairs(spark, sf_dir, 0.95)
+
+
+def _embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Same-label (vec_a < vec_b) cosine pairs at ``threshold`` — the
+    shared body of q_dedup_embedding, parameterized so tests can run it
+    unthresholded (threshold=-1.0 emits every blocked pair)."""
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
@@ -837,7 +853,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 

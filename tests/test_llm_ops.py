@@ -809,3 +809,59 @@ def test_incremental_fuzzy_matches_bruteforce(spark, sf_dir):
         for r in get("q_dedup_incremental_fuzzy").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_embedding_cosine_matches_numpy(spark, sf_dir):
+    """q_dedup_embedding returns 0 rows at EVERY fixture SF (no
+    same-label pair reaches cosine 0.95) — a true empty that was
+    adjudicated as 0=0, which a sign-flipped or mis-normalized cosine
+    could hide behind. Run the identical pair pipeline UNTHRESHOLDED
+    and check every same-label pair's cosine against an independent
+    Python left-fold (the same in-order double arithmetic the Spark
+    aggregate and the DuckDB oracle use), then pin the fixture's max
+    cosine below the registered threshold so the key's empty result is
+    proven true, not vacuous-by-bug."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        _embedding_cosine_pairs,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _embedding_cosine_pairs(spark, sf_dir, -1.0).collect()
+    }
+    assert got, "unthresholded pipeline emitted no pairs"
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for vec_id, label, v in rows:
+        by_label[label].append((vec_id, v))
+
+    def fold_dot(x, y):
+        acc = 0.0
+        for p, q in zip(x, y):
+            acc = acc + p * q
+        return acc
+
+    want = {}
+    for label, vecs in by_label.items():
+        for i, (ida, va) in enumerate(vecs):
+            for idb, vb in vecs:
+                if ida < idb:
+                    want[(ida, idb)] = fold_dot(va, vb) / (
+                        fold_dot(va, va) ** 0.5 * fold_dot(vb, vb) ** 0.5
+                    )
+    assert set(got) == set(want), "blocked pair set differs"
+    worst = max(abs(got[k] - want[k]) for k in want)
+    assert worst < 1e-6, f"cosine mismatch up to {worst}"
+    # the registered key's empty result is the true answer
+    assert max(want.values()) < 0.95, (
+        "fixture now holds a >=0.95 pair — q_dedup_embedding is no "
+        "longer expected to be empty; update this pin"
+    )

@@ -88,3 +88,34 @@ def test_source_xml_roundtrip_equals_nation(spark, sf_dir):
         .collect()
     )
     assert got == src
+
+
+def test_join_anti_complement_identity(spark, sf_dir):
+    """q_join_anti returns 0 rows at sf0.001/0.01 (every customer has
+    orders), so its r1/r2 adjudications were 0=0 — true empties. Prove
+    the mechanics anyway: (1) on the fixture, the anti set must be the
+    exact complement of the distinct-custkey semi set; (2) on inline
+    data with a known orphan, the same left_anti shape must emit
+    exactly that orphan."""
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+    from oke_cassandra_spark_locality_demo_spark.sources.ingest import load
+
+    anti = {r.c_custkey for r in get("q_join_anti").fn(spark, sf_dir).collect()}
+    customers = {
+        r.c_custkey for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    }
+    with_orders = {
+        r.o_custkey
+        for r in load(spark, sf_dir, "orders").select("o_custkey").distinct().collect()
+    }
+    assert anti == customers - with_orders
+
+    c = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey int, c_name string"
+    )
+    o = spark.createDataFrame([(1,), (3,), (3,)], "o_custkey int")
+    got = {
+        r.c_custkey
+        for r in c.join(o, c.c_custkey == o.o_custkey, "left_anti").collect()
+    }
+    assert got == {2}
