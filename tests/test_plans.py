@@ -2111,3 +2111,102 @@ def test_export_manifest_digest_is_partial_agg_no_python(spark, sf_dir):
     hash_keys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert hash_keys and all("shard_id" in k for k in hash_keys), hash_keys
     assert count_exchanges(df) <= 3, plan
+
+
+R10_TAIL_KEYS = (
+    # the final rotation block (r10): every key here already has a
+    # semantic test; these assertions pin the SCALE SHAPE — no
+    # cartesian product, nothing dropping to per-row Python, and every
+    # data-proportional window partitioned by a real key
+    "q_stats_prop_ztest", "q_feature_target_encode", "q_feature_impute",
+    "q_sample_negative_downsample", "q_label_churn",
+    "q_quality_event_order", "q_budget_waterfill",
+    "q_stream_watermark_planner", "q_split_three_way", "q_sim_ivf_index",
+    "q_sample_ppl_band", "q_text_ql", "q_sample_class_quota",
+)
+
+#: expected partition key of every data-proportional window in the
+#: tail keys that use windows at all (an unpartitioned window is the
+#: single-task scale killer the repo bans everywhere)
+R10_WINDOW_PARTITION = {
+    "q_label_churn": "user_id",
+    "q_quality_event_order": "event_type",
+    "q_sample_ppl_band": "lang",
+    "q_sample_class_quota": "lang",
+}
+
+
+def test_r10_tail_scale_shape_sweep(spark, sf_dir):
+    """Generic 100 TB-shape invariants over the final rotation block
+    (r10 tail, ahead of schedule per the VERDICT r7 #5 pattern): no
+    CartesianProduct, no row-at-a-time Python eval in any plan, and
+    every windowspecdefinition partitioned by the key's documented
+    partition column (never a single-task global window). The
+    BroadcastNestedLoopJoin occurrences in these plans are scalar
+    cross-joins (keys=[] aggregates or driver-bounded manifests) — the
+    allowlisted bounded pattern, checked by the targeted tests below."""
+    import re
+
+    for key in R10_TAIL_KEYS:
+        plan = simple_plan(get(key).fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+        part_col = R10_WINDOW_PARTITION.get(key)
+        for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+            first_arg = m.group(1).strip()
+            assert part_col is not None, (
+                f"{key}: unexpected window over {first_arg}"
+            )
+            assert first_arg.startswith(part_col), (
+                f"{key}: window not partitioned by {part_col}: {first_arg}"
+            )
+
+
+def test_prop_ztest_is_single_scan_scalar_fold(spark, sf_dir):
+    """q_stats_prop_ztest folds both cohorts' (n, x) in ONE conditional
+    hash aggregate over ONE scan — no join, no per-cohort pass, no
+    keyed shuffle (the only exchange is the SinglePartition scalar
+    merge). The z statistic is pure projection arithmetic on the four
+    scalars."""
+    df = get("q_stats_prop_ztest").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert count_exchanges(df) == 0, plan
+    assert "HashAggregate(keys=[]" in plan, plan
+
+
+def test_budget_waterfill_broadcasts_only_scalars(spark, sf_dir):
+    """q_budget_waterfill's per-iteration state is a |langs|-row frame
+    (fixed dim cardinality, allowlisted); the plan's only
+    BroadcastNestedLoopJoin builds on a keys=[] scalar aggregate
+    (sat_total, n_unsat) and the only keyed exchange is the final
+    order-by."""
+    df = get("q_budget_waterfill").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "HashAggregate(keys=[]" in plan, plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_text_ql_is_take_ordered_no_global_sort(spark, sf_dir):
+    """q_text_ql's top-20 must be a TakeOrderedAndProject over a
+    map-side-combined per-doc sum — never a global sort: at corpus
+    scale the ranked emission is the entire document set."""
+    df = get("q_text_ql").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_ivf_index_manifest_is_bounded_local(spark, sf_dir):
+    """q_sim_ivf_index's result is the cell MANIFEST (≤ k rows, k ≤ 32
+    — the allowlisted driver-side bound), so its final plan is a local
+    scan with no exchange and no file scan: all data-proportional work
+    happened upstream inside the kmeans/assignment stages."""
+    df = get("q_sim_ivf_index").fn(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "FileScan" not in plan, plan
+    assert df.count() <= 32
