@@ -1,6 +1,6 @@
 """Print the registry keys never adjudicated by the driver, in
 registration order — the work-list for the next round's
-_ROUND_PRIORITY (see the ROUND-7 PLAYBOOK comment in registry.py).
+_ROUND_PRIORITY (see the current ROUND PLAYBOOK comment in registry.py).
 
 Usage: python tools/rotation_remaining.py [--count]
 """
