@@ -59,3 +59,26 @@ def test_gate_is_bounded_under_sustained_load(monkeypatch):
     max_sleeps_per_cycle = bench.IDLE_MAX_WAIT_SEC / 15
     assert load == 9.9
     assert sleeps <= (1 + bench.IDLE_RETRY_CYCLES) * (max_sleeps_per_cycle + 1)
+
+
+def test_contended_verdict_keys_off_gate_open_load():
+    """VERDICT r7 #4: the contended verdict must read the GATE-OPEN
+    loadavg (pre-Spark) and the anchor ratio — never the post-warm-up
+    sample, which the warm-up queries self-inflate. Reproduce the exact
+    decision expression bench.main builds load_check with."""
+    def contended(median_ratio, load_gate_open):
+        return bool(
+            (median_ratio is not None and median_ratio > 1.5)
+            or load_gate_open > bench.IDLE_LOADAVG_MAX
+        )
+
+    # r7's real readings: gate opened at 0.94, post-warm-up read 2.0 —
+    # the verdict must be CLEAN regardless of the post-warm-up value
+    assert contended(0.972, 0.94) is False
+    # a gate forced open by bounded-wait expiry IS contention
+    assert contended(0.9, 5.0) is True
+    # uniform timing inflation flags contention even with a clean gate
+    assert contended(1.8, 0.5) is True
+    # no anchor ratios available (non-sf0.1 run): gate load decides
+    assert contended(None, 0.5) is False
+    assert contended(None, 2.2) is True
