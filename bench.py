@@ -211,6 +211,20 @@ IDLE_MAX_WAIT_SEC = 300
 IDLE_RETRY_CYCLES = 1
 
 
+def contended_verdict(
+    median_ratio: float | None, load_gate_open: float
+) -> bool:
+    """Contention decision for load_check (VERDICT r7 #4): keys off the
+    PRE-Spark gate-open loadavg (a gate forced open by bounded-wait
+    expiry is contention by definition) and the anchor ratio (uniform
+    timing inflation across queries) — never the post-warm-up sample,
+    which the warm-up queries self-inflate."""
+    return bool(
+        (median_ratio is not None and median_ratio > 1.5)
+        or load_gate_open > IDLE_LOADAVG_MAX
+    )
+
+
 def wait_until_idle() -> float:
     """Sleep until loadavg_1m < IDLE_LOADAVG_MAX or the bounded wait
     expires (plus up to IDLE_RETRY_CYCLES extra bounded waits if the
@@ -297,13 +311,7 @@ def main() -> None:
         "loadavg_gate_open": round(load_gate_open, 2),
         "loadavg_post_warmup": round(load_post_warmup, 2),
         "median_ratio_vs_anchor": median_ratio,
-        # contention verdict keys off the pre-Spark gate-open sample
-        # (post-warmup load is self-inflicted by the warm-up queries)
-        # and the anchor ratio, which reads actual timing inflation
-        "contended": bool(
-            (median_ratio is not None and median_ratio > 1.5)
-            or load_gate_open > IDLE_LOADAVG_MAX
-        ),
+        "contended": contended_verdict(median_ratio, load_gate_open),
     }
     if load_check["contended"]:
         print(

@@ -64,13 +64,9 @@ def test_gate_is_bounded_under_sustained_load(monkeypatch):
 def test_contended_verdict_keys_off_gate_open_load():
     """VERDICT r7 #4: the contended verdict must read the GATE-OPEN
     loadavg (pre-Spark) and the anchor ratio — never the post-warm-up
-    sample, which the warm-up queries self-inflate. Reproduce the exact
-    decision expression bench.main builds load_check with."""
-    def contended(median_ratio, load_gate_open):
-        return bool(
-            (median_ratio is not None and median_ratio > 1.5)
-            or load_gate_open > bench.IDLE_LOADAVG_MAX
-        )
+    sample, which the warm-up queries self-inflate. Exercises the
+    function bench.main builds load_check with."""
+    contended = bench.contended_verdict
 
     # r7's real readings: gate opened at 0.94, post-warm-up read 2.0 —
     # the verdict must be CLEAN regardless of the post-warm-up value
