@@ -246,6 +246,50 @@ def wait_until_idle() -> float:
     return load
 
 
+#: The driver's artifact keeps only the last ~2 KB of stdout; the final
+#: summary line must fit that window WHOLE or BENCH_r{N}.json records
+#: "parsed": null (this truncated r6-r8's artifacts). Budget below the
+#: 2000-char capture with margin for a stray warning line.
+SUMMARY_LINE_BUDGET = 1900
+
+
+def compact_summary_line(
+    *,
+    total: float,
+    timings: dict[str, float],
+    tpch_total: float,
+    llm_total: float,
+    ratios: dict[str, float],
+    load_check: dict,
+    sf,
+) -> str:
+    """Render the single driver-contract stdout JSON line, guaranteed
+    under SUMMARY_LINE_BUDGET: secondary suites appear as totals only,
+    separators are compact, and if the line still overruns (it cannot
+    at 18 headline queries, but a grown suite must degrade rather than
+    truncate) the per-query ratio echo is dropped first — the headline
+    figure and contention verdict always survive."""
+    payload = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tpch_total_sec": tpch_total,
+        "llm_total_sec": llm_total,
+        "ratio_vs_anchor": ratios,
+        "load_check": load_check,
+        "repeats": REPEATS,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > SUMMARY_LINE_BUDGET:
+        payload["ratio_vs_anchor"] = {
+            "dropped_for_size_median": load_check["median_ratio_vs_anchor"]
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -320,18 +364,18 @@ def main() -> None:
             f"— numbers unreliable",
             file=sys.stderr,
         )
+    # Verbose per-query detail for the secondary suites goes to STDERR:
+    # the driver's artifact keeps only the last ~2 KB of STDOUT, and
+    # r6-r8's single fat JSON line outgrew that window, truncating the
+    # artifact mid-line and leaving BENCH_r{N}.json "parsed": null
+    # (VERDICT r8 "What's wrong" #4). Humans and local runs still get
+    # the full breakdown; the driver-parsed stdout line stays compact.
     print(
-        json.dumps(
+        "bench-detail: "
+        + json.dumps(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
                 "tpch": {"total_sec": tpch_total, "queries": tpch_timings},
                 "llm": {"total_sec": llm_total, "queries": llm_timings},
-                "ratio_vs_anchor": ratios,
-                "load_check": load_check,
-                "repeats": REPEATS,
                 # ratio denominators: r1-code re-measured at r6 as the
                 # per-query median of 3 idle-host min-of-5 runs — the
                 # expected value of the same measurement the numerators
@@ -340,8 +384,24 @@ def main() -> None:
                 # comparable to r6+.
                 "anchor_methodology": "r1-tree@14236e2, idle host, "
                 "median of 3 runs x min-of-5; re-baselined r6",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
+        ),
+        file=sys.stderr,
+    )
+    # The ONE stdout JSON line (driver contract): compact separators and
+    # secondary suites collapsed to totals keep it ~1.3 KB — the whole
+    # line survives a 2 KB tail capture with margin, so the headline
+    # figure, per-query seconds, anchor ratios, and the contention
+    # verdict are all recoverable from the artifact alone.
+    print(
+        compact_summary_line(
+            total=total,
+            timings=timings,
+            tpch_total=tpch_total,
+            llm_total=llm_total,
+            ratios=ratios,
+            load_check=load_check,
+            sf=float(sf) if sf.replace(".", "").isdigit() else sf,
         )
     )
     spark.stop()

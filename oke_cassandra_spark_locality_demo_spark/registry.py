@@ -223,68 +223,95 @@ _DRIVER_ADJUDICATED = frozenset(
     q_privacy_suppress q_privacy_uniqueness
     q_text_bpe_train q_text_bpe_encode q_text_bpe_fertility
     q_rank_rrf q_rank_eval q_rank_tau q_rank_ndcg
+    q_join_asof_tolerance q_join_asof_nearest q_join_size_estimate
+    q_rank_wilson q_agg_percentile_exact q_join_cardinality_sketch
+    q_win_sketch_distinct q_agg_abc_pareto q_agg_weighted_median
+    q_agg_heavy_changers q_agg_benford q_agg_lorenz_gini q_agg_hhi
+    q_agg_log_histogram q_agg_argmax q_agg_decay_sum
+    q_agg_winsorized_mean q_agg_ohlc q_agg_simpson q_agg_hist_equidepth
+    q_agg_vwap q_agg_rfm q_agg_percent_of_parent q_agg_mix_shift
+    q_agg_linreg2 q_agg_purchase_gaps q_agg_growth_accounting
+    q_agg_abc_xyz q_agg_cr4 q_agg_theil q_agg_arpu q_win_rolling_median
+    q_pareto_frontier q_ts_downsample_m4 q_drift_cusum q_ts_autocorr
+    q_ts_seasonal_dow q_win_rolling_slope q_ts_outlier_rolling
+    q_agg_cohort_ltv q_funnel_multistep q_win_time_to_convert
+    q_win_drawdown q_ts_interpolate_linear q_ts_resample_weekly
+    q_win_path_topk q_win_distinct_bitmask q_win_concurrency_sweep
+    q_ts_new_users q_win_rsi
     """.split()
 )
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 8:
-#: empty — per VERDICT r7 #3 (slot economy) no adjudicated key's
-#: behavior was changed this round. The ADVICE r7 items on
-#: q_dedup_containment were landed as expression-tree-identical
-#: changes only (k hoisted to CONTAINMENT_SHINGLE_K and passed
-#: explicitly — same literal 3 in the plan) plus test-side guards
-#: (fixture contract asserts documents.text is non-null at every SF),
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 9:
+#: empty — per VERDICT r8 #4 (slot economy) no adjudicated key's
+#: behavior was changed this round. The ADVICE r8 items were all
+#: test-side (collect-audit receiver tuple trimmed, containment
+#: shingle test made outer-join-total, cosine fixture norm guard);
+#: the bench-truncation fix (VERDICT r8 "What's wrong" #4) touches
+#: bench.py output formatting only, not any registry query. All
 #: re-confirmed by the full drive_contract at HEAD.
 _MODIFIED_THIS_ROUND: list[str] = []
 
-#: Round-8 sampling priority among never-adjudicated keys (VERDICT r7
-#: "Next round" item 1, executed per the ROUND-8 PLAYBOOK): the next
+#: Round-9 sampling priority among never-adjudicated keys (VERDICT r8
+#: "Next round" item 1, executed per the ROUND-9 PLAYBOOK): the next
 #: 50 never-adjudicated keys in registration order, exactly as
-#: tools/rotation_remaining.py printed them at the r8 session open —
-#: the as-of/sketch join tail, the late-r5 product-analytics
-#: aggregate block (q_agg_abc_pareto … q_agg_arpu), and the
-#: time-series / window block through q_win_rsi. _MODIFIED is empty
-#: this round, so all 50 prefix slots grade fresh keys (verified by
+#: tools/rotation_remaining.py printed them at the r9 session open —
+#: the time-series/window float block (q_ts_wau, q_fraud_double_charge,
+#: q_win_rolling_corr, q_ts_dau_mau), the set-op/profile/SQL-dialect
+#: block, the source/export tail, then the LLM text/multimodal/stats
+#: tail through q_split_kfold_grouped. _MODIFIED is empty this round,
+#: so all 50 prefix slots grade fresh keys (verified by
 #: test_driver_sample_prefix_is_oracle_backed). Keys not listed fall
 #: back to registration order behind these.
 #:
-#: ROUND-9 PLAYBOOK (for the next session, after CORRECTNESS_r08
-#: lands): (1) append r8's 50 sampled keys to _DRIVER_ADJUDICATED
-#: (all 50 are fresh, leaving 67 unadjudicated —
+#: ROUND-10 PLAYBOOK (for the next session, after CORRECTNESS_r09
+#: lands): (1) append r9's 50 sampled keys to _DRIVER_ADJUDICATED
+#: (all 50 are fresh, leaving 17 unadjudicated —
 #: tools/rotation_remaining.py prints the exact list in registration
 #: order); (2) reset _MODIFIED_THIS_ROUND to the keys actually touched
-#: in r9; (3) replace _ROUND_PRIORITY with the next 50 from the
-#: remaining list — q_ts_wau/q_fraud_double_charge/q_win_rolling_corr/
-#: q_ts_dau_mau, the set-op/profile/SQL-dialect block, the
-#: source/export tail (q_source_xml, q_export_manifest, q_scan_dpp),
-#: then the LLM-pipeline tail in registration order. The final ~17
-#: front in r10, after which the rotation retires and _sample_order
-#: can revert to registration order.
+#: in r10; (3) replace _ROUND_PRIORITY with the final 17 —
+#: q_stats_prop_ztest, the feature/sample block (q_feature_target_encode,
+#: q_feature_impute, q_sample_negative_downsample, q_shard_rendezvous,
+#: q_label_churn, q_quality_event_order, q_budget_waterfill,
+#: q_stream_watermark_planner, q_split_three_way, q_sim_ivf_index,
+#: q_sample_ppl_band, q_select_dsir, q_order_curriculum,
+#: q_sample_class_quota), and q_text_ql/q_text_phrase_search. After
+#: CORRECTNESS_r10 lands, every oracle-backed key has an external
+#: verdict: the rotation retires and _sample_order can revert to
+#: registration order (keep the _MODIFIED fronting — that guard is
+#: permanent).
 _ROUND_PRIORITY = [
-    # as-of variants + sketch/size-estimate join tail
-    "q_join_asof_tolerance", "q_join_asof_nearest", "q_join_size_estimate",
-    "q_rank_wilson", "q_agg_percentile_exact", "q_join_cardinality_sketch",
-    "q_win_sketch_distinct",
-    # late-r5 product-analytics aggregate block
-    "q_agg_abc_pareto", "q_agg_weighted_median", "q_agg_heavy_changers",
-    "q_agg_benford", "q_agg_lorenz_gini", "q_agg_hhi",
-    "q_agg_log_histogram", "q_agg_argmax", "q_agg_decay_sum",
-    "q_agg_winsorized_mean", "q_agg_ohlc", "q_agg_simpson",
-    "q_agg_hist_equidepth", "q_agg_vwap", "q_agg_rfm",
-    "q_agg_percent_of_parent", "q_agg_mix_shift", "q_agg_linreg2",
-    "q_agg_purchase_gaps", "q_agg_growth_accounting", "q_agg_abc_xyz",
-    "q_agg_cr4", "q_agg_theil", "q_agg_arpu",
-    # time-series / window block (float-heavy: EWMA/rolling/RSI —
-    # sf0.1 full drive re-run before snapshot per VERDICT r7 #2)
-    "q_win_rolling_median", "q_pareto_frontier", "q_ts_downsample_m4",
-    "q_drift_cusum", "q_ts_autocorr", "q_ts_seasonal_dow",
-    "q_win_rolling_slope", "q_ts_outlier_rolling", "q_agg_cohort_ltv",
-    "q_funnel_multistep", "q_win_time_to_convert", "q_win_drawdown",
-    "q_ts_interpolate_linear", "q_ts_resample_weekly", "q_win_path_topk",
-    "q_win_distinct_bitmask", "q_win_concurrency_sweep", "q_ts_new_users",
-    "q_win_rsi",
+    # time-series / window float block (float-heaviest unadjudicated
+    # keys per VERDICT r8 #2 — full sf0.1 cross-engine drive re-run at
+    # the pre-snapshot HEAD guards these)
+    "q_ts_wau", "q_fraud_double_charge", "q_win_rolling_corr",
+    "q_ts_dau_mau",
+    # set-op / profile / SQL-dialect block
+    "q_intersect_all", "q_except_all", "q_profile_skew", "q_fn_sql_udf",
+    "q_sql_group_by_all", "q_sql_qualify", "q_sql_window_clause",
+    "q_sql_distinct_on",
+    # source / export tail
+    "q_source_xml", "q_export_manifest", "q_scan_dpp",
+    # dedup / split / vector tail
+    "q_dedup_incremental_fuzzy", "q_split_leakage", "q_dedup_priority",
+    "q_dedup_url", "q_vec_jl_projection",
+    # LLM text tail
+    "q_text_boilerplate", "q_text_perplexity_bigram", "q_text_novelty",
+    "q_quality_gopher", "q_text_rake", "q_agg_heavy_hitters",
+    "q_text_dechunk", "q_text_langid_eval", "q_text_autocomplete",
+    "q_text_hapax", "q_text_burstiness", "q_text_readability",
+    "q_text_script_mix", "q_text_vocab_overlap",
+    # multimodal tail
+    "q_multimodal_phash", "q_multimodal_audio_energy",
+    "q_multimodal_dedup_bytes", "q_multimodal_scenecut",
+    "q_multimodal_payload_entropy",
+    # corpus / drift / classify / stats tail
+    "q_corpus_card", "q_drift_ks", "q_classify_nb",
+    "q_stats_mannwhitney", "q_agg_gini", "q_stats_welch_ttest",
+    "q_stats_permutation", "q_stats_bootstrap_ci", "q_drift_jsd",
+    "q_stats_runs_test", "q_split_kfold_grouped",
 ]
 
 

@@ -78,3 +78,60 @@ def test_contended_verdict_keys_off_gate_open_load():
     # no anchor ratios available (non-sf0.1 run): gate load decides
     assert contended(None, 0.5) is False
     assert contended(None, 2.2) is True
+
+
+def test_summary_line_fits_tail_capture_with_real_shapes():
+    """VERDICT r8 'What's wrong' #4: the driver keeps only the last
+    ~2 KB of bench stdout, and r6-r8's fat single line truncated
+    mid-JSON ("parsed": null). The compact final line must fit the
+    window whole at the real headline-suite shape — build it with
+    every HEADLINE query timed and ratio'd at worst-case widths."""
+    import json
+
+    timings = {q: 123.456 for q in bench.HEADLINE}
+    ratios = {q: 12.345 for q in bench.HEADLINE}
+    line = bench.compact_summary_line(
+        total=12345.678,
+        timings=timings,
+        tpch_total=12345.678,
+        llm_total=12345.678,
+        ratios=ratios,
+        load_check={
+            "loadavg_gate_open": 10.55,
+            "loadavg_post_warmup": 10.55,
+            "median_ratio_vs_anchor": 12.345,
+            "contended": False,
+        },
+        sf=0.1,
+    )
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_total"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert "ratio_vs_anchor" in parsed and "load_check" in parsed
+
+
+def test_summary_line_degrades_rather_than_overruns():
+    """If the suite ever grows past the budget, the ratio echo drops
+    (keeping the median inside load_check) — the line never exceeds
+    the capture window and the headline figure always survives."""
+    import json
+
+    many = {f"q_padded_query_name_{i:03d}": 123.456 for i in range(60)}
+    line = bench.compact_summary_line(
+        total=1.0,
+        timings=many,
+        tpch_total=1.0,
+        llm_total=1.0,
+        ratios=dict(many),
+        load_check={
+            "loadavg_gate_open": 1.0,
+            "loadavg_post_warmup": 1.0,
+            "median_ratio_vs_anchor": 0.987,
+            "contended": False,
+        },
+        sf=0.1,
+    )
+    parsed = json.loads(line)
+    assert parsed["ratio_vs_anchor"] == {"dropped_for_size_median": 0.987}
+    assert parsed["value"] == 1.0

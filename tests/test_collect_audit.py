@@ -38,9 +38,14 @@ _COLLECT_ATTRS = (
 )
 
 #: Receivers whose attribute calls are column EXPRESSIONS, not driver
-#: materialization: ``F.first(...)`` / ``F.take(...)`` build JVM-side
-#: aggregate/array expressions and never move rows to the driver.
-_EXPR_MODULE_RECEIVERS = ("F", "functions", "sf")
+#: materialization: ``F.first(...)`` builds a JVM-side aggregate
+#: expression and never moves rows to the driver. Only ``F`` — the one
+#: alias the package actually imports (``from pyspark.sql import
+#: functions as F``, pinned below by test_expr_receiver_tuple_matches
+#: _package_imports) — is exempt; a DataFrame variable named
+#: ``functions`` or ``sf`` calling ``.first()`` must NOT escape the
+#: audit (ADVICE r8).
+_EXPR_MODULE_RECEIVERS = ("F",)
 
 #: (relative path, enclosing function) -> why the materialized size is
 #: bounded independent of corpus size.
@@ -170,3 +175,29 @@ def test_allowlist_has_no_stale_entries():
     live = {(rel, fn) for rel, _, fn in _collect_sites()}
     stale = [k for k in ALLOWED if k not in live]
     assert not stale, f"allowlist entries with no matching site: {stale}"
+
+
+def test_expr_receiver_tuple_matches_package_imports():
+    """_EXPR_MODULE_RECEIVERS must list exactly the aliases the package
+    binds to pyspark.sql.functions (ADVICE r8: a stale exemption like
+    'sf' would let a DataFrame variable of that name call .first()
+    unaudited). Walks every import statement in the package and derives
+    the true alias set."""
+    aliases: set[str] = set()
+    for p in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.module == "pyspark.sql":
+                    for a in node.names:
+                        if a.name == "functions":
+                            aliases.add(a.asname or a.name)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name == "pyspark.sql.functions":
+                        aliases.add(a.asname or a.name.split(".")[0])
+    assert set(_EXPR_MODULE_RECEIVERS) == aliases, (
+        "audit exemption tuple out of sync with the package's actual "
+        f"functions aliases: tuple={_EXPR_MODULE_RECEIVERS} "
+        f"imports={sorted(aliases)}"
+    )

@@ -98,9 +98,16 @@ def test_containment_shingle_k_single_source(spark, sf_dir):
         "doc_id",
         F.size(_shingle_array(CONTAINMENT_SHINGLE_K)).cast("long").alias("m"),
     )
+    # Full outer join (ADVICE r8): an inner join would drop documents
+    # that produce zero shingles — present only in `mapped` — which is
+    # exactly the degenerate case (size() returning 0 or -1 while the
+    # exploded form emits nothing) this test exists to pin.
     mismatches = (
-        exploded.join(mapped, "doc_id")
-        .filter(F.col("n") != F.col("m"))
+        exploded.join(mapped, "doc_id", "full_outer")
+        .filter(
+            F.coalesce(F.col("n"), F.lit(0))
+            != F.coalesce(F.col("m"), F.lit(0))
+        )
         .count()
     )
     assert mismatches == 0
@@ -848,6 +855,16 @@ def test_embedding_cosine_matches_numpy(spark, sf_dir):
         for p, q in zip(x, y):
             acc = acc + p * q
         return acc
+
+    # Guard before dividing (ADVICE r8): a regenerated fixture holding a
+    # zero embedding would otherwise crash the reference fold with
+    # ZeroDivisionError instead of failing with a named invariant.
+    for _, vecs in by_label.items():
+        for vec_id, v in vecs:
+            assert fold_dot(v, v) > 0, (
+                f"fixture embedding {vec_id} has zero norm — the cosine "
+                "reference below is undefined for it; regenerate or pin"
+            )
 
     want = {}
     for label, vecs in by_label.items():
