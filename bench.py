@@ -364,30 +364,43 @@ def main() -> None:
             f"— numbers unreliable",
             file=sys.stderr,
         )
-    # Verbose per-query detail for the secondary suites goes to STDERR:
-    # the driver's artifact keeps only the last ~2 KB of STDOUT, and
-    # r6-r8's single fat JSON line outgrew that window, truncating the
-    # artifact mid-line and leaving BENCH_r{N}.json "parsed": null
-    # (VERDICT r8 "What's wrong" #4). Humans and local runs still get
-    # the full breakdown; the driver-parsed stdout line stays compact.
-    print(
-        "bench-detail: "
-        + json.dumps(
-            {
-                "tpch": {"total_sec": tpch_total, "queries": tpch_timings},
-                "llm": {"total_sec": llm_total, "queries": llm_timings},
-                # ratio denominators: r1-code re-measured at r6 as the
-                # per-query median of 3 idle-host min-of-5 runs — the
-                # expected value of the same measurement the numerators
-                # are (ADVICE r5). Ratios in r1-r5 artifacts used the
-                # old min-of-2 anchor (~1.18× looser) and are not
-                # comparable to r6+.
-                "anchor_methodology": "r1-tree@14236e2, idle host, "
-                "median of 3 runs x min-of-5; re-baselined r6",
-            }
-        ),
-        file=sys.stderr,
-    )
+    # Verbose per-query detail for the secondary suites goes to STDERR
+    # and to BENCH_DETAIL.json beside this script: the driver's
+    # artifact keeps only the last ~2 KB of STDOUT, and r6-r8's single
+    # fat JSON line outgrew that window, truncating the artifact
+    # mid-line and leaving BENCH_r{N}.json "parsed": null (VERDICT r8
+    # "What's wrong" #4). Humans and local runs still get the full
+    # breakdown (the round's validation-run copy is committed, keeping
+    # per-query TPC-H/LLM cross-round comparisons possible); the
+    # driver-parsed stdout line stays compact.
+    detail = {
+        "headline": {"total_sec": total, "queries": timings},
+        "tpch": {"total_sec": tpch_total, "queries": tpch_timings},
+        "llm": {"total_sec": llm_total, "queries": llm_timings},
+        "ratio_vs_anchor": ratios,
+        "load_check": load_check,
+        "repeats": REPEATS,
+        # ratio denominators: r1-code re-measured at r6 as the
+        # per-query median of 3 idle-host min-of-5 runs — the
+        # expected value of the same measurement the numerators
+        # are (ADVICE r5). Ratios in r1-r5 artifacts used the
+        # old min-of-2 anchor (~1.18× looser) and are not
+        # comparable to r6+.
+        "anchor_methodology": "r1-tree@14236e2, idle host, "
+        "median of 3 runs x min-of-5; re-baselined r6",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print("bench-detail: " + json.dumps(detail), file=sys.stderr)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"bench: could not write BENCH_DETAIL.json: {exc}",
+              file=sys.stderr)
     # The ONE stdout JSON line (driver contract): compact separators and
     # secondary suites collapsed to totals keep it ~1.3 KB — the whole
     # line survives a 2 KB tail capture with margin, so the headline
