@@ -42,7 +42,12 @@ def canary_keys(round_no: int) -> list[str]:
 
 
 def main() -> None:
-    round_no = int(sys.argv[1])
+    args = [a for a in sys.argv[1:] if a != "--list"]
+    if len(args) != 1 or not args[0].isdigit():
+        print(__doc__.strip().splitlines()[-2].strip(), file=sys.stderr)
+        print(__doc__.strip().splitlines()[-1].strip(), file=sys.stderr)
+        sys.exit(2)
+    round_no = int(args[0])
     keys = canary_keys(round_no)
     print(f"[canary r{round_no}] {' '.join(keys)}")
     if "--list" in sys.argv:
