@@ -20,9 +20,14 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         (r["doc_a"], r["doc_b"])
         for r in get("q_dedup_minhash").fn(spark, sf_dir).collect()
     }
-    if exact:
-        recall = len(exact & lsh) / len(exact)
-        assert recall >= 0.9, f"recall={recall} exact={len(exact)} lsh={len(lsh)}"
+    # Hard non-emptiness (vacuousness audit, r9): the fixture holds
+    # jaccard>=0.8 pairs at every SF (25 @ sf0.01, 28 @ sf0.001,
+    # measured) — an empty exact set means the ngram_jaccard baseline
+    # regressed, and `if exact:` would have silently skipped the
+    # recall assertion instead of catching it.
+    assert exact, "exact jaccard>=0.8 baseline is empty — fixture or baseline regressed"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"recall={recall} exact={len(exact)} lsh={len(lsh)}"
     # no false positives: every reported pair truly has jaccard ≥ 0.8
     assert lsh <= lsh | exact  # reported pairs are verified exactly by construction
 
@@ -152,9 +157,11 @@ def test_lsh_knn_recall(spark, sf_dir):
     approx_rows = get("q_sim_lsh").fn(spark, sf_dir).collect()
     approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
     assert approx, "LSH returned nothing"
-    if exact:
-        recall = len(exact & approx) / len(exact)
-        assert recall >= 0.25, f"recall={recall}"
+    # hard non-emptiness (vacuousness audit, r9): knn_exact is top-k
+    # over a never-empty embeddings fixture — empty means it regressed
+    assert exact, "exact knn baseline is empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"recall={recall}"
 
 
 def test_ivf_recall(spark, sf_dir):
@@ -169,9 +176,9 @@ def test_ivf_recall(spark, sf_dir):
         for r in get("q_sim_ivf").fn(spark, sf_dir).collect()
     }
     assert ivf, "IVF returned nothing"
-    if exact:
-        recall = len(exact & ivf) / len(exact)
-        assert recall >= 0.3, f"recall={recall}"
+    assert exact, "exact knn baseline is empty"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"recall={recall}"
 
 
 def test_pq_recall(spark, sf_dir):
@@ -188,9 +195,9 @@ def test_pq_recall(spark, sf_dir):
     pq = {(r["query_id"], r["cand_id"]) for r in pq_rows}
     assert pq, "PQ returned nothing"
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in pq_rows), pq_rows[:5]
-    if exact:
-        recall = len(exact & pq) / len(exact)
-        assert recall >= 0.4, f"recall={recall}"
+    assert exact, "exact knn baseline is empty"
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.4, f"recall={recall}"
 
 
 def test_hll_within_rsd(spark, sf_dir):

@@ -1213,6 +1213,7 @@ def test_weighted_median_definition(spark, sf_dir):
     for r in joined:
         acc[r.c_nationkey].append((r.cents, r.wgt))
     rows = get("q_agg_weighted_median").fn(spark, sf_dir).collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
     for r in rows:
         vals = acc[r.nation]
         tw = sum(w for _, w in vals)
@@ -1388,6 +1389,7 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         "cohort"
     }, plan[:2000]
     rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
     by_cohort = defaultdict(list)
     for r in rows:
         by_cohort[r.cohort].append(r)
@@ -1437,7 +1439,9 @@ def test_funnel_multistep_monotone(spark, sf_dir):
     assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {
         "user_id"
     }, plan[:2000]
-    for r in df.collect():
+    rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         assert r.n_signups >= r.n_reached_view >= r.n_reached_purchase, r
 
 
@@ -1882,7 +1886,9 @@ def test_cr4_rank_window_over_supplier_aggregate(spark, sf_dir):
     plan = simple_plan(df)
     assert has_broadcast_join(df), plan[:2000]
     assert re.search(r"windowspecdefinition\(nation#", plan), plan[:2000]
-    for r in df.collect():
+    rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         assert 0 < r.cr4_ppm <= 1_000_000
         assert r.top4_rev_c <= r.total_rev_c
         if r.n_suppliers <= 4:
@@ -1896,7 +1902,9 @@ def test_theil_nonnegative_and_bounded(spark, sf_dir):
     import math
 
     df = get("q_agg_theil").fn(spark, sf_dir)
-    for r in df.collect():
+    rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         assert r.theil_micro_nats >= -2, r
         assert r.theil_micro_nats <= int(1_000_000 * math.log(r.n)) + 2, r
 
@@ -1909,7 +1917,9 @@ def test_arpu_denominator_identity(spark, sf_dir):
     plan = simple_plan(df)
     assert "Join" not in plan, plan[:2000]
     assert "windowspecdefinition" not in plan, plan[:2000]
-    for r in df.collect():
+    rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         assert r.arpu_c == r.revenue_c // r.active_users
         assert r.n_purchases >= r.active_users
 
@@ -1929,7 +1939,9 @@ def test_mix_shift_bridge_reconciles_exactly(spark, sf_dir):
     """q_agg_mix_shift (r8/r9 block): the volume/rate/residual bridge
     must reconcile the revenue delta EXACTLY per group — the floor
     residual exists precisely so the identity is integer-exact."""
-    for r in get("q_agg_mix_shift").fn(spark, sf_dir).collect():
+    rows = get("q_agg_mix_shift").fn(spark, sf_dir).collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         assert (
             r.delta_rev_c
             == r.volume_effect_c + r.rate_effect_c + r.residual_c
@@ -1967,7 +1979,9 @@ def test_purchase_gaps_bands_consistent(spark, sf_dir):
     plan = simple_plan(df)
     assert re.search(r"windowspecdefinition\(o_custkey#", plan), plan[:2000]
     edges = {0: (0, 7), 1: (8, 30), 2: (31, 90), 3: (91, 365)}
-    for r in df.collect():
+    rows = df.collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
+    for r in rows:
         lo, hi = edges.get(r.bucket, (366, 10**9))
         assert lo <= r.min_days <= r.max_days <= hi, r
         assert r.min_days <= r.mean_days <= r.max_days, r

@@ -484,6 +484,7 @@ def test_asof_nearest_matches_bruteforce(spark, sf_dir):
     per_user: dict[int, list[int]] = {}
     for u, t in purch:
         per_user.setdefault(u, []).append(t)
+    assert clicks  # vacuousness guard (r9): empty fixture slice must fail
     assert len(got) == len(clicks)
     for eid, u, t in clicks:
         cands = per_user.get(u, [])
@@ -901,6 +902,7 @@ def test_window_clause_binds_two_specs(spark, sf_dir):
 
 def test_suppress_release_is_kanonymous(spark, sf_dir):
     rows = _queries()["q_privacy_suppress"](spark, sf_dir).collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
     star = [r for r in rows if r["nation_out"] == "*"]
     concrete = [r for r in rows if r["nation_out"] != "*"]
     for r in concrete:
@@ -1195,6 +1197,10 @@ def test_distinct_on_picks_latest(spark, sf_dir):
 
 def test_double_charge_pairs_valid(spark, sf_dir):
     rows = _queries()["q_fraud_double_charge"](spark, sf_dir).collect()
+    # vacuousness guard (r9): the key was deliberately banded to $10k
+    # BECAUSE exact-cent matching was measured vacuous — an empty
+    # result here means that regression came back, so fail loudly.
+    assert rows
     import duckdb
 
     raw = {
@@ -1527,6 +1533,7 @@ def test_changepoint_is_argmin(spark, sf_dir):
 
 def test_ess_bounds(spark, sf_dir):
     rows = _queries()["q_stats_ess"](spark, sf_dir).collect()
+    assert rows  # vacuousness guard (r9): empty output must fail, not skip
     for r in rows:
         # ESS/n is in (0, 1]; equality only under perfectly equal weights
         assert 0 < r["ess_ratio_micro"] <= 1_000_000
@@ -1671,6 +1678,7 @@ def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
         per_user.setdefault(u, []).append((t, v))
     for p in per_user.values():
         p.sort()
+    assert clicks  # vacuousness guard (r9): empty fixture slice must fail
     assert len(got) == len(clicks)
     ttl = 6 * 3600 * 1_000_000
     for eid, u, t in clicks:
