@@ -409,3 +409,131 @@ def test_incremental_mv_edges_match_recompute(spark):
     }
     # recompute by hand: latest per key -> 1:A/100, 2:C/250, 3:deleted, 4:D/400
     assert got == {"A": (1, 100), "C": (1, 250), "D": (1, 400)}, got
+
+
+# ---------------------------------------------------------------------------
+# Arrow batch-size invariance (round 9)
+# ---------------------------------------------------------------------------
+
+#: Registry keys whose physical plan contains an Arrow-batched Python
+#: node (MapInPandas / FlatMap[Co]GroupsInPandas / ArrowEvalPython /
+#: AggregateInPandas / MapInArrow), as detected by
+#: tools/arrow_batch_probe.py at the round-9 HEAD, PLUS the two
+#: streaming keys whose applyInPandasWithState / transformWithState
+#: execution runs eagerly inside fn() where plan inspection can't see
+#: it. Re-run the probe and update this pin when an Arrow call site is
+#: added or removed (the call-site census below fails first).
+_ARROW_BATCHED_KEYS = [
+    "q_multimodal_phash", "q_multimodal_audio_energy",
+    "q_multimodal_scenecut", "q_udf_pandas", "q_udf_grouped_agg",
+    "q_udf_cogroup", "q_udf_arrow", "q_export_webdataset",
+    "q_sim_knn_blas", "q_sim_ivf_audit", "q_text_compress_ratio",
+    "q_multimodal_binary", "q_multimodal_frames", "q_multimodal_resize",
+    "q_sim_ivf", "q_sim_pq", "q_sim_pq_audit",
+    # eager streaming (plan-invisible, still Arrow-batched):
+    "q_stream_stateful", "q_stream_stateful_tws",
+]
+
+#: Per-module census of REAL Arrow API call sites (AST attribute/name
+#: hits for mapInPandas / applyInPandas / mapInArrow / applyInArrow /
+#: applyInPandasWithState / transformWithStateInPandas / pandas_udf —
+#: docstring mentions don't count). If this census drifts, a new
+#: Arrow-batched code path landed without re-running
+#: tools/arrow_batch_probe.py: update BOTH pins from its output.
+_ARROW_CALL_SITES = {
+    "functions/udf.py": 4,
+    "llm/ivf.py": 2,
+    "llm/multimodal.py": 6,
+    "llm/pq.py": 2,
+    "llm/similarity.py": 1,
+    "llm/text.py": 1,
+    "sources/ingest.py": 1,
+    "streaming/stateful.py": 3,
+}
+
+_ARROW_API_ATTRS = {
+    "mapInPandas", "applyInPandas", "mapInArrow", "applyInArrow",
+    "applyInPandasWithState", "transformWithStateInPandas",
+    "pandas_udf",
+}
+
+
+def test_arrow_call_site_census_matches_pin():
+    """Mechanized sync guard for _ARROW_BATCHED_KEYS: walk every
+    package module's AST and count genuine Arrow API call sites. Any
+    count drift means the probe pin above is stale — the failure
+    message says exactly what to re-run."""
+    import ast
+    import os
+
+    import oke_cassandra_spark_locality_demo_spark as pkg
+
+    pkg_dir = os.path.dirname(pkg.__file__)
+    got: dict[str, int] = {}
+    for root, _, files in os.walk(pkg_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg_dir)
+            n = 0
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.Attribute)
+                        and node.attr in _ARROW_API_ATTRS):
+                    n += 1
+                elif (isinstance(node, ast.Name)
+                        and node.id in _ARROW_API_ATTRS):
+                    n += 1
+            if n:
+                got[rel] = n
+    assert got == _ARROW_CALL_SITES, (
+        "Arrow API call-site census drifted — run "
+        "`python tools/arrow_batch_probe.py` and update "
+        f"_ARROW_CALL_SITES + _ARROW_BATCHED_KEYS. census={got}"
+    )
+
+
+def test_arrow_batch_size_invariance(spark, sf_dir):
+    """Every Arrow-batched key must produce identical canonical rows
+    under the default 10000-row Arrow batches and under 7-row batches.
+
+    On local[32] a 500-row fixture fits in ONE Arrow batch, so
+    per-batch logic that should have been merged globally (a partial
+    top-k kept per batch, a per-batch statistic) is structurally
+    invisible — every batch IS the whole partition. On a
+    1000-executor cluster over 100 TB, batch boundaries land
+    everywhere; 7-row batches force ~70 boundaries through the same
+    code locally. The registry wrapper pins only session.timeZone, so
+    this conf is a live environment axis, same as the shuffle-layout
+    sweep above."""
+    from oke_cassandra_spark_locality_demo_spark import registry
+
+    from .parity import _canon
+
+    prev = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    try:
+        results: dict[str, list] = {}
+        for batch in ("10000", "7"):
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", batch
+            )
+            for name in _ARROW_BATCHED_KEYS:
+                rows = sorted(
+                    (
+                        tuple(_canon(v) for v in r)
+                        for r in registry.get(name).fn(spark, sf_dir).collect()
+                    ),
+                    key=_row_key,
+                )
+                results.setdefault(name, []).append(rows)
+        diffs = [n for n, (a, b) in results.items() if a != b]
+        assert not diffs, f"arrow-batch-size-dependent results: {diffs}"
+        # Non-vacuousness: every swept key must actually return rows.
+        empty = [n for n, (a, _) in results.items() if not a]
+        assert not empty, f"swept keys returned 0 rows: {empty}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
