@@ -281,7 +281,13 @@ _MODIFIED_THIS_ROUND: list[str] = []
 #: CORRECTNESS_r10 lands, every oracle-backed key has an external
 #: verdict: the rotation retires and _sample_order can revert to
 #: registration order (keep the _MODIFIED fronting — that guard is
-#: permanent).
+#: permanent). r10 has 33 free prefix slots after the final 17: if any
+#: are spent, the one queued candidate is q_sink_pyds's fixed
+#: /tmp/graft_tokenroute_sink path (r9 closing audit saw a
+#: self-inflicted read-vs-overwrite race when two verification
+#: processes ran concurrently — harmless to the sequential driver, but
+#: a unique-per-session suffix would fix it; that's a behavior change,
+#: so it must ride _MODIFIED_THIS_ROUND).
 _ROUND_PRIORITY = [
     # time-series / window float block (float-heaviest unadjudicated
     # keys per VERDICT r8 #2 — full sf0.1 cross-engine drive re-run at
