@@ -10,9 +10,16 @@ exactly the r10 rotation tail while the rotation is still live.
 Rows-only keys (no oracle_sql entry) get the same >0-rows check the
 external driver applies.
 
+``--all`` drives the whole registry, and repeatable ``--conf k=v``
+flags inject session confs BEFORE any query runs — the lever for
+environment-axis sweeps (AQE off, ANSI flipped, codegen off, …) that
+ask: would the driver's host still grade green if its Spark defaults
+differ from ours on this axis?
+
 Usage:
     python tools/drive_subset.py q_ts_wau q_win_rsi
     python tools/drive_subset.py --remaining
+    python tools/drive_subset.py --all --conf spark.sql.adaptive.enabled=false
     SPARK_GRAFT_SUBSET_SF=/root/testdata/sf0.001 \
         python tools/drive_subset.py --remaining
 """
@@ -36,18 +43,35 @@ def _remaining_keys() -> list[str]:
 
 def main() -> None:
     args = sys.argv[1:]
-    if not args:
-        print("usage: drive_subset.py KEY [KEY ...] | --remaining",
+    confs: list[tuple[str, str]] = []
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--conf":
+            if i + 1 >= len(args) or "=" not in args[i + 1]:
+                print("--conf requires k=v", file=sys.stderr)
+                sys.exit(2)
+            k, _, v = args[i + 1].partition("=")
+            confs.append((k, v))
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    if not rest:
+        print("usage: drive_subset.py KEY [KEY ...] | --remaining | --all"
+              " [--conf k=v ...]",
               file=sys.stderr)
         sys.exit(2)
-    if args == ["--remaining"]:
+    if rest == ["--remaining"]:
         keys = _remaining_keys()
-    elif "--remaining" in args:
-        print("--remaining cannot be combined with explicit keys",
+    elif rest == ["--all"]:
+        keys = None  # resolved to the full registry below
+    elif "--remaining" in rest or "--all" in rest:
+        print("--remaining/--all cannot be combined with explicit keys",
               file=sys.stderr)
         sys.exit(2)
     else:
-        keys = args
+        keys = rest
 
     from pyspark.sql import SparkSession
 
@@ -55,17 +79,27 @@ def main() -> None:
     from tests.parity import compare, duckdb_conn
 
     qs = entry_mod.queries()
+    if keys is None:
+        keys = list(qs)
     unknown = [k for k in keys if k not in qs]
     if unknown:
         print(f"unknown keys: {' '.join(unknown)}", file=sys.stderr)
         sys.exit(2)
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
-        .getOrCreate()
     )
+    for k, v in confs:
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    for k, v in confs:
+        # getOrCreate may have attached to an existing session where
+        # builder confs don't apply — set runtime confs explicitly and
+        # echo them so the sweep's configuration is part of the record.
+        spark.conf.set(k, v)
+        print(f"  [conf] {k}={spark.conf.get(k)}")
     oracles = entry_mod.oracle_sql()
     con = duckdb_conn(SF_DIR)
     fails = []
