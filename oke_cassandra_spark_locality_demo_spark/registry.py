@@ -282,12 +282,19 @@ _MODIFIED_THIS_ROUND: list[str] = []
 #: verdict: the rotation retires and _sample_order can revert to
 #: registration order (keep the _MODIFIED fronting — that guard is
 #: permanent). r10 has 33 free prefix slots after the final 17: if any
-#: are spent, the one queued candidate is q_sink_pyds's fixed
-#: /tmp/graft_tokenroute_sink path (r9 closing audit saw a
-#: self-inflicted read-vs-overwrite race when two verification
-#: processes ran concurrently — harmless to the sequential driver, but
-#: a unique-per-session suffix would fix it; that's a behavior change,
-#: so it must ride _MODIFIED_THIS_ROUND).
+#: are spent, the queued candidate is the fixed-tempdir write-back
+#: family (r9 audit): graft_tokenroute_sink (sources/pyds.py),
+#: spark_graft_io (sources/ingest.py), spark_graft_stream_sink /
+#: _feb_sink / _cdc_sink (streaming/stateful.py) all rmtree/overwrite
+#: then read back a PATH SHARED ACROSS PROCESSES — harmless to the
+#: sequential driver (r1-r9 all green) but racy when two verification
+#: processes drive the same key concurrently (r9 closing audit saw
+#: exactly one such self-inflicted collision on q_sink_pyds). Fix =
+#: one shared session-unique root helper (suffix = applicationId);
+#: results are identical but it IS a behavior change, so every
+#: writing key it touches must ride _MODIFIED_THIS_ROUND — budget
+#: ~8-10 slots, or keep deferring: verification stays sequential by
+#: convention (tools/ sweeps chain, never parallelize drives).
 _ROUND_PRIORITY = [
     # time-series / window float block (float-heaviest unadjudicated
     # keys per VERDICT r8 #2 — full sf0.1 cross-engine drive re-run at

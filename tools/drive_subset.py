@@ -45,6 +45,7 @@ def main() -> None:
     args = sys.argv[1:]
     confs: list[tuple[str, str]] = []
     rest: list[str] = []
+    master = "local[16]"
     i = 0
     while i < len(args):
         if args[i] == "--conf":
@@ -53,6 +54,12 @@ def main() -> None:
                 sys.exit(2)
             k, _, v = args[i + 1].partition("=")
             confs.append((k, v))
+            i += 2
+        elif args[i] == "--master":
+            if i + 1 >= len(args):
+                print("--master requires a value", file=sys.stderr)
+                sys.exit(2)
+            master = args[i + 1]
             i += 2
         else:
             rest.append(args[i])
@@ -87,7 +94,7 @@ def main() -> None:
         sys.exit(2)
 
     builder = (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "16")
     )
     for k, v in confs:
