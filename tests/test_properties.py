@@ -537,3 +537,66 @@ def test_arrow_batch_size_invariance(spark, sf_dir):
         assert not empty, f"swept keys returned 0 rows: {empty}"
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_engine_mode_invariance_pin(spark, sf_dir):
+    """In-suite pin of the round-9 engine-mode sweeps (full-registry
+    versions: `tools/drive_subset.py --all --conf k=v`, all 400/400 —
+    see SCALING.md's axis table). Eight keys spanning the risk
+    surfaces — decimal aggregation, float discipline, range-frame
+    windows, null-safe hash join, banded dedup, Arrow-batched BLAS,
+    micro-unit log sums, streaming batch form — must produce identical
+    canonical rows with ANSI off, whole-stage codegen off, and a
+    hostile session timezone (the registry wrapper's UTC pin must
+    override it). Cheap (~8 keys × 4 configs) so the full suite keeps
+    the axes pinned without the tools' 5-minute full drives."""
+    from oke_cassandra_spark_locality_demo_spark import registry
+
+    from .parity import _canon
+
+    keys = [
+        "q_tpch_q1", "q_agg_stats", "q_win_frame_range",
+        "q_join_null_safe", "q_dedup_minhash_audit", "q_sim_knn_blas",
+        "q_text_perplexity", "q_stream_tumbling",
+    ]
+    axes = [
+        {},  # baseline: session defaults
+        {"spark.sql.ansi.enabled": "false"},
+        {"spark.sql.codegen.wholeStage": "false"},
+        {"spark.sql.session.timeZone": "America/New_York"},
+    ]
+    saved = {
+        k: spark.conf.get(k, None)
+        for cfg in axes for k in cfg
+    }
+    try:
+        results: dict[str, list] = {}
+        for cfg in axes:
+            for k, v in cfg.items():
+                spark.conf.set(k, v)
+            for name in keys:
+                rows = sorted(
+                    (
+                        tuple(_canon(v) for v in r)
+                        for r in registry.get(name).fn(spark, sf_dir).collect()
+                    ),
+                    key=_row_key,
+                )
+                assert rows, f"{name} returned 0 rows under {cfg}"
+                results.setdefault(name, []).append(rows)
+            for k in cfg:  # restore before the next axis flips its own
+                if saved[k] is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, saved[k])
+        diffs = [
+            n for n, runs in results.items()
+            if any(r != runs[0] for r in runs[1:])
+        ]
+        assert not diffs, f"engine-mode-dependent results: {diffs}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
