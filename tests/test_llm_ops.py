@@ -889,3 +889,52 @@ def test_embedding_cosine_matches_numpy(spark, sf_dir):
         "fixture now holds a >=0.95 pair — q_dedup_embedding is no "
         "longer expected to be empty; update this pin"
     )
+
+
+def test_pack_sequences_matches_bruteforce(spark, sf_dir):
+    """q_pack_sequences brute-forced: the next-fit-with-spill packing
+    recomputed as the literal sequential fold it stands in for — walk
+    each source's documents in doc_id order keeping a running token
+    cursor; bin_id = cursor // budget, bin_offset = cursor % budget,
+    cursor += ceil(len(text)/4). The operator expresses this as ONE
+    window prefix-sum (no driver loop); this test pins that the
+    window formulation IS the sequential semantics, independently of
+    the DuckDB oracle (which shares the prefix-sum formulation and so
+    could share a formulation bug). Also pins the packing invariants:
+    0 <= bin_offset < budget, and bin_id nondecreasing per source."""
+    import math
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.llm.pipeline import (
+        _PACK_BUDGET,
+        q_pack_sequences,
+    )
+
+    docs = sorted(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    assert docs, "fixture returned no documents"
+
+    expect = {}
+    cursor_by_source: dict[str, int] = {}
+    for r in docs:
+        n_tokens = math.ceil(len(r.text) / 4)
+        cursor = cursor_by_source.get(r.source, 0)
+        expect[(r.doc_id, r.source)] = (
+            n_tokens, cursor // _PACK_BUDGET, cursor % _PACK_BUDGET
+        )
+        cursor_by_source[r.source] = cursor + n_tokens
+
+    got_rows = q_pack_sequences(spark, sf_dir).collect()
+    assert len(got_rows) == len(expect)
+    last_bin: dict[str, int] = {}
+    for r in sorted(got_rows, key=lambda r: (r.source, r.doc_id)):
+        assert (r.n_tokens, r.bin_id, r.bin_offset) == expect[
+            (r.doc_id, r.source)
+        ], (r.doc_id, r.source)
+        assert 0 <= r.bin_offset < _PACK_BUDGET, r.doc_id
+        assert r.bin_id >= last_bin.get(r.source, 0), r.doc_id
+        last_bin[r.source] = r.bin_id
