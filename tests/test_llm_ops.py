@@ -938,3 +938,51 @@ def test_pack_sequences_matches_bruteforce(spark, sf_dir):
         assert 0 <= r.bin_offset < _PACK_BUDGET, r.doc_id
         assert r.bin_id >= last_bin.get(r.source, 0), r.doc_id
         last_bin[r.source] = r.bin_id
+
+
+def test_split_train_test_matches_bruteforce(spark, sf_dir):
+    """q_split_train_test and its oracle share the md5(source)-prefix
+    threshold formulation; recompute the whole audit in plain Python —
+    split assignment per source, per-(split, lang) doc and distinct-
+    source counts, and the share as the same single IEEE division of
+    exact longs — and require exact equality. Also pins the leakage
+    invariant the operator exists for: every source maps to exactly
+    one split."""
+    import hashlib
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.llm.pipeline import (
+        q_split_train_test,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    assert docs
+
+    def split_of(source: str) -> str:
+        p = hashlib.md5(source.encode()).hexdigest()[:2]
+        return "train" if p < "cc" else ("val" if p < "e6" else "test")
+
+    counts: dict[tuple, int] = {}
+    sources: dict[tuple, set] = {}
+    for r in docs:
+        k = (split_of(r.source), r.lang)
+        counts[k] = counts.get(k, 0) + 1
+        sources.setdefault(k, set()).add(r.source)
+    total = len(docs)
+    expect = {
+        k: (n, len(sources[k]), n / total) for k, n in counts.items()
+    }
+
+    got_rows = q_split_train_test(spark, sf_dir).collect()
+    got = {
+        (r.split, r.lang): (r.docs, r.sources, r.share) for r in got_rows
+    }
+    assert got == expect
+
+    # leakage invariant: a source appears under exactly one split
+    seen: dict[str, str] = {}
+    for r in docs:
+        s = split_of(r.source)
+        assert seen.setdefault(r.source, s) == s, r.source

@@ -119,3 +119,47 @@ def test_join_anti_complement_identity(spark, sf_dir):
         for r in c.join(o, c.c_custkey == o.o_custkey, "left_anti").collect()
     }
     assert got == {2}
+
+
+def test_sample_hash_matches_bruteforce(spark, sf_dir):
+    """q_sample_hash and its oracle share the md5-prefix-threshold
+    formulation, so parity can't catch a shared formulation bug;
+    recompute membership in plain Python (hashlib.md5 over the
+    'orderkey-linenumber' key, per-stratum hex thresholds) and require
+    the exact same row set. Also pins that both strata are non-empty
+    and the realized rates sit near the designed ~20%/~10% (loose
+    3×-bounds — the check is non-vacuousness, not statistics)."""
+    import hashlib
+
+    from oke_cassandra_spark_locality_demo_spark.catalog import load
+    from oke_cassandra_spark_locality_demo_spark.operators.scans import (
+        q_sample_hash,
+    )
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    ).collect()
+    totals = {"R": 0, "other": 0}
+    expect = set()
+    for r in rows:
+        stratum = "R" if r.l_returnflag == "R" else "other"
+        totals[stratum] += 1
+        pfx = hashlib.md5(
+            f"{r.l_orderkey}-{r.l_linenumber}".encode()
+        ).hexdigest()[:2]
+        if pfx < ("33" if stratum == "R" else "1a"):
+            expect.add((r.l_orderkey, r.l_linenumber))
+
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in q_sample_hash(spark, sf_dir).collect()
+    }
+    assert got == expect
+    kept = {"R": 0, "other": 0}
+    for r in rows:
+        stratum = "R" if r.l_returnflag == "R" else "other"
+        if (r.l_orderkey, r.l_linenumber) in expect:
+            kept[stratum] += 1
+    for stratum, design in (("R", 0.2), ("other", 0.1)):
+        rate = kept[stratum] / totals[stratum]
+        assert design / 3 < rate < design * 3, (stratum, rate)
