@@ -72,7 +72,12 @@ def _stage_events_us(sf_dir: str) -> str:
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         ts_us = t["ts"].cast(pa.timestamp("us"), safe=False)
         t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
-        tmp = out + ".tmp"
+        # PID-suffixed tmp: two processes staging the same sf_dir
+        # concurrently each write their own tmp, and whichever
+        # os.replace lands last wins atomically — the old shared
+        # ".tmp" path let their writes interleave (r10 hardening,
+        # same audit as workdir.py)
+        tmp = f"{out}.tmp.{os.getpid()}"
         pq.write_table(t, tmp)
         os.replace(tmp, out)
     return out

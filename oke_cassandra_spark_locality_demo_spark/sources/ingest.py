@@ -14,7 +14,6 @@ original parquet) checks the full write→read fidelity.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,13 +21,13 @@ from pyspark.sql import types as T
 
 from ..catalog import load, register_views
 from ..registry import EVENTS_US, register
-
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+from ..workdir import scratch_root
 
 
 def _out(name: str) -> str:
-    os.makedirs(_IO_ROOT, exist_ok=True)
-    return os.path.join(_IO_ROOT, name)
+    # per-process root (workdir.py): concurrent verification processes
+    # driving the same key write to disjoint paths (VERDICT r9 item 2)
+    return os.path.join(scratch_root("io"), name)
 
 
 CUSTOMER_SCHEMA = T.StructType(

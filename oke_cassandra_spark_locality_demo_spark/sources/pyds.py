@@ -278,12 +278,14 @@ def q_sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once.
     """
     import os
-    import tempfile
 
     from ..catalog import load
+    from ..workdir import scratch_root
 
     spark.dataSource.register(TokenRouteSinkDataSource)
-    path = os.path.join(tempfile.gettempdir(), "graft_tokenroute_sink")
+    # per-process root (workdir.py): the r9 audit caught two concurrent
+    # drives of this exact key colliding on the old fixed path
+    path = os.path.join(scratch_root("pyds"), "tokenroute_sink")
     users = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 200)

@@ -24,21 +24,44 @@ _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
 
 
 def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Copy events.parquet into a streaming-source directory (idempotent)."""
+    """Copy events.parquet into a streaming-source directory (idempotent).
+
+    Cross-process safety (r10, same audit as workdir.py): the staged
+    copy is a shared cache keyed by sf_dir — worth keeping shared
+    (staging sf0.1 events costs a full rewrite) but the old
+    overwrite-in-place + empty-marker protocol let two first-stagers
+    write the SAME directory concurrently. Now each stager writes a
+    PID-unique directory and publishes it by atomically replacing the
+    marker file, whose CONTENT names the completed directory: readers
+    only ever follow the marker to a fully-written copy, concurrent
+    stagers publish last-wins, and nobody deletes a directory another
+    process might be reading. Pre-r10 empty markers fail the content
+    check and simply restage."""
     from ..catalog import load
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_STAGE_ROOT, tag, "events")
-    marker = os.path.join(_STAGE_ROOT, tag, "_staged_multi")
-    if not os.path.exists(marker):
-        # catalog.load handles the fixture's TIMESTAMP(NANOS) → µs staging.
-        # 8 files, not 1: a real ingest directory accumulates many files,
-        # and maxFilesPerTrigger-based queries (q_stream_cdc_upsert) need
-        # >1 to exercise genuine multi-batch incremental processing.
-        load(spark, sf_dir, "events").repartition(8).write.mode(
-            "overwrite"
-        ).parquet(out)
-        open(marker, "w").close()
+    base = os.path.join(_STAGE_ROOT, tag)
+    marker = os.path.join(base, "_staged_multi")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+        if staged:
+            out = os.path.join(base, staged)
+            if os.path.isdir(out):
+                return out
+    # catalog.load handles the fixture's TIMESTAMP(NANOS) → µs staging.
+    # 8 files, not 1: a real ingest directory accumulates many files,
+    # and maxFilesPerTrigger-based queries (q_stream_cdc_upsert) need
+    # >1 to exercise genuine multi-batch incremental processing.
+    name = f"events.{os.getpid()}"
+    out = os.path.join(base, name)
+    load(spark, sf_dir, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(out)
+    tmp = f"{marker}.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, marker)
     return out
 
 

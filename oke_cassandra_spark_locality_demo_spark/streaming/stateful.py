@@ -275,9 +275,10 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint (exactly-once via sink manifest) → batch read-back."""
     import os
     import shutil
-    import tempfile
 
-    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_sink")
+    from ..workdir import scratch_root
+
+    out_root = scratch_root("stream_sink")
     tag = os.path.basename(os.path.normpath(sf_dir))
     data_dir = os.path.join(out_root, tag, "data")
     ckpt_dir = os.path.join(out_root, tag, "ckpt")
@@ -318,9 +319,10 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Read-back aggregate is oracle-checked against the batch equivalent."""
     import os
     import shutil
-    import tempfile
 
-    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_feb_sink")
+    from ..workdir import scratch_root
+
+    out_root = scratch_root("feb_sink")
     tag = os.path.basename(os.path.normpath(sf_dir))
     data_dir = os.path.join(out_root, tag, "data")
     ckpt_dir = os.path.join(out_root, tag, "ckpt")
@@ -389,11 +391,11 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a schedule."""
     import os
     import shutil
-    import tempfile
 
+    from ..workdir import scratch_root
     from .runtime import stage_events_dir
 
-    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_sink")
+    out_root = scratch_root("cdc_sink")
     tag = os.path.basename(os.path.normpath(sf_dir))
     base_dir = os.path.join(out_root, tag)
     shutil.rmtree(base_dir, ignore_errors=True)
