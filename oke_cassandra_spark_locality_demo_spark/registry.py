@@ -146,7 +146,12 @@ def _load_all() -> None:
 #: history notwithstanding. Append each round's newly sampled keys
 #: here after the round's CORRECTNESS lands, and reset
 #: _MODIFIED_THIS_ROUND to the keys actually touched in the new round.
-_DRIVER_ADJUDICATED = frozenset(
+#: Ordered by APPEND ROUND (r1 block first … r9 block last): with the
+#: rotation complete (r10), _sample_order fills spare prefix slots
+#: oldest-grade-first, so the driver's free capacity becomes a rolling
+#: re-adjudication of the stalest external verdicts instead of an
+#: arbitrary registration-order repeat.
+_DRIVER_ADJUDICATED_ORDERED = (
     """
     q_scan_full q_scan_prune_cols q_scan_pushdown q_scan_users
     q_flagship_pricing_summary q_sample_hash q_scan_file_metadata
@@ -238,93 +243,75 @@ _DRIVER_ADJUDICATED = frozenset(
     q_win_drawdown q_ts_interpolate_linear q_ts_resample_weekly
     q_win_path_topk q_win_distinct_bitmask q_win_concurrency_sweep
     q_ts_new_users q_win_rsi
+    q_ts_wau q_fraud_double_charge q_win_rolling_corr q_ts_dau_mau
+    q_intersect_all q_except_all q_profile_skew q_fn_sql_udf
+    q_sql_group_by_all q_sql_qualify q_sql_window_clause
+    q_sql_distinct_on q_source_xml q_export_manifest q_scan_dpp
+    q_dedup_incremental_fuzzy q_split_leakage q_dedup_priority
+    q_dedup_url q_vec_jl_projection q_text_boilerplate
+    q_text_perplexity_bigram q_text_novelty q_quality_gopher
+    q_text_rake q_agg_heavy_hitters q_text_dechunk q_text_langid_eval
+    q_text_autocomplete q_text_hapax q_text_burstiness
+    q_text_readability q_text_script_mix q_text_vocab_overlap
+    q_multimodal_phash q_multimodal_audio_energy
+    q_multimodal_dedup_bytes q_multimodal_scenecut
+    q_multimodal_payload_entropy q_corpus_card q_drift_ks
+    q_classify_nb q_stats_mannwhitney q_agg_gini q_stats_welch_ttest
+    q_stats_permutation q_stats_bootstrap_ci q_drift_jsd
+    q_stats_runs_test q_split_kfold_grouped
     """.split()
 )
+
+_DRIVER_ADJUDICATED = frozenset(_DRIVER_ADJUDICATED_ORDERED)
 
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 9:
-#: empty — per VERDICT r8 #4 (slot economy) no adjudicated key's
-#: behavior was changed this round. The ADVICE r8 items were all
-#: test-side (collect-audit receiver tuple trimmed, containment
-#: shingle test made outer-join-total, cosine fixture norm guard);
-#: the bench-truncation fix (VERDICT r8 "What's wrong" #4) touches
-#: bench.py output formatting only, not any registry query. All
-#: re-confirmed by the full drive_contract at HEAD.
-_MODIFIED_THIS_ROUND: list[str] = []
+#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 10:
+#: the fixed-shared-tempdir write-back fix (VERDICT r9 item 2) moved
+#: every scratch-writing key's output root to the per-process
+#: workdir.scratch_root helper — results are byte-identical but the
+#: write path changed, so all 19 writing keys ride here: the 15
+#: ingest.py _out users, q_sink_pyds (sources/pyds.py), and the three
+#: streaming sinks (streaming/stateful.py). 19 modified + 17
+#: _ROUND_PRIORITY = 36 of the driver's 50 prefix slots.
+_MODIFIED_THIS_ROUND: list[str] = [
+    # sources/ingest.py (_out → workdir.scratch_root("io"))
+    "q_source_csv", "q_source_json", "q_sink_parquet_partitioned",
+    "q_scan_partition_pruned", "q_ctas", "q_source_text",
+    "q_source_binaryfile", "q_source_orc", "q_source_json_corrupt",
+    "q_source_schema_evolution", "q_export_jsonl_shards",
+    "q_maintenance_compact", "q_export_webdataset", "q_source_xml",
+    "q_scan_dpp",
+    # sources/pyds.py sink
+    "q_sink_pyds",
+    # streaming/stateful.py file/foreachBatch/CDC sinks
+    "q_stream_sink", "q_stream_foreach_batch", "q_stream_cdc_upsert",
+]
 
-#: Round-9 sampling priority among never-adjudicated keys (VERDICT r8
-#: "Next round" item 1, executed per the ROUND-9 PLAYBOOK): the next
-#: 50 never-adjudicated keys in registration order, exactly as
-#: tools/rotation_remaining.py printed them at the r9 session open —
-#: the time-series/window float block (q_ts_wau, q_fraud_double_charge,
-#: q_win_rolling_corr, q_ts_dau_mau), the set-op/profile/SQL-dialect
-#: block, the source/export tail, then the LLM text/multimodal/stats
-#: tail through q_split_kfold_grouped. _MODIFIED is empty this round,
-#: so all 50 prefix slots grade fresh keys (verified by
-#: test_driver_sample_prefix_is_oracle_backed). Keys not listed fall
-#: back to registration order behind these.
-#:
-#: ROUND-10 PLAYBOOK (for the next session, after CORRECTNESS_r09
-#: lands): (1) append r9's 50 sampled keys to _DRIVER_ADJUDICATED
-#: (all 50 are fresh, leaving 17 unadjudicated —
-#: tools/rotation_remaining.py prints the exact list in registration
-#: order); (2) reset _MODIFIED_THIS_ROUND to the keys actually touched
-#: in r10; (3) replace _ROUND_PRIORITY with the final 17 —
-#: q_stats_prop_ztest, the feature/sample block (q_feature_target_encode,
-#: q_feature_impute, q_sample_negative_downsample, q_shard_rendezvous,
-#: q_label_churn, q_quality_event_order, q_budget_waterfill,
-#: q_stream_watermark_planner, q_split_three_way, q_sim_ivf_index,
-#: q_sample_ppl_band, q_select_dsir, q_order_curriculum,
-#: q_sample_class_quota), and q_text_ql/q_text_phrase_search. After
-#: CORRECTNESS_r10 lands, every oracle-backed key has an external
-#: verdict: the rotation retires and _sample_order can revert to
-#: registration order (keep the _MODIFIED fronting — that guard is
-#: permanent). r10 has 33 free prefix slots after the final 17: if any
-#: are spent, the queued candidate is the fixed-tempdir write-back
-#: family (r9 audit): graft_tokenroute_sink (sources/pyds.py),
-#: spark_graft_io (sources/ingest.py), spark_graft_stream_sink /
-#: _feb_sink / _cdc_sink (streaming/stateful.py) all rmtree/overwrite
-#: then read back a PATH SHARED ACROSS PROCESSES — harmless to the
-#: sequential driver (r1-r9 all green) but racy when two verification
-#: processes drive the same key concurrently (r9 closing audit saw
-#: exactly one such self-inflicted collision on q_sink_pyds). Fix =
-#: one shared session-unique root helper (suffix = applicationId);
-#: results are identical but it IS a behavior change, so every
-#: writing key it touches must ride _MODIFIED_THIS_ROUND — budget
-#: ~8-10 slots, or keep deferring: verification stays sequential by
-#: convention (tools/ sweeps chain, never parallelize drives).
+#: Round-10 sampling priority (VERDICT r9 "Next round" item 1,
+#: executed per the ROUND-10 PLAYBOOK that stood here in r9): the
+#: FINAL 17 never-adjudicated keys, in registration order exactly as
+#: tools/rotation_remaining.py printed them at the r10 session open.
+#: After CORRECTNESS_r10 lands, every oracle-backed registry key has
+#: at least one external driver verdict and the rotation RETIRES:
+#: delete this list (leave it empty) and let _sample_order fall back
+#: to registration order behind the permanent _MODIFIED fronting.
+#: This round _MODIFIED holds the 19 write-back keys touched by the
+#: workdir fix; 19 + 17 = 36 of the 50 prefix slots, so all 17 finals
+#: AND all 19 modified keys grade externally this round (verified by
+#: test_driver_sample_prefix_is_oracle_backed).
 _ROUND_PRIORITY = [
-    # time-series / window float block (float-heaviest unadjudicated
-    # keys per VERDICT r8 #2 — full sf0.1 cross-engine drive re-run at
-    # the pre-snapshot HEAD guards these)
-    "q_ts_wau", "q_fraud_double_charge", "q_win_rolling_corr",
-    "q_ts_dau_mau",
-    # set-op / profile / SQL-dialect block
-    "q_intersect_all", "q_except_all", "q_profile_skew", "q_fn_sql_udf",
-    "q_sql_group_by_all", "q_sql_qualify", "q_sql_window_clause",
-    "q_sql_distinct_on",
-    # source / export tail
-    "q_source_xml", "q_export_manifest", "q_scan_dpp",
-    # dedup / split / vector tail
-    "q_dedup_incremental_fuzzy", "q_split_leakage", "q_dedup_priority",
-    "q_dedup_url", "q_vec_jl_projection",
-    # LLM text tail
-    "q_text_boilerplate", "q_text_perplexity_bigram", "q_text_novelty",
-    "q_quality_gopher", "q_text_rake", "q_agg_heavy_hitters",
-    "q_text_dechunk", "q_text_langid_eval", "q_text_autocomplete",
-    "q_text_hapax", "q_text_burstiness", "q_text_readability",
-    "q_text_script_mix", "q_text_vocab_overlap",
-    # multimodal tail
-    "q_multimodal_phash", "q_multimodal_audio_energy",
-    "q_multimodal_dedup_bytes", "q_multimodal_scenecut",
-    "q_multimodal_payload_entropy",
-    # corpus / drift / classify / stats tail
-    "q_corpus_card", "q_drift_ks", "q_classify_nb",
-    "q_stats_mannwhitney", "q_agg_gini", "q_stats_welch_ttest",
-    "q_stats_permutation", "q_stats_bootstrap_ci", "q_drift_jsd",
-    "q_stats_runs_test", "q_split_kfold_grouped",
+    "q_stats_prop_ztest",
+    # feature / sample / corpus-ops block
+    "q_feature_target_encode", "q_feature_impute",
+    "q_sample_negative_downsample", "q_shard_rendezvous",
+    "q_label_churn", "q_quality_event_order", "q_budget_waterfill",
+    "q_stream_watermark_planner", "q_split_three_way",
+    "q_sim_ivf_index", "q_sample_ppl_band", "q_select_dsir",
+    "q_order_curriculum", "q_sample_class_quota",
+    # text tail
+    "q_text_ql", "q_text_phrase_search",
 ]
 
 
@@ -343,7 +330,19 @@ def _sample_order(names: list[str]) -> list[str]:
     # keeps an oracle-backed *_audit companion that IS sampled)
     fresh_oracle = [n for n in rest if _REGISTRY[n].oracle is not None]
     fresh_rows_only = [n for n in rest if _REGISTRY[n].oracle is None]
-    done = [n for n in names if n in _DRIVER_ADJUDICATED and n not in taken]
+    # Post-rotation fill (r10): with every key adjudicated, spare
+    # prefix slots land here — order by adjudication age (append order
+    # in _DRIVER_ADJUDICATED_ORDERED, r1 grades first) so free driver
+    # capacity re-grades the STALEST external verdicts, oracle-backed
+    # ahead of rows-only for the same slot-economy reason as above.
+    stale_rank = {n: i for i, n in enumerate(_DRIVER_ADJUDICATED_ORDERED)}
+    done = sorted(
+        (n for n in names if n in _DRIVER_ADJUDICATED and n not in taken),
+        key=lambda n: (
+            _REGISTRY[n].oracle is None,
+            stale_rank.get(n, len(stale_rank)),
+        ),
+    )
     return modified + prioritized + fresh_oracle + fresh_rows_only + done
 
 

@@ -44,13 +44,18 @@ def test_selection_varies_across_rounds():
     assert len(draws) == 12
 
 
-def test_round9_selection_matches_roundlog():
-    """ROUNDLOG r9 names these five keys as the round's canary; the
-    recorded claim and the tool must never drift apart."""
-    assert canary.canary_keys(9) == [
-        "q_stream_stateful",
-        "q_win_ewma",
-        "q_sim_knn_exact",
-        "q_join_multiway",
-        "q_drift_cusum",
+def test_current_round_selection_matches_roundlog():
+    """ROUNDLOG r10 names these five keys as the round's canary; the
+    recorded claim and the tool must never drift apart. The pin is
+    per-round against the adjudicated pool at that round's HEAD — the
+    pool grows when a round's sampled keys are appended to
+    _DRIVER_ADJUDICATED, so the pinned round advances with it (the r9
+    pin was computed over the 333-key r9 pool; this one over the
+    383-key r10 pool)."""
+    assert canary.canary_keys(10) == [
+        "q_text_perplexity",
+        "q_agg_filtered",
+        "q_snapshot_diff",
+        "q_stats_gtest",
+        "q_text_quality",
     ]

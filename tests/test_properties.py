@@ -295,18 +295,48 @@ def test_driver_sample_prefix_is_oracle_backed():
     assert not accidental_rows_only, accidental_rows_only
     for k in registry._MODIFIED_THIS_ROUND:
         assert k in q[:50], f"{k} fell out of the adjudicated prefix"
-    # VERDICT r5 item 6: the rotation must never waste a sampled slot
-    # re-grading an already-adjudicated key unless that key was
-    # modified this round (the honesty guard is the ONLY legitimate
-    # reason for a repeat) — structural lock on the r5-verified
-    # behavior, not just convention.
-    wasted = [
+    # VERDICT r5 item 6: while never-adjudicated keys remain, the
+    # rotation must never waste a sampled slot re-grading an
+    # already-adjudicated key unless that key was modified this round
+    # (the honesty guard is the ONLY legitimate reason for a repeat).
+    # "remaining" = never-adjudicated keys NOT already fronted this
+    # round (a fronted key has its slot; it isn't waiting on one)
+    never_adjudicated = [
+        k
+        for k in q
+        if k not in registry._DRIVER_ADJUDICATED
+        and k not in registry._ROUND_PRIORITY
+        and k not in registry._MODIFIED_THIS_ROUND
+    ]
+    repeats = [
         k
         for k in q[:50]
         if k in registry._DRIVER_ADJUDICATED
         and k not in registry._MODIFIED_THIS_ROUND
+        and k not in registry._ROUND_PRIORITY
     ]
-    assert not wasted, f"adjudicated keys burning prefix slots: {wasted}"
+    if never_adjudicated:
+        assert not repeats, f"adjudicated keys burning prefix slots: {repeats}"
+    else:
+        # Post-rotation (r10+): every key has an external verdict, so
+        # spare prefix slots are FREE re-grades — they must go to the
+        # stalest grades first (append order in
+        # _DRIVER_ADJUDICATED_ORDERED), oracle-backed ahead of
+        # rows-only, so the driver's spare capacity walks the old-key
+        # space round-over-round instead of repeating an arbitrary
+        # registration-order head.
+        fronted = set(registry._MODIFIED_THIS_ROUND) | set(
+            registry._ROUND_PRIORITY
+        )
+        expected = [
+            k
+            for k in registry._DRIVER_ADJUDICATED_ORDERED
+            if k in q and k not in fronted and k in o
+        ]
+        assert repeats == expected[: len(repeats)], (
+            "post-rotation spare slots must re-grade stalest-first: "
+            f"got {repeats[:5]}…, want {expected[:5]}…"
+        )
 
 
 def test_oracle_float_parity_lint():
@@ -434,21 +464,41 @@ _ARROW_BATCHED_KEYS = [
     "q_stream_stateful", "q_stream_stateful_tws",
 ]
 
-#: Per-module census of REAL Arrow API call sites (AST attribute/name
+#: Per-module census of REAL Arrow API call sites, each qualified by
+#: its ENCLOSING FUNCTION ("func[.nested]:api" — AST attribute/name
 #: hits for mapInPandas / applyInPandas / mapInArrow / applyInArrow /
-#: applyInPandasWithState / transformWithStateInPandas / pandas_udf —
-#: docstring mentions don't count). If this census drifts, a new
-#: Arrow-batched code path landed without re-running
-#: tools/arrow_batch_probe.py: update BOTH pins from its output.
+#: applyInPandasWithState / transformWithStateInPandas / pandas_udf;
+#: docstring mentions don't count). Function-qualified, not bare
+#: counts (ADVICE r9): moving an Arrow call from one query to another
+#: within the same module keeps a count census identical while
+#: silently staling _ARROW_BATCHED_KEYS — the qualified census drifts
+#: on any such move. If this pin fails, re-run
+#: tools/arrow_batch_probe.py and update BOTH pins from its output.
 _ARROW_CALL_SITES = {
-    "functions/udf.py": 4,
-    "llm/ivf.py": 2,
-    "llm/multimodal.py": 6,
-    "llm/pq.py": 2,
-    "llm/similarity.py": 1,
-    "llm/text.py": 1,
-    "sources/ingest.py": 1,
-    "streaming/stateful.py": 3,
+    "functions/udf.py": [
+        "_zscore_denom:pandas_udf", "q_udf_arrow:mapInArrow",
+        "q_udf_cogroup:applyInPandas", "q_udf_grouped_agg:applyInPandas",
+    ],
+    "llm/ivf.py": [
+        "_assign_udf.assign:pandas_udf", "_probe_udf.probes:pandas_udf",
+    ],
+    "llm/multimodal.py": [
+        "q_multimodal_audio_energy:mapInPandas",
+        "q_multimodal_binary:mapInPandas",
+        "q_multimodal_frames:mapInPandas",
+        "q_multimodal_phash:mapInPandas",
+        "q_multimodal_resize:mapInPandas",
+        "q_multimodal_scenecut:mapInPandas",
+    ],
+    "llm/pq.py": ["_encode_udf.encode:pandas_udf", "q_sim_pq:mapInPandas"],
+    "llm/similarity.py": ["q_sim_knn_blas:mapInPandas"],
+    "llm/text.py": ["q_text_compress_ratio:pandas_udf"],
+    "sources/ingest.py": ["q_export_webdataset:applyInPandas"],
+    "streaming/stateful.py": [
+        "q_stream_stateful.xf:applyInPandasWithState",
+        "q_stream_stateful_tws.xf:applyInPandasWithState",
+        "q_stream_stateful_tws.xf:transformWithStateInPandas",
+    ],
 }
 
 _ARROW_API_ATTRS = {
@@ -460,34 +510,56 @@ _ARROW_API_ATTRS = {
 
 def test_arrow_call_site_census_matches_pin():
     """Mechanized sync guard for _ARROW_BATCHED_KEYS: walk every
-    package module's AST and count genuine Arrow API call sites. Any
-    count drift means the probe pin above is stale — the failure
+    package module's AST and record each genuine Arrow API call site
+    with its enclosing function. Any drift — including moving a call
+    between functions of the same module, which a bare count misses
+    (ADVICE r9) — means the probe pin above is stale; the failure
     message says exactly what to re-run."""
     import ast
     import os
 
     import oke_cassandra_spark_locality_demo_spark as pkg
 
+    class _Census(ast.NodeVisitor):
+        def __init__(self):
+            self.stack: list[str] = []
+            self.hits: list[str] = []
+
+        def _func(self, node):
+            self.stack.append(node.name)
+            self.generic_visit(node)
+            self.stack.pop()
+
+        visit_FunctionDef = _func
+        visit_AsyncFunctionDef = _func
+
+        def _hit(self, api):
+            scope = ".".join(self.stack) or "<module>"
+            self.hits.append(f"{scope}:{api}")
+
+        def visit_Attribute(self, node):
+            if node.attr in _ARROW_API_ATTRS:
+                self._hit(node.attr)
+            self.generic_visit(node)
+
+        def visit_Name(self, node):
+            if node.id in _ARROW_API_ATTRS:
+                self._hit(node.id)
+            self.generic_visit(node)
+
     pkg_dir = os.path.dirname(pkg.__file__)
-    got: dict[str, int] = {}
+    got: dict[str, list[str]] = {}
     for root, _, files in os.walk(pkg_dir):
         for fname in files:
             if not fname.endswith(".py"):
                 continue
             path = os.path.join(root, fname)
             rel = os.path.relpath(path, pkg_dir)
-            n = 0
             with open(path) as fh:
-                tree = ast.parse(fh.read())
-            for node in ast.walk(tree):
-                if (isinstance(node, ast.Attribute)
-                        and node.attr in _ARROW_API_ATTRS):
-                    n += 1
-                elif (isinstance(node, ast.Name)
-                        and node.id in _ARROW_API_ATTRS):
-                    n += 1
-            if n:
-                got[rel] = n
+                census = _Census()
+                census.visit(ast.parse(fh.read()))
+            if census.hits:
+                got[rel] = sorted(census.hits)
     assert got == _ARROW_CALL_SITES, (
         "Arrow API call-site census drifted — run "
         "`python tools/arrow_batch_probe.py` and update "

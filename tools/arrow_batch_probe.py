@@ -74,27 +74,33 @@ def main() -> None:
 
     t0 = time.time()
     detected = []
+    plan_errs = []
     for name, fn in registry.all_queries().items():
         try:
             df = fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — a key that won't plan is a finding
             print(f"  PLAN-ERR {name}: {type(e).__name__}: {str(e)[:150]}")
+            plan_errs.append(name)
             continue
         if any(m in plan for m in PLAN_MARKERS):
             detected.append(name)
     print(f"[detect @ {SF_DIR}] {len(detected)} arrow-batched keys "
-          f"in {time.time() - t0:.0f}s")
+          f"in {time.time() - t0:.0f}s"
+          + (f"; PLAN-ERRS: {' '.join(plan_errs)}" if plan_errs else ""))
     print("  " + " ".join(detected))
     if "--detect" in sys.argv:
-        return
+        # a key that won't plan is broken, not invariant (ADVICE r9)
+        sys.exit(1 if plan_errs else 0)
 
     keys = detected + [k for k in EAGER_ARROW_KEYS if k not in detected]
     t0 = time.time()
     diffs = []
+    sweep_errs = []
     for name in keys:
         fn = registry.get(name).fn
         out = []
+        errored = False
         for batch in ("10000", "7"):
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", batch
@@ -107,16 +113,26 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001
                 rows = [("ERR", type(e).__name__, str(e)[:200])]
+                errored = True
             out.append(rows)
         same = out[0] == out[1]
-        print(f"  {'ok  ' if same else 'DIFF'} {name}")
-        if not same:
+        # two identical tracebacks compare equal but prove nothing
+        # about batch-size invariance — an errored key is a failure in
+        # its own right, never an 'ok' (ADVICE r9)
+        status = "ERR " if errored else ("ok  " if same else "DIFF")
+        print(f"  {status}{name}")
+        if errored:
+            sweep_errs.append(name)
+        elif not same:
             diffs.append(name)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    print(f"[sweep] {len(keys) - len(diffs)}/{len(keys)} batch-size-"
-          f"invariant in {time.time() - t0:.0f}s"
-          + (f"; DIFFS: {' '.join(diffs)}" if diffs else ""))
-    sys.exit(1 if diffs else 0)
+    bad = diffs + sweep_errs + plan_errs
+    print(f"[sweep] {len(keys) - len(diffs) - len(sweep_errs)}/{len(keys)} "
+          f"batch-size-invariant in {time.time() - t0:.0f}s"
+          + (f"; DIFFS: {' '.join(diffs)}" if diffs else "")
+          + (f"; ERRS: {' '.join(sweep_errs + plan_errs)}"
+             if sweep_errs or plan_errs else ""))
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

@@ -105,7 +105,28 @@ def main() -> None:
         # getOrCreate may have attached to an existing session where
         # builder confs don't apply — set runtime confs explicitly and
         # echo them so the sweep's configuration is part of the record.
-        spark.conf.set(k, v)
+        # Static / non-SQL confs (e.g. spark.memory.fraction) raise
+        # here (ADVICE r9). If the builder already applied the value
+        # (fresh session — the normal sweep path), proceed; otherwise
+        # report which conf could not take effect and exit 2 rather
+        # than sweep under a configuration we silently failed to apply.
+        try:
+            spark.conf.set(k, v)
+        except Exception as e:  # noqa: BLE001 — adjudicated below
+            try:
+                applied = spark.conf.get(k)
+            except Exception:  # noqa: BLE001
+                applied = None
+            if applied == v:
+                print(f"  [conf] {k}={v} (static, applied at session build)")
+                continue
+            print(
+                f"  [conf] could not apply {k}={v} at runtime "
+                f"(attached to an existing session? effective={applied!r}): "
+                f"{type(e).__name__}: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         print(f"  [conf] {k}={spark.conf.get(k)}")
     oracles = entry_mod.oracle_sql()
     con = duckdb_conn(SF_DIR)
