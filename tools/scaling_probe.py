@@ -57,6 +57,10 @@ def main() -> None:
                                         "registry"],
                     default="all")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--keys", nargs="+", default=None,
+                    help="probe exactly these registry keys (repeatable "
+                         "runs of this give the variance picture for a "
+                         "flagged ratio — VERDICT r9 item 6)")
     args = ap.parse_args()
     spark = build_session(app_name="scaling-probe")
     qs = registry.all_queries()
@@ -65,7 +69,13 @@ def main() -> None:
         key=lambda s: int(s[len("q_tpch_q"):]),
     )
     suites = {"headline": HEADLINE, "tpch": tpch, "llm": LLM_SECONDARY}
-    if args.suite == "registry":
+    if args.keys:
+        unknown = [k for k in args.keys if k not in qs]
+        if unknown:
+            print(f"unknown keys: {' '.join(unknown)}", file=sys.stderr)
+            sys.exit(2)
+        names = args.keys
+    elif args.suite == "registry":
         names = sorted(qs)
     elif args.suite != "all":
         names = suites[args.suite]
