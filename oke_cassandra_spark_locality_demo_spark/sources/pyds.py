@@ -193,15 +193,47 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+class _TokenRouteCommit(WriterCommitMessage):
+    """Per-task commit message: the hidden temp files this ATTEMPT
+    wrote, plus (tmp, final) rename pairs for the driver-side commit."""
+
+    def __init__(self, renames):
+        self.renames = tuple(renames)  # ((tmp_path, final_path), ...)
+
+
 class _TokenRouteWriter(DataSourceWriter):
     """Executor-side half of the writeback path (B7 analog): every task
     routes its rows to per-token-bucket JSONL files, the write-side
     mirror of the reader's token-range partitions (a Cassandra write
-    routes each row to its token's replica set the same way)."""
+    routes each row to its token's replica set the same way).
 
-    def __init__(self, path: str, n_ranges: int):
+    TWO-PHASE, ATTEMPT-ISOLATED (r10): tasks write HIDDEN
+    attempt-unique temp files (leading underscore — ignored by Spark's
+    file listing, so a half-written attempt is never readable) and
+    return the rename plan in their commit message; only the
+    driver-side commit(), which Spark calls with exactly ONE winning
+    message per partition, renames them into place. The pre-r10 writer
+    wrote final-named files straight from write(): idempotent under
+    sequential retry (same name, truncating open) but corruptible by
+    CONCURRENT speculative attempts of the same partition interleaving
+    writes into one file, and a failed job left partial files a reader
+    would ingest. Now losers' temp files stay hidden and commit()
+    sweeps them; abort() removes every reported temp file. This is the
+    same commit discipline Spark's own FileCommitProtocol applies —
+    re-expressed at the Python DataSource layer. The speculative and
+    fault-injection sweeps (tests/test_sinks.py) pin exactly-once
+    read-back under both perturbations.
+
+    Fault injection: the ``fail_attempt0_of_partition`` option makes
+    the FIRST attempt of one partition write a partial temp file and
+    die — the lever the task-retry test uses to prove a real retried
+    task converges with no duplicate and no partial-file leak.
+    """
+
+    def __init__(self, path: str, n_ranges: int, fail_pid: int | None):
         self.path = path
         self.n_ranges = n_ranges
+        self.fail_pid = fail_pid
 
     def write(self, iterator):
         import json as _json
@@ -209,17 +241,26 @@ class _TokenRouteWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        inject = self.fail_pid == pid and ctx.attemptNumber() == 0
         handles = {}
+        renames = []
         n = 0
         try:
             for row in iterator:
                 b = _token(row.id, self.n_ranges)
                 if b not in handles:
-                    handles[b] = open(
-                        _os.path.join(self.path, f"bucket={b}-task={pid}.jsonl"),
-                        "w",
+                    tmp = _os.path.join(
+                        self.path,
+                        f"_tmp-bucket={b}-task={pid}-attempt={attempt}.jsonl",
                     )
+                    final = _os.path.join(
+                        self.path, f"bucket={b}-task={pid}.jsonl"
+                    )
+                    handles[b] = open(tmp, "w")
+                    renames.append((tmp, final))
                 handles[b].write(
                     _json.dumps(
                         {"id": row.id, "name": row.name, "email": row.email, "bucket": b}
@@ -227,10 +268,40 @@ class _TokenRouteWriter(DataSourceWriter):
                     + "\n"
                 )
                 n += 1
+                if inject and n >= 1:
+                    raise RuntimeError(
+                        f"injected failure: partition {pid} attempt 0 "
+                        f"after {n} rows"
+                    )
         finally:
             for h in handles.values():
                 h.close()
-        return WriterCommitMessage()
+        return _TokenRouteCommit(renames)
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        for msg in messages:
+            if msg is None:
+                continue
+            for tmp, final in msg.renames:
+                if _os.path.exists(tmp):
+                    _os.replace(tmp, final)
+        # sweep losers: temp files from failed/speculative attempts
+        # whose message never reached the driver
+        for name in _os.listdir(self.path):
+            if name.startswith("_tmp-"):
+                _os.unlink(_os.path.join(self.path, name))
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for msg in messages:
+            if msg is None:
+                continue
+            for tmp, _final in msg.renames:
+                if _os.path.exists(tmp):
+                    _os.unlink(tmp)
 
 
 class TokenRouteSinkDataSource(DataSource):
@@ -250,10 +321,13 @@ class TokenRouteSinkDataSource(DataSource):
 
         path = self.options["path"]
         n_ranges = int(self.options.get("ranges", "4"))
+        fail_pid = self.options.get("fail_attempt0_of_partition")
         if overwrite and _os.path.isdir(path):
             _shutil.rmtree(path)
         _os.makedirs(path, exist_ok=True)
-        return _TokenRouteWriter(path, n_ranges)
+        return _TokenRouteWriter(
+            path, n_ranges, int(fail_pid) if fail_pid is not None else None
+        )
 
 
 @register(

@@ -43,3 +43,107 @@ def test_foreachbatch_sink(spark, sf_dir):
     q.awaitTermination()
     total = load(spark, sf_dir, "events").count()
     assert sum(seen) == total and len(seen) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Task-retry fault injection for the two-phase tokenroute sink (round 10)
+# ---------------------------------------------------------------------------
+
+_RETRY_SCRIPT = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from oke_cassandra_spark_locality_demo_spark.sources.pyds import (
+    TokenRouteSinkDataSource,
+)
+
+def _users(spark):
+    return spark.range(0, 40).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("user"), F.col("id")).alias("name"),
+        F.concat(F.lit("user"), F.col("id"), F.lit("@example.com")).alias(
+            "email"
+        ),
+    ).repartition(4)
+
+def _write(spark, path, fail_pid):
+    w = _users(spark).write.format("tokenroute_sink").mode("overwrite")
+    w = w.option("path", path).option("ranges", "4")
+    if fail_pid is not None:
+        w = w.option("fail_attempt0_of_partition", str(fail_pid))
+    w.save()
+
+out = sys.argv[1]
+
+# Phase 1 — maxFailures=1: the injected attempt-0 death must FAIL the
+# job (proves the injection fires; a passing retry test would otherwise
+# be vacuous) and must leave NOTHING readable behind: no committed
+# bucket files, no visible partials.
+spark = (SparkSession.builder.master("local[4,1]")
+         .appName("sink-retry-inject")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.dataSource.register(TokenRouteSinkDataSource)
+p1 = os.path.join(out, "nofail_budget")
+try:
+    _write(spark, p1, fail_pid=0)
+    print("INJECTION_DID_NOT_FIRE")
+    sys.exit(1)
+except Exception as e:
+    assert "injected failure" in str(e), str(e)[:300]
+visible = [f for f in os.listdir(p1) if not f.startswith(("_", "."))]
+assert not visible, f"failed job leaked readable files: {{visible}}"
+print("PHASE1_FAILSTOP_CLEAN")
+spark.stop()
+
+# Phase 2 — maxFailures=2: attempt 0 of partition 0 dies mid-write,
+# Spark retries, the job succeeds, and read-back is EXACTLY-ONCE: all
+# 40 ids, each exactly once, routed to its token bucket, zero hidden
+# temp files surviving commit.
+spark = (SparkSession.builder.master("local[4,2]")
+         .appName("sink-retry-converge")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.dataSource.register(TokenRouteSinkDataSource)
+p2 = os.path.join(out, "retry_converge")
+_write(spark, p2, fail_pid=0)
+back = spark.read.json(p2)
+rows = back.collect()
+assert len(rows) == 40, len(rows)
+ids = sorted(r["id"] for r in rows)
+assert ids == list(range(40)), "duplicate or missing ids after retry"
+assert all(r["bucket"] == r["id"] % 4 for r in rows)
+leftovers = [f for f in os.listdir(p2) if f.startswith("_tmp-")]
+assert not leftovers, f"uncommitted temp files survived: {{leftovers}}"
+print("PHASE2_EXACTLY_ONCE_AFTER_RETRY")
+"""
+
+
+def test_tokenroute_sink_survives_task_retry(tmp_path):
+    """Fault-injection axis for the write-back path: a task attempt
+    that dies MID-WRITE must (a) fail stop-clean when the retry budget
+    is exhausted — nothing readable leaks — and (b) converge to an
+    exactly-once result when Spark retries it. Runs in a subprocess
+    because task retries need the `local[N,maxFailures]` master form,
+    which the shared test session doesn't use. The two-phase commit
+    (hidden attempt-unique temp files renamed only by the driver-side
+    commit) is what makes both properties hold; the pre-r10 writer
+    wrote final-named files straight from write()."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _RETRY_SCRIPT.format(repo=repo),
+         str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1"},
+    )
+    assert proc.returncode == 0, (proc.stdout[-800:], proc.stderr[-1500:])
+    assert "PHASE1_FAILSTOP_CLEAN" in proc.stdout
+    assert "PHASE2_EXACTLY_ONCE_AFTER_RETRY" in proc.stdout
