@@ -271,10 +271,12 @@ _DRIVER_ADJUDICATED = frozenset(_DRIVER_ADJUDICATED_ORDERED)
 #: the fixed-shared-tempdir write-back fix (VERDICT r9 item 2) moved
 #: every scratch-writing key's output root to the per-process
 #: workdir.scratch_root helper — results are byte-identical but the
-#: write path changed, so all 19 writing keys ride here: the 15
-#: ingest.py _out users, q_sink_pyds (sources/pyds.py), and the three
-#: streaming sinks (streaming/stateful.py). 19 modified + 17
-#: _ROUND_PRIORITY = 36 of the driver's 50 prefix slots.
+#: write path changed, so all 20 writing keys ride here: the 15
+#: ingest.py _out users, q_join_bucketed (PID-suffixed warehouse
+#: table names), q_sink_pyds (sources/pyds.py — also upgraded to a
+#: two-phase attempt-isolated commit), and the three streaming sinks
+#: (streaming/stateful.py). 20 modified + 17 _ROUND_PRIORITY = 37 of
+#: the driver's 50 prefix slots.
 _MODIFIED_THIS_ROUND: list[str] = [
     # sources/ingest.py (_out → workdir.scratch_root("io"))
     "q_source_csv", "q_source_json", "q_sink_parquet_partitioned",
@@ -283,6 +285,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "q_source_schema_evolution", "q_export_jsonl_shards",
     "q_maintenance_compact", "q_export_webdataset", "q_source_xml",
     "q_scan_dpp",
+    # sources/ingest.py (PID-suffixed bucketed table names — the
+    # shared ./spark-warehouse directory was the same race class)
+    "q_join_bucketed",
     # sources/pyds.py sink
     "q_sink_pyds",
     # streaming/stateful.py file/foreachBatch/CDC sinks
@@ -297,10 +302,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
 #: at least one external driver verdict and the rotation RETIRES:
 #: delete this list (leave it empty) and let _sample_order fall back
 #: to registration order behind the permanent _MODIFIED fronting.
-#: This round _MODIFIED holds the 19 write-back keys touched by the
-#: workdir fix; 19 + 17 = 36 of the 50 prefix slots, so all 17 finals
-#: AND all 19 modified keys grade externally this round (verified by
-#: test_driver_sample_prefix_is_oracle_backed).
+#: This round _MODIFIED holds the 20 write-back keys touched by the
+#: workdir/warehouse fixes; 20 + 17 = 37 of the 50 prefix slots, so
+#: all 17 finals AND all 20 modified keys grade externally this round
+#: (verified by test_driver_sample_prefix_is_oracle_backed).
 _ROUND_PRIORITY = [
     "q_stats_prop_ztest",
     # feature / sample / corpus-ops block

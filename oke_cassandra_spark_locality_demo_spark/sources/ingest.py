@@ -309,9 +309,16 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale warehouse dirs outlive the in-memory catalog across sessions
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file://").removeprefix("file:")
+    # PID-suffixed table names (r10, same audit as workdir.py): the
+    # warehouse DIRECTORY is cwd-shared across processes, so fixed
+    # names make one process's DROP/rmtree race another's bucket read;
+    # per-process names keep the managed-table layout while making the
+    # underlying directories disjoint. Stable within a process, so
+    # repeat invocations still exercise the DROP+overwrite path.
+    pid = os.getpid()
     for name, src, key in (
-        ("orders_bkt", "orders", "o_orderkey"),
-        ("lineitem_bkt", "lineitem", "l_orderkey"),
+        (f"orders_bkt_{pid}", "orders", "o_orderkey"),
+        (f"lineitem_bkt_{pid}", "lineitem", "l_orderkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
@@ -323,8 +330,8 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    o = spark.table("orders_bkt")
-    l = spark.table("lineitem_bkt")
+    o = spark.table(f"orders_bkt_{pid}")
+    l = spark.table(f"lineitem_bkt_{pid}")
     joined = o.join(l, o.o_orderkey == l.l_orderkey)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
