@@ -305,7 +305,23 @@ _MODIFIED_THIS_ROUND: list[str] = [
 #: This round _MODIFIED holds the 20 write-back keys touched by the
 #: workdir/warehouse fixes; 20 + 17 = 37 of the 50 prefix slots, so
 #: all 17 finals AND all 20 modified keys grade externally this round
-#: (verified by test_driver_sample_prefix_is_oracle_backed).
+#: (verified by test_driver_sample_prefix_is_oracle_backed). The 13
+#: spare slots fall to the stalest-first fill (r1's q_scan_full
+#: block) — free re-grades of the oldest external verdicts.
+#:
+#: ROUND-11 PLAYBOOK (for the next session, after CORRECTNESS_r10
+#: lands): the rotation RETIRES. (1) append the 17 freshly graded
+#: finals to _DRIVER_ADJUDICATED_ORDERED (the 20 modified keys are
+#: already listed in earlier blocks — do NOT duplicate them; the 13
+#: stalest re-grades likewise); (2) empty _ROUND_PRIORITY; (3) reset
+#: _MODIFIED_THIS_ROUND to whatever r11 actually touches — that guard
+#: is permanent. From r11 on the whole 50-slot prefix is
+#: _MODIFIED + stalest-first fill: every round the driver re-grades
+#: this round's changes and the 30-50 oldest external verdicts, so
+#: the entire 400-key surface re-adjudicates roughly every 8-10
+#: rounds with zero bookkeeping beyond the _MODIFIED reset. Also
+#: repin tools/canary_adjudicated.py's round pin in test_canary.py
+#: (pool grows to 400) and update this comment.
 _ROUND_PRIORITY = [
     "q_stats_prop_ztest",
     # feature / sample / corpus-ops block
