@@ -343,3 +343,78 @@ def test_stream_stream_semi_join_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, stream.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_foreachbatch_epoch_overwrite_survives_midbatch_crash(spark, sf_dir):
+    """Exactly-once through a CRASH, not just a clean restart: the
+    foreachBatch epoch pattern (q_stream_foreach_batch) claims a
+    restarted query overwrites its failed epoch instead of
+    double-appending. Prove it: a 4-batch run (maxFilesPerTrigger=2
+    over the 8-file staged source) whose sink writes a PARTIAL epoch
+    directory then dies mid-batch on its first encounter with epoch 1;
+    the restarted query must replay that epoch under the SAME id,
+    overwrite the partial, and finish with the sink equal to the batch
+    aggregate — every input row exactly once, the torn write invisible.
+    This is the claim a 100 TB replayable ingest leans on: failures
+    are epoch replays, and epoch-keyed overwrite makes replays
+    idempotent."""
+    import shutil
+
+    from oke_cassandra_spark_locality_demo_spark.streaming.runtime import (
+        stage_events_dir,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_feb_crash_")
+    data_dir = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    crash_marker = os.path.join(base, "crashed_once")
+
+    def write_epoch(batch_df, epoch_id):
+        out = os.path.join(data_dir, f"epoch={epoch_id}")
+        if epoch_id == 1 and not os.path.exists(crash_marker):
+            # torn write: half the batch lands, then the "process" dies
+            batch_df.limit(3).write.mode("overwrite").parquet(out)
+            open(crash_marker, "w").close()
+            raise RuntimeError("injected mid-batch crash after partial write")
+        batch_df.write.mode("overwrite").parquet(out)
+
+    src = stage_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            # source option, not sink: 8 staged files / 2 = 4 batches
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        try:
+            run()
+            raise AssertionError("injected crash did not surface")
+        except Exception as e:  # noqa: BLE001 — the injection must fire
+            assert "injected mid-batch crash" in str(e), str(e)[:300]
+        assert os.path.exists(crash_marker)
+        run()  # restart over the same checkpoint replays epoch 1
+        back = spark.read.option("basePath", data_dir).parquet(data_dir)
+        expect = load(spark, sf_dir, "events").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("ids"),
+        ).collect()[0]
+        got = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("ids"),
+        ).collect()[0]
+        assert (got["n"], got["ids"]) == (expect["n"], expect["ids"]), (
+            got, expect,
+        )
+        # the torn epoch was replaced, not appended to
+        assert got["n"] == got["ids"], "duplicate rows survived the replay"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
