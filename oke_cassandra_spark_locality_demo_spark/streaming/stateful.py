@@ -353,6 +353,86 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_latest_snapshot(base_dir: str) -> str | None:
+    """Recover the current CDC snapshot FROM DISK, not a closure: a
+    query restarted over the same checkpoint gets a fresh closure
+    (cur=None) while the checkpoint resumes at epoch N+1 — merging
+    against None there would silently drop every pre-crash upsert.
+    This is the transaction-log discovery any Delta/Iceberg reader
+    does on open. Only PUBLISHED snapshots count: cdc_merge_epoch
+    stages to ``.tmp`` and renames, so a torn write is never
+    recovered."""
+    import os
+
+    if not os.path.isdir(base_dir):
+        return None
+    snaps = [
+        d
+        for d in os.listdir(base_dir)
+        if d.startswith("snap_epoch=") and not d.endswith(".tmp")
+    ]
+    if not snaps:
+        return None
+    latest = max(snaps, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return os.path.join(base_dir, latest)
+
+
+def cdc_merge_epoch(
+    spark: SparkSession,
+    base_dir: str,
+    state: dict,
+    batch_df: DataFrame,
+    epoch_id: int,
+    _crash_before_publish: bool = False,
+) -> None:
+    """One CDC micro-batch merge: latest-per-key max_by((ts, event_id))
+    between the standing snapshot (recovered from disk when the closure
+    is fresh — see cdc_latest_snapshot) and the batch, tombstones
+    ('error' → op='D') kept as rows, snapshot published
+    STAGE-THEN-RENAME: a crash mid-write leaves only a ``.tmp`` dir
+    recovery ignores, and a REPLAYED epoch — whose prior snapshot may
+    be the very one being read — swaps in atomically after the read
+    completes. Replay is idempotent by construction: re-applying a
+    batch over a snapshot that already contains it changes nothing
+    (max of max). ``_crash_before_publish`` is the fault-injection
+    seam the crash-replay test uses: stage the full write, then die
+    before the rename — the torn-epoch shape."""
+    import os
+    import shutil
+
+    if state.get("cur") is None:
+        state["cur"] = cdc_latest_snapshot(base_dir)
+    feed = batch_df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    if state["cur"] is not None:
+        feed = spark.read.parquet(state["cur"]).unionByName(feed)
+    merged = (
+        feed.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "value", "op"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .select("user_id", "r.event_id", "r.ts", "r.value", "r.op")
+    )
+    nxt = os.path.join(base_dir, f"snap_epoch={epoch_id}")
+    tmp = nxt + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if _crash_before_publish:
+        raise RuntimeError(
+            f"injected crash: epoch {epoch_id} staged but not published"
+        )
+    shutil.rmtree(nxt, ignore_errors=True)
+    os.replace(tmp, nxt)
+    state["cur"] = nxt
+
+
 @register(
     "q_stream_cdc_upsert",
     oracle=f"""
@@ -403,28 +483,9 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {"cur": None}
 
     def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        feed = batch_df.select(
-            "user_id",
-            "event_id",
-            "ts",
-            "value",
-            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
-        )
-        if state["cur"] is not None:
-            feed = spark.read.parquet(state["cur"]).unionByName(feed)
-        merged = (
-            feed.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("event_id", "ts", "value", "op"),
-                    F.struct("ts", "event_id"),
-                ).alias("r")
-            )
-            .select("user_id", "r.event_id", "r.ts", "r.value", "r.op")
-        )
-        nxt = os.path.join(base_dir, f"snap_epoch={epoch_id}")
-        merged.write.mode("overwrite").parquet(nxt)
-        state["cur"] = nxt
+        # protocol lives module-level (cdc_merge_epoch) so the
+        # crash-replay test can drive it with injected faults
+        cdc_merge_epoch(spark, base_dir, state, batch_df, epoch_id)
 
     src = stage_events_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema

@@ -418,3 +418,69 @@ def test_foreachbatch_epoch_overwrite_survives_midbatch_crash(spark, sf_dir):
         assert got["n"] == got["ids"], "duplicate rows survived the replay"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cdc_merge_recovers_from_disk_and_ignores_torn_snapshot(spark):
+    """Crash-replay contract for the CDC upsert protocol
+    (streaming/stateful.py cdc_merge_epoch): a crash AFTER staging but
+    BEFORE publishing an epoch leaves only a ``.tmp`` snapshot; a
+    restarted query (fresh closure, state lost) must recover the last
+    PUBLISHED snapshot from disk, replay the torn epoch under the same
+    id, and converge — no pre-crash upsert lost, no torn bytes read,
+    and a tombstone never resurrected by a late older upsert. This is
+    the transaction-log recovery discipline the docstring claims; the
+    registered query exercises the same module-level function."""
+    from datetime import datetime
+
+    from oke_cassandra_spark_locality_demo_spark.streaming.stateful import (
+        cdc_latest_snapshot,
+        cdc_merge_epoch,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp, value double, "
+            "event_type string",
+        )
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    base = tempfile.mkdtemp(prefix="graft_cdc_crash_")
+    try:
+        state = {}
+        b0 = batch([(1, 1, t(1), 10.0, "click"), (2, 2, t(1), 20.0, "click"),
+                    (3, 3, t(1), 30.0, "click")])
+        cdc_merge_epoch(spark, base, state, b0, 0)
+
+        # epoch 1: update user 2, DELETE user 3 — staged, then crash
+        b1 = batch([(2, 4, t(2), 25.0, "click"), (3, 5, t(2), 0.0, "error")])
+        try:
+            cdc_merge_epoch(spark, base, {}, b1, 1, _crash_before_publish=True)
+            raise AssertionError("injected crash did not surface")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        assert os.path.isdir(os.path.join(base, "snap_epoch=1.tmp"))
+        # recovery must see ONLY the published epoch-0 snapshot
+        assert cdc_latest_snapshot(base).endswith("snap_epoch=0")
+
+        # restart: fresh closure replays epoch 1, then epoch 2 arrives
+        # with a new user AND a LATE, OLDER upsert for deleted user 3
+        state2 = {}
+        cdc_merge_epoch(spark, base, state2, b1, 1)
+        b2 = batch([(4, 6, t(3), 40.0, "click"),
+                    (3, 1_000_000, t(1), 99.0, "click")])
+        cdc_merge_epoch(spark, base, state2, b2, 2)
+
+        snap = spark.read.parquet(state2["cur"])
+        live = {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in snap.filter(F.col("op") != "D").collect()
+        }
+        assert live == {1: (1, 10.0), 2: (4, 25.0), 4: (6, 40.0)}, live
+        # the tombstone survives as a row (merge-on-read), hiding user 3
+        dead = snap.filter(F.col("op") == "D").collect()
+        assert [r["user_id"] for r in dead] == [3]
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
