@@ -672,3 +672,83 @@ def test_engine_mode_invariance_pin(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# CDC merge batch-independence (round 10)
+# ---------------------------------------------------------------------------
+
+_cdc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # user_id (few keys → collisions)
+        st.integers(min_value=0, max_value=50),     # ts offset seconds (ties likely)
+        st.integers(min_value=0, max_value=99),     # value
+        st.booleans(),                              # delete?
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_cdc_rows, n_batches=st.integers(min_value=1, max_value=4))
+def test_cdc_merge_is_batch_independent(spark, tmp_path_factory, rows, n_batches):
+    """q_stream_cdc_upsert's core claim, property-tested: the final
+    snapshot is INDEPENDENT of how the replay was batched, because the
+    per-epoch merge keeps latest-per-key max_by((ts, event_id)) — an
+    associative, commutative fold. Random event sets (few keys, likely
+    ts ties, interleaved deletes) split into 1-4 consecutive epochs
+    must converge to the same live set and the same tombstones a plain
+    Python latest-per-key reference computes — including the
+    tombstone-hides-key and tie-broken-by-event_id edges."""
+    import math
+    import shutil
+
+    from oke_cassandra_spark_locality_demo_spark.streaming.stateful import (
+        cdc_merge_epoch,
+    )
+
+    data = [
+        (u, i, _BASE + timedelta(seconds=s), float(v),
+         "error" if d else "click")
+        for i, (u, s, v, d) in enumerate(rows)
+    ]
+    # Python reference: latest per user by (ts, event_id)
+    latest = {}
+    for u, i, ts, v, et in data:
+        if u not in latest or (latest[u][1], latest[u][0]) < (ts, i):
+            latest[u] = (i, ts, v, et)
+    want_live = {u: (i, v) for u, (i, ts, v, et) in latest.items()
+                 if et != "error"}
+    want_dead = {u for u, (_i, _ts, _v, et) in latest.items() if et == "error"}
+
+    base = str(tmp_path_factory.mktemp("cdc_prop"))
+    try:
+        state = {}
+        size = math.ceil(len(data) / n_batches)
+        epoch = 0
+        for off in range(0, len(data), size):
+            chunk = data[off:off + size]
+            batch = spark.createDataFrame(
+                chunk,
+                "user_id long, event_id long, ts timestamp, value double, "
+                "event_type string",
+            )
+            cdc_merge_epoch(spark, base, state, batch, epoch)
+            epoch += 1
+        snap = spark.read.parquet(state["cur"])
+        got_live = {
+            r["user_id"]: (r["event_id"], r["value"])
+            for r in snap.filter(F.col("op") != "D").collect()
+        }
+        got_dead = {
+            r["user_id"] for r in snap.filter(F.col("op") == "D").collect()
+        }
+        assert got_live == want_live, (got_live, want_live, n_batches)
+        assert got_dead == want_dead, (got_dead, want_dead, n_batches)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
