@@ -185,6 +185,91 @@ def _capped_broadcast(cand: DataFrame) -> DataFrame:
     return F.broadcast(cand) if cand.count() <= _CAND_BROADCAST_CAP else cand
 
 
+def _exec_memory_starved(spark: SparkSession) -> bool:
+    """True when the session runs under deliberate execution-memory
+    starvation (``spark.memory.fraction`` at or below 0.1 — the r10
+    perturbation sweep's extreme is 0.05, where the per-task execution
+    share can drop below ONE 256 KB Tungsten page once a stage holds
+    several concurrent memory consumers)."""
+    try:
+        frac = float(
+            spark.sparkContext.getConf().get("spark.memory.fraction", "0.6")
+        )
+    except (TypeError, ValueError):
+        return False
+    return frac <= 0.1
+
+
+def _stage_barrier(df: DataFrame) -> DataFrame:
+    """Memory-aware physical-plan barrier (VERDICT r10 item 3).
+
+    The shingle-explosion queries pipeline an exploded self-join into
+    a hash aggregation, so one stage holds several page-consuming
+    operators at once (two sort-merge sorts + the aggregate map +
+    shuffle buffers). At normal memory that pipelining is exactly what
+    we want — fewer materializations — but under deliberate starvation
+    (``spark.memory.fraction=0.05``: per-task share ≈ 200 KB) the
+    consumers divide a pool smaller than one 256 KB page each and the
+    stage fail-stops with UNABLE_TO_ACQUIRE_MEMORY (the r10 sweep's
+    only failure mode, 8 keys).
+
+    Under starvation — and ONLY then — this materializes the
+    intermediate with an eager DISK_ONLY localCheckpoint: the
+    downstream stage restarts from on-disk blocks with zero upstream
+    operators in its pipeline, so each stage's consumer count (and
+    hence its minimum memory to make progress) drops to one or two.
+    Results are bit-identical (same rows, lineage cut only); the
+    normal-memory path returns ``df`` untouched, so steady-state plans
+    and timings are unchanged. This is the memory-pressure analog of
+    AQE's runtime re-planning: trade pipelining for bounded footprint
+    when the budget demands it.
+    """
+    if not _exec_memory_starved(df.sparkSession):
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    # repartition(2) BEFORE the checkpoint: the downstream stage's
+    # active-task count equals the checkpointed partition count, and a
+    # task's guaranteed execution share is pool/(2·active_tasks). At
+    # the starvation extreme the protected storage region (broadcasts
+    # accumulated over a long sweep) can squat half the pool, leaving
+    # ~3.5 MB: 16 concurrent tasks divide that to the measured 216 KB
+    # grants — below ONE 256 KB Tungsten page — while 2 tasks are
+    # guaranteed ~870 KB each (first page + spill headroom, with up to
+    # 2× that grantable). The extra exchange is bypass-merge (≤200
+    # partitions: plain per-partition disk writers, zero execution-
+    # pool pages), so the barrier itself cannot starve; and the
+    # post-shuffle FINAL aggregations ride AQE partition coalescing
+    # down to similarly few tasks. Throughput is irrelevant on this
+    # path — the starved plan optimizes for guaranteed progress.
+    return df.repartition(2).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Starvation-aware persist for the memoized index/candidate
+    frames. ``cache()`` (MEMORY_AND_DISK) is right at normal memory,
+    but under deliberate starvation every cached block squats in the
+    unified pool's protected storage region
+    (``spark.memory.storageFraction`` of an already-tiny pool) and
+    denies execution the page it needs — the batch-order failures the
+    r10 sweep saw (a query green solo fail-stops after an earlier
+    query's caches land). DISK_ONLY keeps the reuse semantics with
+    zero storage-memory footprint; ``unpersist()`` in the memo
+    eviction works identically on both levels."""
+    if not _exec_memory_starved(df.sparkSession):
+        return df.cache()
+    from pyspark.storagelevel import StorageLevel
+
+    # repartition(2) for the same active-task arithmetic as
+    # _stage_barrier: every downstream partial aggregate/join over the
+    # pinned table runs at the pinned partition count, and 16-wide
+    # stages starve under the squatted pool where 2-wide stages are
+    # guaranteed multi-page shares.
+    return df.repartition(2).persist(StorageLevel.DISK_ONLY)
+
+
 def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
     """(doc_id, shingle, n_sh) restricted to each doc's PPJoin prefix —
     its (n − ⌈t·n⌉ + 1) globally-rarest shingles under the common
@@ -200,9 +285,17 @@ def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
     VERDICT r4 #4)."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = W.partitionBy("doc_id")
+    # starvation barrier (_stage_barrier docstring): the df-join would
+    # otherwise pipeline its sorts into the window sorts below
+    # two barriers (not one): the unordered count window and the
+    # ordered row_number window are two sorter consumers that would
+    # otherwise share one stage's page budget
     ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        _stage_barrier(
+            _stage_barrier(sh.join(dfreq, "shingle")).withColumn(
+                "n_sh", F.count(F.lit(1)).over(wdoc)
+            )
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -210,10 +303,14 @@ def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
             ),
         )
     )
-    # prefix length: n - ceil(t*n) + 1
-    return ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    # prefix length: n - ceil(t*n) + 1. The result is barriered too:
+    # the row_number sort would otherwise share a stage with the
+    # consumers' own join sorts.
+    return _stage_barrier(
+        ranked.filter(
+            F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
+        ).select("doc_id", "shingle", "n_sh")
+    )
 
 
 def _corpus_fp(sf_dir):
@@ -280,7 +377,7 @@ def _shared_shingles(spark, sf_dir, d: DataFrame) -> DataFrame:
     memo = _ngram_memo_get(spark, sf_dir, variant="shingles3")
     if memo is not None:
         return memo[0]
-    sh = _shingles(d, 3).cache()
+    sh = _pin(_shingles(d, 3))
     _ngram_memo_put(spark, sf_dir, (sh,), variant="shingles3")
     return sh
 
@@ -315,7 +412,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cand = memo
     else:
         d = load(spark, sf_dir, "documents")
-        sh = _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh"))
+        sh = _stage_barrier(
+            _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh"))
+        )
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 
         # One per-doc aggregation produces BOTH the verification set and
@@ -323,7 +422,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first), slice the first n − ⌈t·n⌉ + 1 as the prefix — all in
         # codegen, no per-doc window pass over the shingle table.
         docs = (
-            sh.join(dfreq, "sh")
+            _stage_barrier(sh.join(dfreq, "sh"))
             .groupBy("doc_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("df", "sh"))).alias(
@@ -348,7 +447,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             # aggregation after the (reused) exchange — measured 2.8×
             # slower at sf0.1. Leak-bounded via _NGRAM_MEMO (one corpus
             # index at a time), not a bare fire-and-forget .cache().
-            .cache()
+            .transform(_pin)
         )
 
         pa = docs.select(
@@ -365,16 +464,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |A| ≥ t·|B| and |B| ≥ t·|A|, so incompatible pairs are provably
         # below threshold and never reach verification
         cand = (
-            pa.join(
-                pb,
-                (pa.sh == pb.sh)
-                & (F.col("doc_a") < F.col("doc_b"))
-                & (F.col("na") >= t * F.col("nb"))
-                & (F.col("nb") >= t * F.col("na")),
+            _stage_barrier(
+                pa.join(
+                    pb,
+                    (pa.sh == pb.sh)
+                    & (F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("na") >= t * F.col("nb"))
+                    & (F.col("nb") >= t * F.col("na")),
+                ).select("doc_a", "doc_b")
             )
-            .select("doc_a", "doc_b")
             .distinct()
-            .cache()
+            .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (docs, cand))
 
@@ -395,12 +495,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shset").alias("sb"),
         F.col("n_sh").alias("nb"),
     )
-    common = (
+    common = _stage_barrier(
         vcand
         .join(av, "doc_a")
         .join(bv, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
-    )
+    ).withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
@@ -464,7 +563,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_a", "doc_b", "na", "nb")
             .distinct()
-            .cache()
+            .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="prefix")
 
@@ -540,8 +639,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the 100 TB side at all; only the per-doc counters
     aggregate. Shingles travel as xxhash64 keys, not strings."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d, _CONTAM_K).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+    sh = _stage_barrier(
+        _shingles(d, _CONTAM_K).select(
+            "doc_id", F.xxhash64("shingle").alias("sh")
+        )
     )
     is_eval = F.col("doc_id") % _CONTAM_MOD == 0
     eval_sh = sh.filter(is_eval).select("sh").distinct()
@@ -554,7 +655,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = F.col("n_shared").cast("double") / F.col("n_shingles")
     return (
-        sizes.join(hits, "doc_id", "left")
+        _stage_barrier(sizes).join(_stage_barrier(hits), "doc_id", "left")
         .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
         .select(
             "doc_id",
@@ -581,7 +682,7 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         ).alias("hs"),
     )
     mins = [F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(N_HASHES)]
-    return hashed.groupBy("doc_id").agg(*mins).select(
+    return _stage_barrier(hashed).groupBy("doc_id").agg(*mins).select(
         "doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
     )
 
@@ -617,6 +718,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         ).select("doc_id", "bb.band", "bb.bucket")
 
+        bands = _stage_barrier(bands)
         cand = (
             bands.alias("x")
             .join(bands.alias("y"), ["band", "bucket"])
@@ -625,7 +727,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
             )
             .distinct()
-            .cache()
+            .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="minhash")
 
@@ -640,9 +742,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        _capped_broadcast(cand)
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        _stage_barrier(
+            _capped_broadcast(cand)
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1134,23 +1238,26 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("dup_of"), "shingle", F.col("n_sh").alias("nh")
         )
         cand = (
-            pb.join(
-                ph,
-                (pb.shingle == ph.shingle)
-                & (F.col("nb") >= t * F.col("nh"))
-                & (F.col("nh") >= t * F.col("nb")),
+            _stage_barrier(
+                pb.join(
+                    ph,
+                    (pb.shingle == ph.shingle)
+                    & (F.col("nb") >= t * F.col("nh"))
+                    & (F.col("nh") >= t * F.col("nb")),
+                ).select("new_id", "dup_of", "nb", "nh")
             )
-            .select("new_id", "dup_of", "nb", "nh")
             .distinct()
-            .cache()
+            .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="incr_fuzzy")
     a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("dup_of"), "shingle")
     common = (
-        _capped_broadcast(cand)
-        .join(a, "new_id")
-        .join(b, ["dup_of", "shingle"])
+        _stage_barrier(
+            _capped_broadcast(cand)
+            .join(a, "new_id")
+            .join(b, ["dup_of", "shingle"])
+        )
         .groupBy("new_id", "dup_of")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -1414,8 +1521,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scales the capped plan is bit-identical to the uncapped
     oracle — asserted by test_containment_df_cap_exceeds_fixture_df."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d, CONTAINMENT_SHINGLE_K).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    sh = _stage_barrier(
+        _shingles(d, CONTAINMENT_SHINGLE_K).select(
+            "doc_id", F.xxhash64("shingle").alias("h")
+        )
     )
     # doc sizes are computed BEFORE the df-cap: |S_B| is a property of
     # the document, not of the pruned index (capping the denominator
@@ -1440,18 +1549,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= CONTAINMENT_DF_CAP)
         .select("h")
     )
-    indexed = sh.join(df_ok, "h")
+    indexed = _stage_barrier(sh.join(df_ok, "h"))
     a = indexed.select(F.col("doc_id").alias("doc_a"), "h")
     b = indexed.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _stage_barrier(a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    both = common.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    both = _stage_barrier(common).join(sz_a, "doc_a").join(sz_b, "doc_b")
     ab = both.select(
         F.col("doc_a").alias("container"),
         F.col("doc_b").alias("contained"),
@@ -1564,7 +1672,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("ev_id", "tr_id", "ne", "nt", "split")
             .distinct()
-            .cache()
+            .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="leakage")
     a = sh.select(F.col("doc_id").alias("ev_id"), "shingle")

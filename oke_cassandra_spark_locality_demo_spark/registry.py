@@ -146,119 +146,133 @@ def _load_all() -> None:
 #: history notwithstanding. Append each round's newly sampled keys
 #: here after the round's CORRECTNESS lands, and reset
 #: _MODIFIED_THIS_ROUND to the keys actually touched in the new round.
-#: Ordered by APPEND ROUND (r1 block first … r9 block last): with the
-#: rotation complete (r10), _sample_order fills spare prefix slots
-#: oldest-grade-first, so the driver's free capacity becomes a rolling
-#: re-adjudication of the stalest external verdicts instead of an
-#: arbitrary registration-order repeat.
+#: Ordered by EXTERNAL-GRADE RECENCY, stalest first: when a round's
+#: CORRECTNESS lands, that round's graded keys are appended at the
+#: TAIL (moved there if already listed — a re-grade refreshes the
+#: key's position, it does not duplicate it). _sample_order fills
+#: spare prefix slots from the FRONT of this list, so the driver's
+#: free capacity is always a rolling re-adjudication of the stalest
+#: external verdicts. As of r10 the one-time rotation is complete
+#: (every key graded at least once) and this list holds all 400 keys:
+#: r1-r9 grades first (minus keys re-graded later), then the r10
+#: block (CORRECTNESS_r10 order — 20 write-back keys + the final 17
+#: never-graded keys + 13 r1-stale re-grades).
 _DRIVER_ADJUDICATED_ORDERED = (
     """
-    q_scan_full q_scan_prune_cols q_scan_pushdown q_scan_users
-    q_flagship_pricing_summary q_sample_hash q_scan_file_metadata
-    q_project_expr q_filter_conj q_filter_in_between_like q_filter_rlike
-    q_filter_null q_case_when q_join_inner q_join_left q_join_right
-    q_join_full q_join_semi q_join_anti q_join_broadcast
-    q_join_theta_range q_join_cross q_join_asof q_join_copartitioned
-    q_join_multiway q_join_salted q_join_range_binned q_join_pit
-    q_join_null_safe q_agg_global q_agg_hash q_agg_distinct q_agg_rollup
-    q_agg_cube q_agg_gsets q_agg_having q_agg_stats q_pivot q_unpivot
-    q_agg_hist q_agg_mode q_agg_collect_sorted q_agg_filtered
-    q_basket_lift q_agg_corr_matrix q_agg_regr
-    q_agg_incremental q_agg_mad_outliers q_agg_approx_distinct
-    q_agg_sketch_hll q_fn_date q_fn_array q_fn_map q_vec_centroid
-    q_vec_quantize q_retention_cohorts q_udf_cogroup q_stream_join_outer
-    q_agg_weighted q_agg_multi_distinct q_agg_listagg q_agg_grouping_id
-    q_agg_higher_moments q_agg_approx_quantile q_win_rank q_win_analytic
-    q_win_frame_rows q_win_frame_range q_funnel_conversion
-    q_topk_per_group q_win_distribution q_cdc_apply q_scd2_dimension
-    q_win_streaks q_win_time_weighted q_gapfill_locf q_win_attribution
-    q_win_transitions q_sort_multi q_limit q_topk q_sort_zorder q_union
-    q_union_distinct q_intersect q_except q_snapshot_diff q_meta_tables
+    q_join_inner q_join_left q_join_right q_join_full q_join_semi
+    q_join_anti q_join_broadcast q_join_theta_range q_join_cross
+    q_join_asof q_join_copartitioned q_join_multiway q_join_salted
+    q_join_range_binned q_join_pit q_join_null_safe q_agg_global
+    q_agg_hash q_agg_distinct q_agg_rollup q_agg_cube q_agg_gsets
+    q_agg_having q_agg_stats q_pivot q_unpivot q_agg_hist q_agg_mode
+    q_agg_collect_sorted q_agg_filtered q_basket_lift
+    q_agg_corr_matrix q_agg_regr q_agg_incremental
+    q_agg_mad_outliers q_agg_approx_distinct q_agg_sketch_hll
+    q_fn_date q_fn_array q_fn_map q_vec_centroid q_vec_quantize
+    q_retention_cohorts q_udf_cogroup q_stream_join_outer
+    q_agg_weighted q_agg_multi_distinct q_agg_listagg
+    q_agg_grouping_id q_agg_higher_moments q_agg_approx_quantile
+    q_win_rank q_win_analytic q_win_frame_rows q_win_frame_range
+    q_funnel_conversion q_topk_per_group q_win_distribution
+    q_cdc_apply q_scd2_dimension q_win_streaks q_win_time_weighted
+    q_gapfill_locf q_win_attribution q_win_transitions q_sort_multi
+    q_limit q_topk q_sort_zorder q_union q_union_distinct
+    q_intersect q_except q_snapshot_diff q_meta_tables
     q_quality_audit q_profile_columns q_subqueries q_recursive_cte
     q_join_lateral q_sql_pipe q_sql_params q_graph_pagerank
-    q_sim_knn_blas q_sample_weighted q_mix_sources q_split_train_test
-    q_split_drift_chisq q_feature_rare_collapse q_dedup_ngram_jaccard
-    q_dedup_ngram_prefix q_contamination q_text_stats q_text_redact
-    q_text_repetition q_dedup_minhash_audit q_dedup_clusters
-    q_fn_string q_fn_math q_fn_json q_fn_cast_decimal q_ctas
-    q_sink_parquet_partitioned q_source_csv q_source_json q_dedup_exact
-    q_dedup_embedding q_dedup_entity q_dedup_incremental q_sim_knn_exact
-    q_sim_pairwise_label q_sim_lsh_audit q_sim_ivf_audit q_text_quality
-    q_text_langid q_text_tokens q_text_fingerprint q_text_chunk
-    q_text_tfidf q_text_clean q_text_url_extract q_text_pmi
-    q_text_entropy q_text_perplexity q_multimodal_cols
-    q_multimodal_binary q_multimodal_frames q_pipeline_e2e q_udf_python
-    q_dedup_minhash q_multimodal_resize q_sim_ivf q_sim_pq
-    q_sim_pq_audit q_vec_pca q_pack_sequences q_stream_tumbling
-    q_stream_sliding q_stream_session q_stream_watermark_late
-    q_stream_dedup q_stream_stateful q_stream_stateful_tws
-    q_stream_sink q_stream_join_static q_stream_join_interval
-    q_stream_join_semi q_stream_multires q_stream_foreach_batch
-    q_stream_cdc_upsert q_stream_pyds q_udf_pandas q_udf_grouped_agg
-    q_udf_arrow q_udtf q_udtf_python q_source_text q_source_binaryfile
-    q_source_json_corrupt q_source_orc q_source_schema_evolution
-    q_source_pyds_scan q_source_pyds_lookup q_sink_pyds
+    q_sim_knn_blas q_sample_weighted q_mix_sources
+    q_split_train_test q_split_drift_chisq q_feature_rare_collapse
+    q_dedup_ngram_jaccard q_dedup_ngram_prefix q_contamination
+    q_text_stats q_text_redact q_text_repetition
+    q_dedup_minhash_audit q_dedup_clusters q_fn_string q_fn_math
+    q_fn_json q_fn_cast_decimal q_dedup_exact q_dedup_embedding
+    q_dedup_entity q_dedup_incremental q_sim_knn_exact
+    q_sim_pairwise_label q_sim_lsh_audit q_sim_ivf_audit
+    q_text_quality q_text_langid q_text_tokens q_text_fingerprint
+    q_text_chunk q_text_tfidf q_text_clean q_text_url_extract
+    q_text_pmi q_text_entropy q_text_perplexity q_multimodal_cols
+    q_multimodal_binary q_multimodal_frames q_pipeline_e2e
+    q_udf_python q_dedup_minhash q_multimodal_resize q_sim_ivf
+    q_sim_pq q_sim_pq_audit q_vec_pca q_pack_sequences
+    q_stream_tumbling q_stream_sliding q_stream_session
+    q_stream_watermark_late q_stream_dedup q_stream_stateful
+    q_stream_stateful_tws q_stream_join_static
+    q_stream_join_interval q_stream_join_semi q_stream_multires
+    q_stream_pyds q_udf_pandas q_udf_grouped_agg q_udf_arrow q_udtf
+    q_udtf_python q_source_pyds_scan q_source_pyds_lookup
     q_insert_upsert q_meta_engine_info q_tpch_q1 q_tpch_q3 q_tpch_q5
-    q_tpch_q6 q_tpch_q9 q_tpch_q18 q_tpch_q21
-    q_dedup_containment q_dedup_simhash q_privacy_dp_count
-    q_tpch_q2 q_tpch_q4 q_tpch_q7 q_tpch_q8 q_tpch_q10 q_tpch_q11
-    q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17
-    q_tpch_q19 q_tpch_q20 q_tpch_q22
-    q_agg_sketch_cms q_agg_sketch_theta q_agg_sketch_moments
-    q_agg_bitmap_distinct q_agg_bitmap_overlap q_mv_incremental
-    q_merge_multi_action q_sessionize q_join_bloom q_join_bucketed
+    q_tpch_q6 q_tpch_q9 q_tpch_q18 q_tpch_q21 q_dedup_containment
+    q_dedup_simhash q_privacy_dp_count q_tpch_q2 q_tpch_q4 q_tpch_q7
+    q_tpch_q8 q_tpch_q10 q_tpch_q11 q_tpch_q12 q_tpch_q13 q_tpch_q14
+    q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q19 q_tpch_q20
+    q_tpch_q22 q_agg_sketch_cms q_agg_sketch_theta
+    q_agg_sketch_moments q_agg_bitmap_distinct q_agg_bitmap_overlap
+    q_mv_incremental q_merge_multi_action q_sessionize q_join_bloom
     q_dedup_span q_text_bm25 q_text_zipf q_shuffle_epoch q_win_ewma
     q_sample_temperature q_sample_stratified q_sql_scripting
-    q_export_webdataset q_export_jsonl_shards q_ordinal_assign
-    q_feature_bucketize q_maintenance_compact q_scan_partition_pruned
-    q_fn_bitwise q_fn_collation q_fn_explode q_fn_generators
-    q_fn_sequence q_fn_struct q_fn_try
-    q_sim_lsh q_text_compress_ratio
-    q_fn_variant q_fn_xml q_fn_editdistance q_fn_codec q_fn_stable_id
-    q_fn_time_bucket q_fn_split_part
-    q_graph_triangles q_graph_bfs q_graph_cc q_graph_common_neighbors
-    q_graph_kcore q_graph_assortativity q_graph_sssp q_graph_modularity
-    q_graph_2hop_reach q_graph_degree_powerlaw q_graph_neighbor_sample
-    q_geo_radius_join q_geo_knn q_geo_grid_density
-    q_stats_kruskal q_stats_anova_f q_stats_cohen_kappa
-    q_stats_kaplan_meier q_stats_levene q_stats_spearman
-    q_ts_backtest_snaive q_stats_gtest q_stats_mcnemar
-    q_stats_overdispersion q_stats_wilcoxon q_ts_changepoint q_stats_ess
-    q_privacy_kanon q_privacy_ldiversity q_privacy_tclose
-    q_privacy_suppress q_privacy_uniqueness
-    q_text_bpe_train q_text_bpe_encode q_text_bpe_fertility
-    q_rank_rrf q_rank_eval q_rank_tau q_rank_ndcg
-    q_join_asof_tolerance q_join_asof_nearest q_join_size_estimate
-    q_rank_wilson q_agg_percentile_exact q_join_cardinality_sketch
-    q_win_sketch_distinct q_agg_abc_pareto q_agg_weighted_median
-    q_agg_heavy_changers q_agg_benford q_agg_lorenz_gini q_agg_hhi
-    q_agg_log_histogram q_agg_argmax q_agg_decay_sum
-    q_agg_winsorized_mean q_agg_ohlc q_agg_simpson q_agg_hist_equidepth
-    q_agg_vwap q_agg_rfm q_agg_percent_of_parent q_agg_mix_shift
-    q_agg_linreg2 q_agg_purchase_gaps q_agg_growth_accounting
-    q_agg_abc_xyz q_agg_cr4 q_agg_theil q_agg_arpu q_win_rolling_median
+    q_ordinal_assign q_feature_bucketize q_fn_bitwise q_fn_collation
+    q_fn_explode q_fn_generators q_fn_sequence q_fn_struct q_fn_try
+    q_sim_lsh q_text_compress_ratio q_fn_variant q_fn_xml
+    q_fn_editdistance q_fn_codec q_fn_stable_id q_fn_time_bucket
+    q_fn_split_part q_graph_triangles q_graph_bfs q_graph_cc
+    q_graph_common_neighbors q_graph_kcore q_graph_assortativity
+    q_graph_sssp q_graph_modularity q_graph_2hop_reach
+    q_graph_degree_powerlaw q_graph_neighbor_sample
+    q_geo_radius_join q_geo_knn q_geo_grid_density q_stats_kruskal
+    q_stats_anova_f q_stats_cohen_kappa q_stats_kaplan_meier
+    q_stats_levene q_stats_spearman q_ts_backtest_snaive
+    q_stats_gtest q_stats_mcnemar q_stats_overdispersion
+    q_stats_wilcoxon q_ts_changepoint q_stats_ess q_privacy_kanon
+    q_privacy_ldiversity q_privacy_tclose q_privacy_suppress
+    q_privacy_uniqueness q_text_bpe_train q_text_bpe_encode
+    q_text_bpe_fertility q_rank_rrf q_rank_eval q_rank_tau
+    q_rank_ndcg q_join_asof_tolerance q_join_asof_nearest
+    q_join_size_estimate q_rank_wilson q_agg_percentile_exact
+    q_join_cardinality_sketch q_win_sketch_distinct q_agg_abc_pareto
+    q_agg_weighted_median q_agg_heavy_changers q_agg_benford
+    q_agg_lorenz_gini q_agg_hhi q_agg_log_histogram q_agg_argmax
+    q_agg_decay_sum q_agg_winsorized_mean q_agg_ohlc q_agg_simpson
+    q_agg_hist_equidepth q_agg_vwap q_agg_rfm
+    q_agg_percent_of_parent q_agg_mix_shift q_agg_linreg2
+    q_agg_purchase_gaps q_agg_growth_accounting q_agg_abc_xyz
+    q_agg_cr4 q_agg_theil q_agg_arpu q_win_rolling_median
     q_pareto_frontier q_ts_downsample_m4 q_drift_cusum q_ts_autocorr
     q_ts_seasonal_dow q_win_rolling_slope q_ts_outlier_rolling
     q_agg_cohort_ltv q_funnel_multistep q_win_time_to_convert
     q_win_drawdown q_ts_interpolate_linear q_ts_resample_weekly
     q_win_path_topk q_win_distinct_bitmask q_win_concurrency_sweep
-    q_ts_new_users q_win_rsi
-    q_ts_wau q_fraud_double_charge q_win_rolling_corr q_ts_dau_mau
-    q_intersect_all q_except_all q_profile_skew q_fn_sql_udf
-    q_sql_group_by_all q_sql_qualify q_sql_window_clause
-    q_sql_distinct_on q_source_xml q_export_manifest q_scan_dpp
+    q_ts_new_users q_win_rsi q_ts_wau q_fraud_double_charge
+    q_win_rolling_corr q_ts_dau_mau q_intersect_all q_except_all
+    q_profile_skew q_fn_sql_udf q_sql_group_by_all q_sql_qualify
+    q_sql_window_clause q_sql_distinct_on q_export_manifest
     q_dedup_incremental_fuzzy q_split_leakage q_dedup_priority
     q_dedup_url q_vec_jl_projection q_text_boilerplate
     q_text_perplexity_bigram q_text_novelty q_quality_gopher
-    q_text_rake q_agg_heavy_hitters q_text_dechunk q_text_langid_eval
-    q_text_autocomplete q_text_hapax q_text_burstiness
-    q_text_readability q_text_script_mix q_text_vocab_overlap
-    q_multimodal_phash q_multimodal_audio_energy
-    q_multimodal_dedup_bytes q_multimodal_scenecut
-    q_multimodal_payload_entropy q_corpus_card q_drift_ks
-    q_classify_nb q_stats_mannwhitney q_agg_gini q_stats_welch_ttest
-    q_stats_permutation q_stats_bootstrap_ci q_drift_jsd
-    q_stats_runs_test q_split_kfold_grouped
+    q_text_rake q_agg_heavy_hitters q_text_dechunk
+    q_text_langid_eval q_text_autocomplete q_text_hapax
+    q_text_burstiness q_text_readability q_text_script_mix
+    q_text_vocab_overlap q_multimodal_phash
+    q_multimodal_audio_energy q_multimodal_dedup_bytes
+    q_multimodal_scenecut q_multimodal_payload_entropy q_corpus_card
+    q_drift_ks q_classify_nb q_stats_mannwhitney q_agg_gini
+    q_stats_welch_ttest q_stats_permutation q_stats_bootstrap_ci
+    q_drift_jsd q_stats_runs_test q_split_kfold_grouped q_source_csv
+    q_source_json q_sink_parquet_partitioned q_scan_partition_pruned
+    q_ctas q_source_text q_source_binaryfile q_source_orc
+    q_source_json_corrupt q_source_schema_evolution
+    q_export_jsonl_shards q_maintenance_compact q_export_webdataset
+    q_source_xml q_scan_dpp q_join_bucketed q_sink_pyds
+    q_stream_sink q_stream_foreach_batch q_stream_cdc_upsert
+    q_stats_prop_ztest q_feature_target_encode q_feature_impute
+    q_sample_negative_downsample q_shard_rendezvous q_label_churn
+    q_quality_event_order q_budget_waterfill
+    q_stream_watermark_planner q_split_three_way q_sim_ivf_index
+    q_sample_ppl_band q_select_dsir q_order_curriculum
+    q_sample_class_quota q_text_ql q_text_phrase_search q_scan_full
+    q_scan_prune_cols q_scan_pushdown q_scan_users
+    q_flagship_pricing_summary q_sample_hash q_scan_file_metadata
+    q_project_expr q_filter_conj q_filter_in_between_like
+    q_filter_rlike q_filter_null q_case_when
     """.split()
 )
 
@@ -267,73 +281,48 @@ _DRIVER_ADJUDICATED = frozenset(_DRIVER_ADJUDICATED_ORDERED)
 #: Keys whose implementation or oracle changed in the CURRENT round —
 #: ALWAYS fronted into the driver's sampled prefix regardless of prior
 #: adjudication (ADVICE r3: a rewrite back-listed behind
-#: _DRIVER_ADJUDICATED would never be re-graded externally). Round 10:
-#: the fixed-shared-tempdir write-back fix (VERDICT r9 item 2) moved
-#: every scratch-writing key's output root to the per-process
-#: workdir.scratch_root helper — results are byte-identical but the
-#: write path changed, so all 20 writing keys ride here: the 15
-#: ingest.py _out users, q_join_bucketed (PID-suffixed warehouse
-#: table names), q_sink_pyds (sources/pyds.py — also upgraded to a
-#: two-phase attempt-isolated commit), and the three streaming sinks
-#: (streaming/stateful.py). 20 modified + 17 _ROUND_PRIORITY = 37 of
-#: the driver's 50 prefix slots.
+#: _DRIVER_ADJUDICATED would never be re-graded externally). This
+#: guard is permanent: reset the list each round to the keys actually
+#: touched. Round 11 (maintenance round, VERDICT r10): the ADVICE
+#: hardening touched three shared write paths — the tokenroute sink's
+#: commit() now fail-stops on a missing winner temp (sources/pyds.py),
+#: q_join_bucketed's PID-suffixed warehouse tables gain atexit
+#: reclamation (sources/ingest.py), and the streaming events staging
+#: gains post-publish stale-directory reaping (streaming/runtime.py —
+#: shared by every q_stream_* key), plus the llm/dedup.py
+#: starvation-hardening of the shingle-explosion family.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # sources/ingest.py (_out → workdir.scratch_root("io"))
-    "q_source_csv", "q_source_json", "q_sink_parquet_partitioned",
-    "q_scan_partition_pruned", "q_ctas", "q_source_text",
-    "q_source_binaryfile", "q_source_orc", "q_source_json_corrupt",
-    "q_source_schema_evolution", "q_export_jsonl_shards",
-    "q_maintenance_compact", "q_export_webdataset", "q_source_xml",
-    "q_scan_dpp",
-    # sources/ingest.py (PID-suffixed bucketed table names — the
-    # shared ./spark-warehouse directory was the same race class)
-    "q_join_bucketed",
-    # sources/pyds.py sink
+    # sources/pyds.py: commit() missing-winner fail-stop
     "q_sink_pyds",
-    # streaming/stateful.py file/foreachBatch/CDC sinks
-    "q_stream_sink", "q_stream_foreach_batch", "q_stream_cdc_upsert",
+    # sources/ingest.py: atexit reclamation of PID-suffixed tables
+    "q_join_bucketed",
+    # streaming/runtime.py stage_events_dir reaping — shared staging
+    # path of every streaming key
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_multires", "q_stream_watermark_late", "q_stream_dedup",
+    "q_stream_stateful", "q_stream_sink", "q_stream_foreach_batch",
+    "q_stream_cdc_upsert", "q_stream_join_static",
+    "q_stream_join_interval", "q_stream_join_outer",
+    "q_stream_join_semi", "q_stream_stateful_tws",
+    # llm/dedup.py starvation hardening (_stage_barrier/_pin): every
+    # key whose plan gained a memory-aware barrier or whose cache
+    # moved through _pin, plus q_dedup_clusters (builds on the
+    # barriered jaccard pairs)
+    "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix", "q_contamination",
+    "q_dedup_minhash", "q_dedup_minhash_audit",
+    "q_dedup_incremental_fuzzy", "q_dedup_containment",
+    "q_split_leakage", "q_dedup_clusters",
 ]
 
-#: Round-10 sampling priority (VERDICT r9 "Next round" item 1,
-#: executed per the ROUND-10 PLAYBOOK that stood here in r9): the
-#: FINAL 17 never-adjudicated keys, in registration order exactly as
-#: tools/rotation_remaining.py printed them at the r10 session open.
-#: After CORRECTNESS_r10 lands, every oracle-backed registry key has
-#: at least one external driver verdict and the rotation RETIRES:
-#: delete this list (leave it empty) and let _sample_order fall back
-#: to registration order behind the permanent _MODIFIED fronting.
-#: This round _MODIFIED holds the 20 write-back keys touched by the
-#: workdir/warehouse fixes; 20 + 17 = 37 of the 50 prefix slots, so
-#: all 17 finals AND all 20 modified keys grade externally this round
-#: (verified by test_driver_sample_prefix_is_oracle_backed). The 13
-#: spare slots fall to the stalest-first fill (r1's q_scan_full
-#: block) — free re-grades of the oldest external verdicts.
-#:
-#: ROUND-11 PLAYBOOK (for the next session, after CORRECTNESS_r10
-#: lands): the rotation RETIRES. (1) append the 17 freshly graded
-#: finals to _DRIVER_ADJUDICATED_ORDERED (the 20 modified keys are
-#: already listed in earlier blocks — do NOT duplicate them; the 13
-#: stalest re-grades likewise); (2) empty _ROUND_PRIORITY; (3) reset
-#: _MODIFIED_THIS_ROUND to whatever r11 actually touches — that guard
-#: is permanent. From r11 on the whole 50-slot prefix is
-#: _MODIFIED + stalest-first fill: every round the driver re-grades
-#: this round's changes and the 30-50 oldest external verdicts, so
-#: the entire 400-key surface re-adjudicates roughly every 8-10
-#: rounds with zero bookkeeping beyond the _MODIFIED reset. Also
-#: repin tools/canary_adjudicated.py's round pin in test_canary.py
-#: (pool grows to 400) and update this comment.
-_ROUND_PRIORITY = [
-    "q_stats_prop_ztest",
-    # feature / sample / corpus-ops block
-    "q_feature_target_encode", "q_feature_impute",
-    "q_sample_negative_downsample", "q_shard_rendezvous",
-    "q_label_churn", "q_quality_event_order", "q_budget_waterfill",
-    "q_stream_watermark_planner", "q_split_three_way",
-    "q_sim_ivf_index", "q_sample_ppl_band", "q_select_dsir",
-    "q_order_curriculum", "q_sample_class_quota",
-    # text tail
-    "q_text_ql", "q_text_phrase_search",
-]
+#: One-time rotation priority — RETIRED as of r10 (every oracle-backed
+#: key now has at least one external driver verdict; cumulative
+#: r1-r10: zero genuine fails). From r11 on the driver's 50-slot
+#: prefix is _MODIFIED_THIS_ROUND + stalest-first fill from
+#: _DRIVER_ADJUDICATED_ORDERED, so the full 400-key surface
+#: re-adjudicates roughly every 8-10 rounds with no bookkeeping
+#: beyond the per-round _MODIFIED reset and the post-CORRECTNESS
+#: append-to-tail (see the list docstring above).
+_ROUND_PRIORITY: list[str] = []
 
 
 def _sample_order(names: list[str]) -> list[str]:

@@ -30,6 +30,38 @@ def _out(name: str) -> str:
     return os.path.join(scratch_root("io"), name)
 
 
+#: (warehouse_dir, table_name) pairs this process created with
+#: PID-suffixed names (q_join_bucketed). Unlike workdir scratch these
+#: live in the cwd-shared spark-warehouse, so without reclamation every
+#: driver process permanently leaks two bucket directories (ADVICE
+#: r10). The atexit hook rmtree's the DIRECTORIES only — the catalog
+#: entries are in-memory and die with the process; a DROP would need a
+#: live session, which is not guaranteed at interpreter exit.
+_BUCKETED_TABLES: set[tuple[str, str]] = set()
+_BUCKETED_OWNER_PID = os.getpid()
+_BUCKETED_HOOKED = [False]
+
+
+def _reap_bucketed_tables() -> None:
+    import shutil
+
+    # PID guard: fork()ed children inherit the hook but not ownership
+    if os.getpid() != _BUCKETED_OWNER_PID:
+        return
+    for wh, name in _BUCKETED_TABLES:
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
+def _register_bucketed_cleanup(wh: str, names: tuple[str, ...]) -> None:
+    import atexit
+
+    for n in names:
+        _BUCKETED_TABLES.add((wh, n))
+    if not _BUCKETED_HOOKED[0]:
+        _BUCKETED_HOOKED[0] = True
+        atexit.register(_reap_bucketed_tables)
+
+
 CUSTOMER_SCHEMA = T.StructType(
     [
         T.StructField("c_custkey", T.LongType(), False),
@@ -330,6 +362,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
+    # reclaim the PID-suffixed directories at process exit (ADVICE
+    # r10): registered AFTER both writes so the returned DataFrame —
+    # which reads these tables lazily when the caller acts on it —
+    # keeps them for the process lifetime, and the shared warehouse
+    # stops accumulating one pair per driver process.
+    _register_bucketed_cleanup(
+        wh, (f"orders_bkt_{pid}", f"lineitem_bkt_{pid}")
+    )
     o = spark.table(f"orders_bkt_{pid}")
     l = spark.table(f"lineitem_bkt_{pid}")
     joined = o.join(l, o.o_orderkey == l.l_orderkey)

@@ -287,8 +287,25 @@ class _TokenRouteWriter(DataSourceWriter):
             for tmp, final in msg.renames:
                 if _os.path.exists(tmp):
                     _os.replace(tmp, final)
+                elif not _os.path.exists(final):
+                    # ADVICE r10: a WINNING task's temp vanished before
+                    # the driver-side publish and nothing else produced
+                    # the final file — a silent skip here would turn a
+                    # lost winner into silently-missing output rows.
+                    # Fail-stop instead (correctness-or-error is the
+                    # only acceptable two-phase-sink posture); a
+                    # pre-existing final (duplicate commit message /
+                    # re-run over a published epoch) stays idempotent.
+                    raise RuntimeError(
+                        f"tokenroute_sink commit: winner temp {tmp!r} "
+                        f"missing and final {final!r} absent — refusing "
+                        "to publish a partial result"
+                    )
         # sweep losers: temp files from failed/speculative attempts
-        # whose message never reached the driver
+        # whose message never reached the driver. Best-effort by
+        # design: a still-running zombie speculative task can recreate
+        # a temp AFTER this sweep — readers ignore `_`-prefixed files,
+        # so exactly-once holds and the stray temp is bounded litter.
         for name in _os.listdir(self.path):
             if name.startswith("_tmp-"):
                 _os.unlink(_os.path.join(self.path, name))

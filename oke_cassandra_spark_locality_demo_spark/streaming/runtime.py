@@ -62,7 +62,51 @@ def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     with open(tmp, "w") as f:
         f.write(name)
     os.replace(tmp, marker)
+    _reap_stale_stages(base, keep=name)
     return out
+
+
+#: Reclamation grace for superseded staging copies: a full oracle
+#: drive finishes in minutes, so a directory untouched for 30 min has
+#: no plausible live reader.
+_STAGE_REAP_GRACE_SEC = 1800
+
+
+def _reap_stale_stages(base: str, keep: str) -> None:
+    """Best-effort reclamation of superseded ``events.{pid}`` staging
+    directories (ADVICE r10): last-wins marker publication previously
+    left every losing stager's full parquet copy in /tmp forever
+    (_STAGE_ROOT is outside the workdir atexit cleanup). After
+    publishing, delete sibling copies — and orphaned marker temps —
+    that the marker no longer names AND that have been untouched
+    longer than the grace period (a racing process may still be
+    mid-read on a copy it staged moments ago; age, not marker state,
+    is what bounds that window). Failures are ignored: worst case the
+    litter bound reverts to the documented one-copy-per-racing-stager.
+    """
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        siblings = os.listdir(base)
+    except OSError:
+        return
+    for entry in siblings:
+        is_stage = entry.startswith("events.") and entry != keep
+        is_marker_tmp = entry.startswith("_staged_multi.")
+        if not (is_stage or is_marker_tmp):
+            continue
+        path = os.path.join(base, entry)
+        try:
+            if now - os.path.getmtime(path) <= _STAGE_REAP_GRACE_SEC:
+                continue
+            if is_stage:
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.unlink(path)
+        except OSError:
+            pass
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

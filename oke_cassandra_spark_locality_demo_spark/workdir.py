@@ -62,4 +62,18 @@ def process_root() -> str:
     return _ROOT
 
 
-atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+#: PID captured at import: a fork()ed child (e.g. multiprocessing with
+#: the fork start method after this module is imported) inherits the
+#: atexit hook AND _ROOT — which embeds the PARENT's pid — so an
+#: unguarded hook would delete the parent's live scratch root when the
+#: child exits normally (ADVICE r10). Only the creating process cleans
+#: up; a child's own writes go through its own import of this module.
+_OWNER_PID = os.getpid()
+
+
+def _cleanup() -> None:
+    if os.getpid() == _OWNER_PID:
+        shutil.rmtree(_ROOT, ignore_errors=True)
+
+
+atexit.register(_cleanup)

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from oke_cassandra_spark_locality_demo_spark.registry import get
@@ -986,3 +988,159 @@ def test_split_train_test_matches_bruteforce(spark, sf_dir):
     for r in docs:
         s = split_of(r.source)
         assert seen.setdefault(r.source, s) == s, r.source
+
+
+class TestStarvationHardening:
+    """VERDICT r10 item 3: the shingle-explosion dedup family must
+    survive the execution-memory starvation extreme
+    (spark.memory.fraction=0.05) that previously fail-stopped 8 keys.
+    The fix is memory-aware physical planning (_stage_barrier/_pin):
+    identity at normal memory, DISK_ONLY materialization +
+    low-parallelism stages under starvation. The full-family
+    starvation sweep runs via tools/drive_subset.py (recorded in
+    SCALING.md); these tests pin the helper semantics cheaply."""
+
+    def test_barrier_is_identity_at_normal_memory(self, spark, sf_dir):
+        from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+        assert not dedup._exec_memory_starved(spark)
+        df = dedup.load(spark, sf_dir, "documents").select("doc_id")
+        out = dedup._stage_barrier(df)
+        assert out is df, "normal-memory plans must be untouched"
+
+    def test_pin_caches_at_normal_memory(self, spark, sf_dir):
+        from pyspark import StorageLevel
+
+        from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+        df = dedup.load(spark, sf_dir, "documents").select("doc_id")
+        pinned = dedup._pin(df)
+        try:
+            assert pinned.storageLevel.useMemory
+        finally:
+            pinned.unpersist(blocking=True)
+
+    def test_starved_detection_reads_memory_fraction(self, spark):
+        from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+        # the live test session runs at the 0.6 default
+        assert dedup._exec_memory_starved(spark) is False
+
+    def test_starved_results_identical_in_subprocess(self):
+        """The starved physical plan must return byte-identical rows:
+        drive the one oracle-backed key with the deepest barrier
+        stack (q_dedup_ngram_jaccard) under fraction=0.05 through the
+        same cross-engine compare the external driver uses."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "drive_subset.py"),
+             "--conf", "spark.memory.fraction=0.05",
+             "q_dedup_ngram_jaccard", "q_dedup_containment"],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1"},
+        )
+        assert proc.returncode == 0, (proc.stdout[-800:], proc.stderr[-800:])
+        assert "2/2 green" in proc.stdout, proc.stdout[-400:]
+
+
+class TestRealImageDecode:
+    """VERDICT r10 item 4: the last declared-but-stubbed tier made
+    real. The pure-stdlib PNG codec must round-trip exactly, reverse
+    all five spec filter types, and reject streams outside its
+    declared subset loudly; the registered query is cross-engine
+    verified by the driver (oracle states the decoded stats
+    closed-form)."""
+
+    def test_codec_round_trip(self):
+        import random
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = random.Random(11)
+        for _ in range(5):
+            w, h = rng.randint(1, 40), rng.randint(1, 30)
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+    def test_decoder_reverses_all_five_filters(self):
+        """Hand-encode scanlines with filters 0-4 (the encoder itself
+        only emits 0) so an externally-produced baseline PNG — e.g.
+        Pillow's filtered output — would decode identically."""
+        import struct
+        import zlib
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            _paeth,
+            decode_png,
+        )
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        w, h = 5, 6
+        rgb = bytes((x * 17 + y * 29 + c * 41) % 256
+                    for y in range(h) for x in range(w) for c in range(3))
+        stride = w * 3
+        prev = bytes(stride)
+        raw = bytearray()
+        for y in range(h):
+            line = rgb[y * stride:(y + 1) * stride]
+            ftype = y % 5
+            raw.append(ftype)
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                        4: _paeth(left, up, ul)}[ftype]
+                raw.append((line[i] - pred) & 0xFF)
+            prev = line
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        assert decode_png(data) == (w, h, rgb)
+
+    def test_decoder_rejects_unsupported_subset(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            decode_png,
+        )
+
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"GIF89a" + b"\x00" * 20)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        # grayscale (color type 0) is outside the declared subset
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(bad)
+
+    def test_decode_real_query_matches_closed_form(self, spark, sf_dir):
+        from oke_cassandra_spark_locality_demo_spark.registry import get
+
+        rows = get("q_multimodal_decode_real").fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            w, h = 8 + r.doc_id % 5, 8 + r.doc_id % 3
+            assert (r.width, r.height, r.n_px) == (w, h, w * h)
+            assert r.row0_red_sum == sum(
+                (r.doc_id * 31 + x * 7) % 256 for x in range(w)
+            )

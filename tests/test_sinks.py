@@ -147,3 +147,105 @@ def test_tokenroute_sink_survives_task_retry(tmp_path):
     assert proc.returncode == 0, (proc.stdout[-800:], proc.stderr[-1500:])
     assert "PHASE1_FAILSTOP_CLEAN" in proc.stdout
     assert "PHASE2_EXACTLY_ONCE_AFTER_RETRY" in proc.stdout
+
+
+def test_tokenroute_commit_failstops_on_missing_winner(tmp_path):
+    """ADVICE r10: commit() must not silently skip a WINNING task's
+    rename when its temp file is gone — that would surface as missing
+    output rows. Exercised directly on the writer object (no session
+    needed: commit() is pure driver-side file logic)."""
+    import pytest
+
+    from oke_cassandra_spark_locality_demo_spark.sources.pyds import (
+        _TokenRouteCommit,
+        _TokenRouteWriter,
+    )
+
+    d = str(tmp_path)
+    w = _TokenRouteWriter(d, 4, None)
+    tmp = os.path.join(d, "_tmp-bucket=0-task=0-attempt=0.jsonl")
+    final = os.path.join(d, "bucket=0-task=0.jsonl")
+
+    # (a) winner temp missing AND final absent → loud failure
+    with pytest.raises(RuntimeError, match="winner temp"):
+        w.commit([_TokenRouteCommit([(tmp, final)])])
+
+    # (b) final already published (duplicate commit message / re-run
+    # over a committed epoch) → idempotent no-op, no raise
+    with open(final, "w") as f:
+        f.write('{"id": 0}\n')
+    w.commit([_TokenRouteCommit([(tmp, final)])])
+    assert os.path.exists(final)
+
+    # (c) normal path still renames and sweeps loser temps
+    with open(tmp, "w") as f:
+        f.write('{"id": 4}\n')
+    loser = os.path.join(d, "_tmp-bucket=1-task=9-attempt=0.jsonl")
+    with open(loser, "w") as f:
+        f.write("{}\n")
+    w.commit([_TokenRouteCommit([(tmp, final)])])
+    assert not os.path.exists(tmp) and not os.path.exists(loser)
+    with open(final) as f:
+        assert '"id": 4' in f.read()
+
+
+def test_bucketed_table_atexit_reclamation(tmp_path):
+    """ADVICE r10: q_join_bucketed's PID-suffixed managed tables must
+    not permanently leak warehouse directories — the registered atexit
+    hook reclaims this process's pairs, and a fork()ed child (different
+    PID) must NOT reclaim the parent's."""
+    from oke_cassandra_spark_locality_demo_spark.sources import ingest
+
+    wh = str(tmp_path)
+    names = ("orders_bkt_test", "lineitem_bkt_test")
+    for n in names:
+        os.makedirs(os.path.join(wh, n))
+    ingest._register_bucketed_cleanup(wh, names)
+    assert ingest._BUCKETED_HOOKED[0]
+
+    # PID guard: simulate the fork()ed-child case
+    real_pid = ingest._BUCKETED_OWNER_PID
+    try:
+        ingest._BUCKETED_OWNER_PID = real_pid + 1
+        ingest._reap_bucketed_tables()
+        assert all(os.path.isdir(os.path.join(wh, n)) for n in names)
+    finally:
+        ingest._BUCKETED_OWNER_PID = real_pid
+
+    # owner process reclaims
+    ingest._reap_bucketed_tables()
+    assert not any(os.path.isdir(os.path.join(wh, n)) for n in names)
+    for n in names:
+        ingest._BUCKETED_TABLES.discard((wh, n))
+
+
+def test_stream_stage_reaper_reclaims_superseded_copies(tmp_path):
+    """ADVICE r10: last-wins staging publication must reclaim
+    superseded events.{pid} copies past the grace period while never
+    touching the marker-named copy or anything recent enough to have
+    a live reader."""
+    from oke_cassandra_spark_locality_demo_spark.streaming import runtime
+
+    base = str(tmp_path)
+    old = runtime._STAGE_REAP_GRACE_SEC + 60
+    now = __import__("time").time()
+
+    def mkstage(name, age):
+        p = os.path.join(base, name)
+        os.makedirs(p, exist_ok=True)
+        os.utime(p, (now - age, now - age))
+        return p
+
+    keep = mkstage("events.100", old)          # marker-named, ancient
+    stale = mkstage("events.200", old)         # superseded, ancient
+    fresh = mkstage("events.300", 10)          # superseded, recent
+    orphan_tmp = os.path.join(base, "_staged_multi.999")
+    with open(orphan_tmp, "w") as f:
+        f.write("events.999")
+    os.utime(orphan_tmp, (now - old, now - old))
+
+    runtime._reap_stale_stages(base, keep="events.100")
+    assert os.path.isdir(keep), "marker-named copy must survive any age"
+    assert not os.path.isdir(stale), "ancient superseded copy must go"
+    assert os.path.isdir(fresh), "recent copy may have a live reader"
+    assert not os.path.exists(orphan_tmp), "orphaned marker temp must go"

@@ -143,3 +143,30 @@ def test_concurrent_write_back_drives_do_not_collide():
         if line.startswith("ROOT=")
     }
     assert len(roots) == 2, roots
+
+
+def test_fork_child_exit_does_not_delete_parent_root():
+    """ADVICE r10: a fork()ed child inherits the atexit hook AND the
+    parent-PID-named _ROOT; on a normal child exit an unguarded hook
+    would rmtree the PARENT's live scratch root. Runs in a standalone
+    subprocess (forking the pytest process itself would clone a live
+    JVM's calling thread)."""
+    script = (
+        "import os, sys\n"
+        "sys.path.insert(0, {repo!r})\n"
+        "from oke_cassandra_spark_locality_demo_spark import workdir\n"
+        "root = workdir.scratch_root('forktest')\n"
+        "pid = os.fork()\n"
+        "if pid == 0:\n"
+        "    sys.exit(0)  # normal exit -> child runs atexit hooks\n"
+        "os.waitpid(pid, 0)\n"
+        "assert os.path.isdir(root), 'child exit deleted parent root'\n"
+        "print('FORK_GUARD_OK')\n"
+    ).format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0 and "FORK_GUARD_OK" in proc.stdout, (
+        proc.stdout[-500:], proc.stderr[-1000:],
+    )
