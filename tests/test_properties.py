@@ -460,6 +460,8 @@ _ARROW_BATCHED_KEYS = [
     "q_sim_knn_blas", "q_sim_ivf_audit", "q_text_compress_ratio",
     "q_multimodal_binary", "q_multimodal_frames", "q_multimodal_resize",
     "q_sim_ivf", "q_sim_pq", "q_sim_pq_audit",
+    # r11: real PNG encode+decode, two mapInPandas stages
+    "q_multimodal_decode_real",
     # eager streaming (plan-invisible, still Arrow-batched):
     "q_stream_stateful", "q_stream_stateful_tws",
 ]
@@ -485,6 +487,9 @@ _ARROW_CALL_SITES = {
     "llm/multimodal.py": [
         "q_multimodal_audio_energy:mapInPandas",
         "q_multimodal_binary:mapInPandas",
+        # r11 real-decode tier: encode stage + decode stage
+        "q_multimodal_decode_real:mapInPandas",
+        "q_multimodal_decode_real:mapInPandas",
         "q_multimodal_frames:mapInPandas",
         "q_multimodal_phash:mapInPandas",
         "q_multimodal_resize:mapInPandas",

@@ -15,6 +15,17 @@ ANCHOR_TPCH_SF01 / ANCHOR_LLM_SF01. Re-run after ANY change to a
 section query's implementation — these are drift anchors for the
 CURRENT code, not progress anchors.
 
+CONTEXT CAVEAT (measured r11, and why the committed anchors were NOT
+produced by this tool alone): section timings are context-sensitive
+to the session state bench.py accumulates before reaching them —
+q_graph_kcore times 0.56 s in this tool's fresh-session loop but
+~3.3 s at its real bench position after 5×headline + 2×tpch (caches,
+broadcasts, JVM heap aging). The committed anchors are therefore the
+per-query MEDIAN over three contended-false FULL `python bench.py`
+runs (splice from the saved BENCH_DETAIL.json of each). Use this tool
+for quick relative comparisons of section queries, not for anchor
+re-baselining.
+
 Usage:
     python tools/measure_section_anchors.py [N_RUNS]
 """
