@@ -185,89 +185,19 @@ def _capped_broadcast(cand: DataFrame) -> DataFrame:
     return F.broadcast(cand) if cand.count() <= _CAND_BROADCAST_CAP else cand
 
 
-def _exec_memory_starved(spark: SparkSession) -> bool:
-    """True when the session runs under deliberate execution-memory
-    starvation (``spark.memory.fraction`` at or below 0.1 — the r10
-    perturbation sweep's extreme is 0.05, where the per-task execution
-    share can drop below ONE 256 KB Tungsten page once a stage holds
-    several concurrent memory consumers)."""
-    try:
-        frac = float(
-            spark.sparkContext.getConf().get("spark.memory.fraction", "0.6")
-        )
-    except (TypeError, ValueError):
-        return False
-    return frac <= 0.1
-
-
-def _stage_barrier(df: DataFrame) -> DataFrame:
-    """Memory-aware physical-plan barrier (VERDICT r10 item 3).
-
-    The shingle-explosion queries pipeline an exploded self-join into
-    a hash aggregation, so one stage holds several page-consuming
-    operators at once (two sort-merge sorts + the aggregate map +
-    shuffle buffers). At normal memory that pipelining is exactly what
-    we want — fewer materializations — but under deliberate starvation
-    (``spark.memory.fraction=0.05``: per-task share ≈ 200 KB) the
-    consumers divide a pool smaller than one 256 KB page each and the
-    stage fail-stops with UNABLE_TO_ACQUIRE_MEMORY (the r10 sweep's
-    only failure mode, 8 keys).
-
-    Under starvation — and ONLY then — this materializes the
-    intermediate with an eager DISK_ONLY localCheckpoint: the
-    downstream stage restarts from on-disk blocks with zero upstream
-    operators in its pipeline, so each stage's consumer count (and
-    hence its minimum memory to make progress) drops to one or two.
-    Results are bit-identical (same rows, lineage cut only); the
-    normal-memory path returns ``df`` untouched, so steady-state plans
-    and timings are unchanged. This is the memory-pressure analog of
-    AQE's runtime re-planning: trade pipelining for bounded footprint
-    when the budget demands it.
-    """
-    if not _exec_memory_starved(df.sparkSession):
-        return df
-    from pyspark.storagelevel import StorageLevel
-
-    # repartition(2) BEFORE the checkpoint: the downstream stage's
-    # active-task count equals the checkpointed partition count, and a
-    # task's guaranteed execution share is pool/(2·active_tasks). At
-    # the starvation extreme the protected storage region (broadcasts
-    # accumulated over a long sweep) can squat half the pool, leaving
-    # ~3.5 MB: 16 concurrent tasks divide that to the measured 216 KB
-    # grants — below ONE 256 KB Tungsten page — while 2 tasks are
-    # guaranteed ~870 KB each (first page + spill headroom, with up to
-    # 2× that grantable). The extra exchange is bypass-merge (≤200
-    # partitions: plain per-partition disk writers, zero execution-
-    # pool pages), so the barrier itself cannot starve; and the
-    # post-shuffle FINAL aggregations ride AQE partition coalescing
-    # down to similarly few tasks. Throughput is irrelevant on this
-    # path — the starved plan optimizes for guaranteed progress.
-    return df.repartition(2).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Starvation-aware persist for the memoized index/candidate
-    frames. ``cache()`` (MEMORY_AND_DISK) is right at normal memory,
-    but under deliberate starvation every cached block squats in the
-    unified pool's protected storage region
-    (``spark.memory.storageFraction`` of an already-tiny pool) and
-    denies execution the page it needs — the batch-order failures the
-    r10 sweep saw (a query green solo fail-stops after an earlier
-    query's caches land). DISK_ONLY keeps the reuse semantics with
-    zero storage-memory footprint; ``unpersist()`` in the memo
-    eviction works identically on both levels."""
-    if not _exec_memory_starved(df.sparkSession):
-        return df.cache()
-    from pyspark.storagelevel import StorageLevel
-
-    # repartition(2) for the same active-task arithmetic as
-    # _stage_barrier: every downstream partial aggregate/join over the
-    # pinned table runs at the pinned partition count, and 16-wide
-    # stages starve under the squatted pool where 2-wide stages are
-    # guaranteed multi-page shares.
-    return df.repartition(2).persist(StorageLevel.DISK_ONLY)
+#: Memory-aware physical-plan hardening (VERDICT r10 item 3): shared
+#: helpers live in memharden.py (q_maintenance_compact needed the same
+#: treatment, so the module moved up a level in late r11); the
+#: underscore aliases keep this file's many call sites and the test
+#: suite's references stable. Identity at normal memory; under
+#: spark.memory.fraction<=0.1 the shingle-explosion pipelines
+#: materialize intermediates DISK_ONLY at 2-partition parallelism so
+#: every stage's page-consumer count and active-task share stay above
+#: Spark's 256 KB minimum page. See memharden.py for the measured
+#: arithmetic.
+from ..memharden import exec_memory_starved as _exec_memory_starved
+from ..memharden import pin as _pin
+from ..memharden import stage_barrier as _stage_barrier
 
 
 def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
@@ -1391,11 +1321,13 @@ def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
     grams = _spread(docs.filter(F.col("n_tokens") >= K)).select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
     )
-    gh = grams.select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.xxhash64("gram").alias("h1"),
-        F.xxhash64(F.lit("span-seed-2"), F.col("gram")).alias("h2"),
+    gh = _stage_barrier(
+        grams.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.lit("span-seed-2"), F.col("gram")).alias("h2"),
+        )
     )
     dup = (
         gh.groupBy("h1", "h2")
@@ -1403,7 +1335,7 @@ def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .select("h1", "h2")
     )
-    pos = gh.join(dup, ["h1", "h2"]).select("doc_id", "pos")
+    pos = _stage_barrier(gh.join(dup, ["h1", "h2"]).select("doc_id", "pos"))
     w = W.partitionBy("doc_id").orderBy("pos")
     lag = F.lag("pos").over(w)
     sp = pos.withColumn(

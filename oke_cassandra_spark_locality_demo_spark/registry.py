@@ -311,7 +311,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix", "q_contamination",
     "q_dedup_minhash", "q_dedup_minhash_audit",
     "q_dedup_incremental_fuzzy", "q_dedup_containment",
-    "q_split_leakage", "q_dedup_clusters",
+    "q_split_leakage", "q_dedup_clusters", "q_dedup_span",
+    # sources/ingest.py: starved-width exchanges for the dynamic-
+    # partition writes + audits (memharden.starved_parts)
+    "q_maintenance_compact",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load, register_views
+from ..memharden import starved_parts
 from ..registry import EVENTS_US, register
 from ..workdir import scratch_root
 
@@ -586,18 +587,33 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumn(
         "shard", F.pmod(F.col("user_id"), F.lit(16))
     )
+    # Memory-aware stage width (memharden.starved_parts): the dynamic-
+    # partition write sorters and the countDistinct audits starve at
+    # 16-wide stages under the fraction=0.05 extreme; narrowing the
+    # exchanges to 2 keeps per-task shares above one Tungsten page.
+    # File counts are UNCHANGED either way — a hash repartition on the
+    # partition columns lands each leaf's rows in exactly one task
+    # regardless of partition count, so the oracle-checked n_files
+    # stays a pure function of the data. stage_barrier is NOT usable
+    # here: the audits read input_file_name(), which checkpointed
+    # blocks no longer carry.
+    n = starved_parts(spark)
+    rep_args_frag = ([n] if n else []) + ["event_type", "shard"]
+    rep_args_comp = ([n] if n else []) + ["event_type"]
     small = _out("events_fragmented")
-    e.repartition("event_type", "shard").write.mode("overwrite").partitionBy(
+    e.repartition(*rep_args_frag).write.mode("overwrite").partitionBy(
         "event_type", "shard"
     ).parquet(small)
 
     frag = spark.read.parquet(small)
     compacted = _out("events_compacted")
-    frag.repartition("event_type").write.mode("overwrite").partitionBy(
+    frag.repartition(*rep_args_comp).write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(compacted)
 
     def audit(df: DataFrame, phase: str) -> DataFrame:
+        if n:
+            df = df.coalesce(n)  # narrow op: input_file_name survives
         return (
             df.withColumn("f", F.input_file_name())
             .groupBy("event_type")

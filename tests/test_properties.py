@@ -299,14 +299,19 @@ def test_driver_sample_prefix_is_oracle_backed():
     # rotation must never waste a sampled slot re-grading an
     # already-adjudicated key unless that key was modified this round
     # (the honesty guard is the ONLY legitimate reason for a repeat).
-    # "remaining" = never-adjudicated keys NOT already fronted this
-    # round (a fronted key has its slot; it isn't waiting on one)
+    # "remaining" = never-adjudicated keys NOT already holding a
+    # sampled slot this round (a fronted OR fresh-ordered key inside
+    # the 50-slot prefix has its slot; it isn't waiting on one — the
+    # r11 shape: a brand-new key rides the fresh_oracle tier ahead of
+    # the stalest-first fill, so its presence must not forbid the
+    # spare-slot re-grades behind it)
     never_adjudicated = [
         k
         for k in q
         if k not in registry._DRIVER_ADJUDICATED
         and k not in registry._ROUND_PRIORITY
         and k not in registry._MODIFIED_THIS_ROUND
+        and k not in q[:50]
     ]
     repeats = [
         k
