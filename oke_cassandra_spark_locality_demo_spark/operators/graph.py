@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import release_checkpoint, tracked_local_checkpoint
 from ..catalog import load
 from ..registry import register
 
@@ -105,12 +106,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = edges.withColumn(
         "wn", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("src"))
-    ).select("src", "dst", "wn").localCheckpoint()
+    ).select("src", "dst", "wn")
+    w = tracked_local_checkpoint(w)
 
     n = nation.count()
-    ranks = nation.select(
-        F.col("n_nationkey").alias("id"), F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
+    ranks = tracked_local_checkpoint(
+        nation.select(
+            F.col("n_nationkey").alias("id"), F.lit(1.0 / n).alias("rank")
+        )
+    )
 
     for _ in range(_ITERS):
         contrib = (
@@ -118,7 +122,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("wn") * F.col("rank")).alias("contrib"))
         )
-        ranks = (
+        new_ranks = tracked_local_checkpoint(
             ranks.select("id")
             .join(contrib, "id", "left")
             .select(
@@ -127,8 +131,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
                  ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # the new iterate is fully materialized (eager checkpoint), so
+        # the previous round's block set is provably dead — release it
+        # instead of pinning O(rounds) superseded sets until periodic
+        # GC (ckpt.py safety contract)
+        release_checkpoint(ranks)
+        ranks = new_ranks
+    # the edge table is loop-only state: the returned plan reads ranks
+    # and nation exclusively
+    release_checkpoint(w)
 
     return (
         ranks.join(nation, ranks.id == nation.n_nationkey)
@@ -352,29 +364,44 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # both directions, materialized once: every round joins this table
-    ed = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ed = tracked_local_checkpoint(
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     # one scalar to the driver: the source vertex id (bounded, like the
     # corpus-total scalars elsewhere in the repo)
     source = ed.agg(F.min("u")).collect()[0][0]
-    frontier = spark.createDataFrame(
-        [(int(source), 0)], "n: long, hop: int"
-    ).localCheckpoint()
+    frontier = tracked_local_checkpoint(
+        spark.createDataFrame([(int(source), 0)], "n: long, hop: int")
+    )
     visited = frontier
     for hop in range(1, _BFS_CAP + 1):
-        nxt = (
+        nxt = tracked_local_checkpoint(
             frontier.join(ed, frontier.n == ed.u)
             .select(F.col("v").alias("n"))
             .distinct()
             .join(visited, "n", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .localCheckpoint()
         )
         if nxt.isEmpty():
+            # the empty frontier is dead on arrival; the loop state the
+            # return needs (visited) is already materialized
+            release_checkpoint(nxt)
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        new_visited = tracked_local_checkpoint(visited.unionAll(nxt))
+        # superseded-state release (ckpt.py): old visited is subsumed
+        # by the materialized union; the old frontier was consumed by
+        # both nxt and the union. Round 1's frontier IS visited —
+        # release once, not twice.
+        release_checkpoint(visited)
+        if frontier is not visited:
+            release_checkpoint(frontier)
+        visited = new_visited
         frontier = nxt
+    # edges are loop-only state; the final frontier (if the cap ended
+    # the loop) is part of visited already
+    release_checkpoint(ed)
+    if frontier is not visited:
+        release_checkpoint(frontier)
     return visited.select(
         F.col("n").alias("part"), F.col("hop").cast("long").alias("hop")
     ).orderBy("part")
@@ -466,10 +493,12 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive CTE reach-pairs, MIN per node), which checks the
     iteration against the DEFINITION rather than a re-implementation.
     All-integer emissions (part, component = min part id, comp_size)."""
-    ed = _jan_edges(spark, sf_dir).localCheckpoint()
-    lbl = ed.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
+    ed = tracked_local_checkpoint(_jan_edges(spark, sf_dir))
+    lbl = tracked_local_checkpoint(
+        ed.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+    )
     prev_sum = None
     for _ in range(_CC_CAP):
         nbr = (
@@ -487,20 +516,25 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         jt = stepped.select(
             F.col("node").alias("jn"), F.col("lbl").alias("jl")
         )
-        lbl = (
+        new_lbl = tracked_local_checkpoint(
             stepped.join(jt, stepped.lbl == jt.jn, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
         )
+        # superseded-state release (ckpt.py): the new iterate is fully
+        # materialized, the old label set is provably dead
+        release_checkpoint(lbl)
+        lbl = new_lbl
         cur = lbl.agg(F.sum("lbl")).collect()[0][0]
         if cur == prev_sum:
             break
         prev_sum = cur
     else:
         raise RuntimeError(f"q_graph_cc: no fixpoint within {_CC_CAP} rounds")
+    # the edge table is loop-only state: the returned plan reads lbl only
+    release_checkpoint(ed)
     sizes = lbl.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("comp_size")
     )
@@ -666,19 +700,23 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer (part, core_degree within the 5-core, full_degree).
     Reference analog: none — target-only capability (the reference's
     query surface is userdata/cloudinit.sh:346-351)."""
-    ed = _jan_edges(spark, sf_dir).localCheckpoint()
-    nodes = ed.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    ed = tracked_local_checkpoint(_jan_edges(spark, sf_dir))
+    nodes = tracked_local_checkpoint(
+        ed.select(F.col("u").alias("n")).distinct()
+    )
     prev = nodes.count()
     for _ in range(_KCORE_CAP):
         e2 = ed.join(nodes, ed.u == nodes.n, "left_semi").join(
             nodes, ed.v == nodes.n, "left_semi"
         )
         deg = e2.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-        nodes = (
-            deg.filter(F.col("d") >= _KCORE_K)
-            .select(F.col("u").alias("n"))
-            .localCheckpoint()
+        new_nodes = tracked_local_checkpoint(
+            deg.filter(F.col("d") >= _KCORE_K).select(F.col("u").alias("n"))
         )
+        # superseded-state release (ckpt.py); ed stays — the returned
+        # core_e/full_deg plans read it
+        release_checkpoint(nodes)
+        nodes = new_nodes
         cur = nodes.count()
         if cur == prev:
             break
@@ -864,9 +902,11 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = F.expr("1000000 DIV cnt")
-    we = e.select("u", "v", w.alias("w")).unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w"))
-    ).localCheckpoint()
+    we = tracked_local_checkpoint(
+        e.select("u", "v", w.alias("w")).unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), w.alias("w"))
+        )
+    )
     src = (
         we.groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -881,7 +921,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v").alias("cnode"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        r = (
+        new_r = tracked_local_checkpoint(
             r.join(cand, r.node == cand.cnode, "full")
             .select(
                 F.coalesce("node", "cnode").alias("node"),
@@ -890,8 +930,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("cand", F.lit(_SSSP_INF)),
                 ).alias("dist"),
             )
-            .localCheckpoint()
         )
+        # superseded-state release (ckpt.py); round 0's r is an
+        # untracked in-memory literal — release_checkpoint no-ops
+        release_checkpoint(r)
+        r = new_r
+    # the weighted edge table is loop-only state
+    release_checkpoint(we)
     return r.select(F.col("node").alias("part"), F.col("dist").alias("dist_cost")).orderBy("part")
 
 

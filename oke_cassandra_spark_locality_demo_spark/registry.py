@@ -315,6 +315,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # sources/ingest.py: starved-width exchanges for the dynamic-
     # partition writes + audits (memharden.starved_parts)
     "q_maintenance_compact",
+    # operators/graph.py: tracked localCheckpoints with superseded-
+    # round release (ckpt.py) in the five iterative ops
+    "q_graph_pagerank", "q_graph_bfs", "q_graph_cc", "q_graph_kcore",
+    "q_graph_sssp",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed

@@ -163,3 +163,44 @@ def test_sample_hash_matches_bruteforce(spark, sf_dir):
     for stratum, design in (("R", 0.2), ("other", 0.1)):
         rate = kept[stratum] / totals[stratum]
         assert design / 3 < rate < design * 3, (stratum, rate)
+
+
+class TestCheckpointRelease:
+    """r11: iterative graph operators must not pin superseded per-round
+    localCheckpoint block sets until the JVM's periodic GC — ckpt.py
+    releases each round's state once the next round's eager checkpoint
+    materializes. Residue per invocation = only the blocks the RETURNED
+    plan still needs (kcore: edges + final nodes = 2; the others: 1)."""
+
+    def test_tracked_checkpoint_release_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from oke_cassandra_spark_locality_demo_spark import ckpt
+
+        before = ckpt._persistent_ids(spark)
+        df = ckpt.tracked_local_checkpoint(
+            spark.range(1000).withColumn("x", F.col("id") * 2)
+        )
+        ids = getattr(df, ckpt._IDS_ATTR)
+        assert ids and set(ids).isdisjoint(before)
+        assert df.count() == 1000
+        ckpt.release_checkpoint(df)
+        assert ckpt._persistent_ids(spark).isdisjoint(ids)
+        # released frames and untracked frames are both no-ops
+        ckpt.release_checkpoint(df)
+        ckpt.release_checkpoint(spark.range(3))
+        ckpt.release_checkpoint(None)
+
+    def test_iterative_ops_bounded_checkpoint_residue(self, spark, sf_dir):
+        from oke_cassandra_spark_locality_demo_spark import ckpt
+        from oke_cassandra_spark_locality_demo_spark.registry import get
+
+        budgets = {"q_graph_kcore": 2, "q_graph_cc": 1, "q_graph_sssp": 1}
+        for name, budget in budgets.items():
+            before = len(ckpt._persistent_ids(spark))
+            get(name).fn(spark, sf_dir).count()
+            after = len(ckpt._persistent_ids(spark))
+            # ContextCleaner may reclaim older garbage concurrently, so
+            # the count can DROP; it must never grow past the per-
+            # invocation budget (pre-r11 kcore grew by ~2 + rounds)
+            assert after - before <= budget, (name, before, after)
