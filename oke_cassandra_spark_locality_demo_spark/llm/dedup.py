@@ -195,6 +195,7 @@ def _capped_broadcast(cand: DataFrame) -> DataFrame:
 #: every stage's page-consumer count and active-task share stay above
 #: Spark's 256 KB minimum page. See memharden.py for the measured
 #: arithmetic.
+from ..ckpt import release_checkpoint, tracked_local_checkpoint
 from ..memharden import exec_memory_starved as _exec_memory_starved
 from ..memharden import pin as _pin
 from ..memharden import stage_barrier as _stage_barrier
@@ -930,12 +931,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once: every propagation round joins edges, and
         # without the checkpoint each round lazily re-evaluates the whole
         # jaccard pipeline behind it
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(20):  # diameter bound; fixture converges in ≤3
         nbr_min = (
@@ -943,7 +943,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        new_labels = tracked_local_checkpoint(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -951,7 +951,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -960,6 +959,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # superseded-round release (ckpt.py): the changed-count action
+        # above was the old label set's last reader
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -970,6 +972,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_dedup_clusters: min-label propagation did not converge "
             "within 20 rounds — component diameter exceeds the bound"
         )
+    # edges are loop-only state: the returned plan reads labels only
+    release_checkpoint(edges)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
