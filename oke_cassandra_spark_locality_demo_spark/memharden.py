@@ -67,9 +67,40 @@ def exec_memory_starved(spark: SparkSession) -> bool:
     return frac <= STARVED_FRACTION_MAX
 
 
+#: application ids whose session confs were already narrowed
+_TUNED_APPS: set[str] = set()
+
+
+def _ensure_starved_session_tuning(spark: SparkSession) -> None:
+    """Narrow the session's post-shuffle width once starvation is
+    detected (idempotent, per app).
+
+    The barriers control MAP-side stage width via their checkpoint
+    partition count, but every post-shuffle stage (final aggregations,
+    sort-merge joins) runs at ``spark.sql.shuffle.partitions`` — AQE
+    normally coalesces those down over the fixture's tiny shuffles,
+    but with AQE disabled (a swept environment axis) they stay
+    16-wide and starve exactly like the map side did (measured:
+    starvation + adaptive=false fail-stopped 5 hardened keys that are
+    green under either flip alone). ``spark.memory.fraction`` is a
+    static conf, so a starved session is starved for its whole
+    lifetime — narrowing the runtime-settable shuffle width
+    session-wide is therefore sound, and result-invariant: the r9
+    single-reducer sweep (shuffle.partitions=1) is oracle-green over
+    the entire registry."""
+    app = spark.sparkContext.applicationId
+    if app in _TUNED_APPS:
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(STARVED_PARTS))
+    _TUNED_APPS.add(app)
+
+
 def starved_parts(spark: SparkSession) -> int | None:
     """STARVED_PARTS under starvation, else None (use natural width)."""
-    return STARVED_PARTS if exec_memory_starved(spark) else None
+    if not exec_memory_starved(spark):
+        return None
+    _ensure_starved_session_tuning(spark)
+    return STARVED_PARTS
 
 
 def stage_barrier(df: DataFrame) -> DataFrame:
@@ -81,6 +112,7 @@ def stage_barrier(df: DataFrame) -> DataFrame:
         return df
     from pyspark.storagelevel import StorageLevel
 
+    _ensure_starved_session_tuning(df.sparkSession)
     return df.repartition(STARVED_PARTS).localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
@@ -94,4 +126,5 @@ def pin(df: DataFrame) -> DataFrame:
         return df.cache()
     from pyspark.storagelevel import StorageLevel
 
+    _ensure_starved_session_tuning(df.sparkSession)
     return df.repartition(STARVED_PARTS).persist(StorageLevel.DISK_ONLY)

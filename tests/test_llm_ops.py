@@ -1144,3 +1144,28 @@ class TestRealImageDecode:
             assert r.row0_red_sum == sum(
                 (r.doc_id * 31 + x * 7) % 256 for x in range(w)
             )
+
+
+def test_starved_session_tuning_is_gated_and_idempotent(spark):
+    """The starved path's session narrowing must never fire at normal
+    memory (the live test session), and its bookkeeping must be
+    per-app idempotent."""
+    from oke_cassandra_spark_locality_demo_spark import memharden
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert memharden.starved_parts(spark) is None
+    df = spark.range(10)
+    assert memharden.stage_barrier(df) is df
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    app = spark.sparkContext.applicationId
+    assert app not in memharden._TUNED_APPS
+    # direct call is idempotent and reversible for the test session
+    try:
+        memharden._ensure_starved_session_tuning(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            memharden.STARVED_PARTS
+        )
+        memharden._ensure_starved_session_tuning(spark)  # no-op repeat
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        memharden._TUNED_APPS.discard(app)
