@@ -755,8 +755,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out cap are module constants with the occupancy scale table —
     see the SIMHASH_* block above."""
     d = load(spark, sf_dir, "documents")
-    words = _spread(d).select(
-        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    words = _stage_barrier(
+        _spread(d).select(
+            "doc_id",
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+        )
     )
     h = F.xxhash64("w")
     # per-bit contribution: +1 if bit set else -1; sum over words; sign → bit
@@ -797,6 +800,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    bands = _stage_barrier(bands)
     # fan-out guard: a band-bucket above the occupancy cap would emit
     # ~occ²/2 pairs; drop it instead (degenerate boilerplate or a
     # saturated band — the scale table above says when to re-band).

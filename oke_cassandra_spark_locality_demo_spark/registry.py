@@ -319,6 +319,8 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # round release (ckpt.py) in the five iterative ops
     "q_graph_pagerank", "q_graph_bfs", "q_graph_cc", "q_graph_kcore",
     "q_graph_sssp",
+    # llm/dedup.py: simhash stage barriers (local[32] starvation)
+    "q_dedup_simhash",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed

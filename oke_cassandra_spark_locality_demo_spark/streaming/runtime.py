@@ -111,6 +111,16 @@ def _reap_stale_stages(base: str, keep: str) -> None:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the staged events directory (schema from batch)."""
+    from ..memharden import starved_parts
+
+    # Streaming state partitioning is fixed at query start from
+    # spark.sql.shuffle.partitions, and AQE never re-plans stateful
+    # stages — under deliberate execution-memory starvation a 32-wide
+    # state store starves exactly like the batch stages memharden
+    # barriers (measured: q_stream_stateful_tws fail-stops at
+    # local[32] + fraction=0.05). starved_parts() applies the same
+    # session narrowing the batch path uses (no-op at normal memory).
+    starved_parts(spark)
     src = stage_events_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(src)
@@ -138,4 +148,11 @@ def run_streaming_query(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    from ..memharden import stage_barrier
+
+    # memharden barrier on the sink read (identity at normal memory):
+    # memory-sink tables scan at the master's full width, and a
+    # 32-wide post-sink partial aggregate fail-stops at the
+    # local[32] + fraction=0.05 extreme — every streaming key's batch
+    # post-processing starts narrow from here instead
+    return stage_barrier(spark.table(name))

@@ -251,6 +251,7 @@ def q_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
 
+        # run_streaming_query barriers the sink read under starvation
         result = run_streaming_query(spark, sf_dir, xf, output_mode="update")
         return result.groupBy("user_id").agg(
             F.max("events_seen").alias("events_seen"),
