@@ -322,6 +322,33 @@ IDLE_RETRY_CYCLES = 1
 #: after the retry, the run is flagged contended.
 OUTLIER_RATIO = 2.0
 
+#: Absolute-delta floor for the outlier RETRY/FLAG machinery (r11): a
+#: purely relative gate on sub-second anchors turns this VM's bursty
+#: fixed-overhead swings into 2-3x "outliers" (three consecutive r11
+#: closing runs flagged on 0.22-0.42 s-anchor llm keys while every
+#: median was clean; the cleanest case — q_drift_jsd, a 5x25-row
+#: micro-query whose wall time is pure scheduling/JIT overhead — read
+#: 0.42 s in the anchor window and 1.15-1.53 s in later idle windows
+#: with identical code, a ±0.7-1.1 s overhead swing). A query must
+#: exceed OUTLIER_RATIO x anchor AND run this many seconds over its
+#: anchor to trigger a retry or flag the run: only changes that
+#: matter at suite scale gate the verdict. Raw ratios are always
+#: recorded, so sub-second drift stays visible in the artifact; the
+#: median rule still catches uniform contention, and the 10x scaling
+#: probe (SCALING_PROBE_FULL) catches algorithmic blowups
+#: independently of wall-clock anchors.
+OUTLIER_MIN_ABS_SEC = 1.0
+
+
+def is_outlier(timing: float, anchor: float) -> bool:
+    """ratio-above-gate AND absolute-delta-above-floor (see
+    OUTLIER_MIN_ABS_SEC)."""
+    return (
+        timing > 0
+        and timing / anchor > OUTLIER_RATIO
+        and timing - anchor > OUTLIER_MIN_ABS_SEC
+    )
+
 
 def contended_verdict(
     median_ratio: float | None,
@@ -346,7 +373,10 @@ def contended_verdict(
         return True
     for sec in sections:
         med = sec.get("median_ratio_vs_anchor")
-        mx = sec.get("max_ratio_vs_anchor")
+        # the FLOORED max (flag_max_ratio_vs_anchor) is the gating
+        # value; the raw max stays in the artifact for visibility but
+        # sub-second noise deltas must not flag the run (r11)
+        mx = sec.get("flag_max_ratio_vs_anchor")
         if med is not None and med > 1.5:
             return True
         if mx is not None and mx > OUTLIER_RATIO:
@@ -381,7 +411,7 @@ def retime_outliers(
     anchors = ANCHOR_SF01 if anchors is None else anchors
     retries: dict[str, list[float]] = {}
     for q in sorted(ratios):
-        if ratios[q] > OUTLIER_RATIO and q in anchors:
+        if q in anchors and is_outlier(timings.get(q, -1), anchors[q]):
             fresh = retime_one(q)
             retries[q] = [timings[q], round(fresh, 3)]
             if fresh > 0:
@@ -434,12 +464,30 @@ def section_check(
     mx = round(max(ratios.values()), 3) if ratios else None
     return {
         "median_ratio_vs_anchor": med,
+        # raw max: always recorded for visibility
         "max_ratio_vs_anchor": mx,
+        # floored max: the value the contended verdict gates on — only
+        # queries past BOTH the ratio gate and the absolute floor
+        # count (is_outlier)
+        "flag_max_ratio_vs_anchor": flagworthy_max(ratios, anchors),
         "post_retry_max_ratio_vs_anchor": post_retry_max_ratio(
             retries, anchors
         ),
         "outlier_retries": len(retries),
     }
+
+
+def flagworthy_max(
+    ratios: dict[str, float], anchors: dict[str, float]
+) -> float | None:
+    """Max ratio among queries that clear BOTH outlier gates (ratio +
+    absolute floor); None when no query does."""
+    vals = [
+        r
+        for q, r in ratios.items()
+        if q in anchors and is_outlier(r * anchors[q], anchors[q])
+    ]
+    return round(max(vals), 3) if vals else None
 
 
 def wait_until_idle() -> float:
@@ -599,6 +647,8 @@ def main() -> None:
     # secondary suites (VERDICT r10 #1).
     median_ratio = round(statistics.median(ratios.values()), 3) if ratios else None
     max_ratio = round(max(ratios.values()), 3) if ratios else None
+    # verdict gates on the floored max (is_outlier); raw max recorded
+    flag_max = flagworthy_max(ratios, ANCHOR_SF01)
     tpch_check = section_check(tpch_ratios, tpch_retries, ANCHOR_TPCH_SF01)
     llm_check = section_check(llm_ratios, llm_retries, ANCHOR_LLM_SF01)
     load_check = {
@@ -606,13 +656,14 @@ def main() -> None:
         "loadavg_post_warmup": round(load_post_warmup, 2),
         "median_ratio_vs_anchor": median_ratio,
         "max_ratio_vs_anchor": max_ratio,
+        "flag_max_ratio_vs_anchor": flag_max,
         "post_retry_max_ratio_vs_anchor": post_retry_max_ratio(
             outlier_retries, ANCHOR_SF01
         ),
         "outlier_retries": outlier_retries,
         "sections": {"tpch": tpch_check, "llm": llm_check},
         "contended": contended_verdict(
-            median_ratio, load_gate_open, max_ratio,
+            median_ratio, load_gate_open, flag_max,
             sections=(tpch_check, llm_check),
         ),
     }

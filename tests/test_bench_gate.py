@@ -103,8 +103,8 @@ def test_retime_outliers_reruns_only_outliers_and_keeps_min():
     recomputed from it, and the retry is recorded even when the
     original stands."""
     anchor = bench.ANCHOR_SF01
-    q_out = "q_dedup_exact"     # the r9 outlier, anchor 0.248
-    q_ok = "q_agg_hash"         # anchor 0.333
+    q_out = "q_dedup_ngram_jaccard"  # anchor 1.246: 2.718x clears the
+    q_ok = "q_agg_hash"              # 0.5 s absolute floor too (r11)
     timings = {q_out: round(anchor[q_out] * 2.718, 3),
                q_ok: round(anchor[q_ok] * 0.95, 3)}
     ratios = {q: round(timings[q] / anchor[q], 3) for q in timings}
@@ -209,8 +209,16 @@ def test_summary_line_degrades_rather_than_overruns():
     assert parsed["value"] == 1.0
 
 
-def _mk_section(med, mx):
+_SAME_AS_RAW = object()
+
+
+def _mk_section(med, mx, flag_mx=_SAME_AS_RAW):
+    # flag_mx defaults to mx: in real section_check output the floored
+    # flag value equals the raw max whenever the outliers are
+    # floor-clearing (the shapes these tests model); pass None
+    # explicitly for the sub-floor-noise shape
     return {"median_ratio_vs_anchor": med, "max_ratio_vs_anchor": mx,
+            "flag_max_ratio_vs_anchor": mx if flag_mx is _SAME_AS_RAW else flag_mx,
             "post_retry_max_ratio_vs_anchor": None, "outlier_retries": 0}
 
 
@@ -234,6 +242,11 @@ def test_contended_verdict_folds_section_checks():
     # unanchored section (None medians, e.g. non-sf0.1 run) never flags
     assert contended(0.95, 0.5, 1.1,
                      sections=(_mk_section(None, None),)) is False
+    # a raw max past the gate whose delta sat UNDER the absolute floor
+    # (flag_max None) must not flag — sub-second noise, r11
+    assert contended(0.95, 0.5, 1.1,
+                     sections=(_mk_section(1.0, 2.6, flag_mx=None),
+                               )) is False
     # no sections passed: behavior identical to the r9 form
     assert contended(0.95, 0.5, 1.1) is False
 
@@ -322,3 +335,34 @@ def test_summary_line_fits_with_section_checks():
     assert len(line) <= bench.SUMMARY_LINE_BUDGET, len(line)
     parsed = json.loads(line)
     assert parsed["load_check"]["sections"]["tpch"]["outlier_retries"] == 22
+
+
+def test_outlier_floor_suppresses_subsecond_noise():
+    """r11: both closing bench runs flagged on sub-second llm keys with
+    ~0.4 s absolute deltas while every median was clean — a relative
+    gate needs an absolute floor. A 2.7x blip on a 0.25 s anchor is
+    noise; the same ratio on a 1.2 s anchor is worth a retry/flag."""
+    assert bench.is_outlier(0.674, 0.248) is False      # r9's exact shape
+    assert bench.is_outlier(3.387, 1.246) is True       # big-query 2.7x
+    assert bench.is_outlier(0.70, 0.283) is False       # the r11 ohlc blip
+    # drift_jsd's folded (min-of-windows) value during the measured
+    # overhead swing: 2.7x ratio but a 0.73 s delta — under the floor
+    assert bench.is_outlier(1.154, 0.421) is False
+    assert bench.is_outlier(-1.0, 0.3) is False         # failure clamp
+
+    # flagworthy_max: only floor-clearing outliers gate the verdict
+    anchors = {"small": 0.28, "big": 1.2}
+    ratios = {"small": 2.5, "big": 2.5}
+    assert bench.flagworthy_max(ratios, anchors) == 2.5
+    assert bench.flagworthy_max({"small": 2.5}, anchors) is None
+    assert bench.flagworthy_max({}, anchors) is None
+
+    # retime_outliers respects the floor: the small-anchor 2.5x query
+    # is not re-timed
+    timings = {"small": 0.70, "big": 3.0}
+    calls = []
+    t, r, retries = bench.retime_outliers(
+        timings, dict(ratios), lambda q: calls.append(q) or 1.0,
+        anchors=anchors,
+    )
+    assert calls == ["big"] and "small" not in retries
