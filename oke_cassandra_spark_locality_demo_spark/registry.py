@@ -331,6 +331,19 @@ _MODIFIED_THIS_ROUND: list[str] = [
 #: re-adjudicates roughly every 8-10 rounds with no bookkeeping
 #: beyond the per-round _MODIFIED reset and the post-CORRECTNESS
 #: append-to-tail (see the list docstring above).
+#:
+#: ROUND-12 PLAYBOOK (after CORRECTNESS_r11 lands): (1) MOVE r11's 50
+#: graded keys to the tail of _DRIVER_ADJUDICATED_ORDERED in the
+#: CORRECTNESS_r11 order, appending q_multimodal_decode_real (new in
+#: r11) wherever it lands in that order; (2) reset
+#: _MODIFIED_THIS_ROUND to whatever r12 actually touches; (3) repin
+#: tools/canary_adjudicated.py's round in test_canary.py (pool 401);
+#: (4) if any bench SECTION query's implementation changes, re-derive
+#: ANCHOR_TPCH_SF01/ANCHOR_LLM_SF01 as the per-query median over 3
+#: contended-false FULL bench.py runs (bench.py docstring — NOT the
+#: standalone tool loop); the r11 anchors slightly predate the
+#: ckpt-release speedup, so llm ratios may read ~0.9 — conservative
+#: direction, re-baseline opportunistically.
 _ROUND_PRIORITY: list[str] = []
 
 
