@@ -91,7 +91,8 @@ REPEATS = 5
 #: single-query-spiked on a real plan regression.
 #:
 #: Measured as the per-query MEDIAN over three contended-false FULL
-#: bench.py runs (r11 HEAD, idle host) — NOT over standalone section
+#: bench.py runs (re-baselined at the r11 CLOSING tree — after the
+#: ckpt-release and memharden work — idle host) — NOT over standalone section
 #: loops: section timings are context-sensitive to the session state
 #: the headline/tpch passes accumulate before them (measured r11:
 #: q_graph_kcore runs 0.56 s in a fresh session but ~3.3 s at its
@@ -103,77 +104,77 @@ REPEATS = 5
 #: runs, splice the medians (tools/measure_section_anchors.py
 #: documents both recipes).
 ANCHOR_TPCH_SF01 = {
-    "q_tpch_q1": 0.359,
-    "q_tpch_q2": 1.35,
-    "q_tpch_q3": 1.059,
-    "q_tpch_q4": 0.807,
-    "q_tpch_q5": 1.219,
-    "q_tpch_q6": 0.267,
-    "q_tpch_q7": 1.091,
-    "q_tpch_q8": 1.311,
-    "q_tpch_q9": 1.048,
-    "q_tpch_q10": 0.891,
-    "q_tpch_q11": 0.726,
-    "q_tpch_q12": 0.506,
-    "q_tpch_q13": 0.505,
-    "q_tpch_q14": 0.342,
-    "q_tpch_q15": 0.483,
-    "q_tpch_q16": 0.413,
-    "q_tpch_q17": 0.614,
-    "q_tpch_q18": 0.718,
-    "q_tpch_q19": 0.444,
-    "q_tpch_q20": 0.994,
-    "q_tpch_q21": 1.863,
-    "q_tpch_q22": 0.445,
+    "q_tpch_q1": 0.358,
+    "q_tpch_q2": 0.819,
+    "q_tpch_q3": 0.84,
+    "q_tpch_q4": 0.788,
+    "q_tpch_q5": 1.157,
+    "q_tpch_q6": 0.23,
+    "q_tpch_q7": 1.039,
+    "q_tpch_q8": 1.171,
+    "q_tpch_q9": 0.848,
+    "q_tpch_q10": 0.796,
+    "q_tpch_q11": 0.702,
+    "q_tpch_q12": 0.552,
+    "q_tpch_q13": 0.555,
+    "q_tpch_q14": 0.321,
+    "q_tpch_q15": 0.518,
+    "q_tpch_q16": 0.36,
+    "q_tpch_q17": 0.617,
+    "q_tpch_q18": 0.701,
+    "q_tpch_q19": 0.377,
+    "q_tpch_q20": 0.836,
+    "q_tpch_q21": 1.404,
+    "q_tpch_q22": 0.377,
 }
 
 ANCHOR_LLM_SF01 = {
-    "q_dedup_span": 2.007,
-    "q_dedup_containment": 2.459,
-    "q_dedup_minhash": 1.96,
-    "q_dedup_simhash": 4.603,
-    "q_text_bm25": 0.776,
-    "q_shuffle_epoch": 0.386,
-    "q_agg_sketch_theta": 1.117,
-    "q_sim_lsh": 1.115,
-    "q_sample_weighted": 0.197,
-    "q_pack_sequences": 0.173,
-    "q_multimodal_resize": 0.448,
-    "q_text_bpe_train": 0.661,
-    "q_text_bpe_encode": 0.431,
-    "q_text_boilerplate": 0.984,
-    "q_join_asof_tolerance": 0.282,
-    "q_dedup_incremental_fuzzy": 1.436,
-    "q_corpus_card": 0.267,
-    "q_text_perplexity_bigram": 1.363,
-    "q_text_bpe_fertility": 0.552,
-    "q_privacy_kanon": 0.212,
-    "q_select_dsir": 1.237,
-    "q_order_curriculum": 0.268,
+    "q_dedup_span": 1.922,
+    "q_dedup_containment": 2.395,
+    "q_dedup_minhash": 1.832,
+    "q_dedup_simhash": 3.681,
+    "q_text_bm25": 0.687,
+    "q_shuffle_epoch": 0.39,
+    "q_agg_sketch_theta": 0.961,
+    "q_sim_lsh": 0.966,
+    "q_sample_weighted": 0.185,
+    "q_pack_sequences": 0.15,
+    "q_multimodal_resize": 0.311,
+    "q_text_bpe_train": 0.346,
+    "q_text_bpe_encode": 0.457,
+    "q_text_boilerplate": 0.891,
+    "q_join_asof_tolerance": 0.278,
+    "q_dedup_incremental_fuzzy": 1.443,
+    "q_corpus_card": 0.28,
+    "q_text_perplexity_bigram": 0.973,
+    "q_text_bpe_fertility": 0.48,
+    "q_privacy_kanon": 0.264,
+    "q_select_dsir": 1.313,
+    "q_order_curriculum": 0.269,
     "q_multimodal_phash": 0.611,
-    "q_drift_ks": 0.997,
-    "q_classify_nb": 1.817,
-    "q_split_leakage": 1.475,
-    "q_text_novelty": 1.44,
-    "q_quality_gopher": 0.236,
-    "q_dedup_url": 0.434,
-    "q_text_rake": 0.702,
-    "q_agg_heavy_hitters": 2.208,
-    "q_geo_radius_join": 0.332,
-    "q_geo_knn": 2.176,
-    "q_graph_kcore": 2.147,
-    "q_stats_permutation": 0.502,
-    "q_multimodal_scenecut": 0.371,
-    "q_agg_abc_pareto": 2.013,
-    "q_drift_jsd": 0.421,
-    "q_stats_kruskal": 1.135,
-    "q_vec_jl_projection": 0.433,
-    "q_join_asof_nearest": 0.296,
-    "q_geo_grid_density": 0.352,
-    "q_agg_ohlc": 0.283,
-    "q_export_manifest": 0.222,
-    "q_ts_interpolate_linear": 0.311,
-    "q_multimodal_decode_real": 0.303,
+    "q_drift_ks": 1.165,
+    "q_classify_nb": 1.747,
+    "q_split_leakage": 1.573,
+    "q_text_novelty": 1.402,
+    "q_quality_gopher": 0.233,
+    "q_dedup_url": 0.482,
+    "q_text_rake": 0.655,
+    "q_agg_heavy_hitters": 2.145,
+    "q_geo_radius_join": 0.311,
+    "q_geo_knn": 2.627,
+    "q_graph_kcore": 1.994,
+    "q_stats_permutation": 0.459,
+    "q_multimodal_scenecut": 0.333,
+    "q_agg_abc_pareto": 1.599,
+    "q_drift_jsd": 0.427,
+    "q_stats_kruskal": 1.093,
+    "q_vec_jl_projection": 0.401,
+    "q_join_asof_nearest": 0.36,
+    "q_geo_grid_density": 0.42,
+    "q_agg_ohlc": 0.326,
+    "q_export_manifest": 0.233,
+    "q_ts_interpolate_linear": 0.36,
+    "q_multimodal_decode_real": 0.345,
 }
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
