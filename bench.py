@@ -340,15 +340,29 @@ OUTLIER_RATIO = 2.0
 #: independently of wall-clock anchors.
 OUTLIER_MIN_ABS_SEC = 1.0
 
+#: Pure-ratio backstop above the absolute-delta floor (ADVICE r11):
+#: the 1.0 s floor alone lets a sub-second-anchor query regress 3-5x
+#: without tripping anything — a genuine plan regression on a small
+#: query would be visible only in the raw ratios. Anything past this
+#: ratio flags REGARDLESS of absolute delta. 5x sits above the worst
+#: measured fixed-overhead swing on this VM (q_drift_jsd, the
+#: smallest anchor at 0.42 s, read 2.7-3.6x across r11's noisiest
+#: idle windows) and transient bursts still get the one-retry
+#: min-of-N before the flag sticks.
+OUTLIER_RATIO_BACKSTOP = 5.0
+
 
 def is_outlier(timing: float, anchor: float) -> bool:
     """ratio-above-gate AND absolute-delta-above-floor (see
-    OUTLIER_MIN_ABS_SEC)."""
-    return (
-        timing > 0
-        and timing / anchor > OUTLIER_RATIO
-        and timing - anchor > OUTLIER_MIN_ABS_SEC
-    )
+    OUTLIER_MIN_ABS_SEC), OR ratio above the pure backstop (see
+    OUTLIER_RATIO_BACKSTOP — sub-second anchors can't hide behind
+    the floor)."""
+    if timing <= 0:
+        return False
+    ratio = timing / anchor
+    if ratio > OUTLIER_RATIO_BACKSTOP:
+        return True
+    return ratio > OUTLIER_RATIO and timing - anchor > OUTLIER_MIN_ABS_SEC
 
 
 def contended_verdict(

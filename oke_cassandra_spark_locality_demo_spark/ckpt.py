@@ -47,11 +47,36 @@ def _persistent_ids(spark) -> set[int]:
 def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint()`` (eager) + record which persistent RDD
     ids the materialization created, so release_checkpoint can free
-    them without guessing."""
+    them without guessing.
+
+    Attribution guard (ADVICE r11): an eager localCheckpoint persists
+    exactly ONE new RDD, so a before/after diff of any other size
+    means something else persisted concurrently (a streaming query, a
+    parallel builder) and the global diff cannot be attributed to this
+    checkpoint — releasing a misattributed id would force-unpersist
+    state we do not own, and a released local checkpoint is
+    unrecoverable by design. In that case warn and skip tracking: the
+    superseded round leaks until the context cleaner collects it
+    (exactly the pre-r11 behavior), which is always safe, never wrong.
+    """
+    import warnings
+
     spark = df.sparkSession
     before = _persistent_ids(spark)
     out = df.localCheckpoint()  # eager by default
-    object.__setattr__(out, _IDS_ATTR, sorted(_persistent_ids(spark) - before))
+    new_ids = sorted(_persistent_ids(spark) - before)
+    if len(new_ids) != 1:
+        warnings.warn(
+            "tracked_local_checkpoint: getPersistentRDDs diff has "
+            f"{len(new_ids)} new ids ({new_ids}); concurrent persist "
+            "activity makes attribution unsafe — skipping release "
+            "tracking for this checkpoint (state falls back to "
+            "context-cleaner reclamation)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        new_ids = []
+    object.__setattr__(out, _IDS_ATTR, new_ids)
     return out
 
 

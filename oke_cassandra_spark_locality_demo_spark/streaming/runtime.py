@@ -66,23 +66,41 @@ def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-#: Reclamation grace for superseded staging copies: a full oracle
-#: drive finishes in minutes, so a directory untouched for 30 min has
-#: no plausible live reader.
+#: Reclamation grace for superseded staging copies, measured from the
+#: moment a directory was FIRST OBSERVED superseded (its supersession
+#: stamp's mtime), not from the directory's own mtime: parquet reads
+#: never touch a directory's mtime, so dir-age said nothing about
+#: reader recency (ADVICE r11 — a long-lived process that resolved a
+#: >30-min-old copy seconds before it was superseded could have it
+#: rmtree'd mid-query under the old mtime rule). Any reader that
+#: followed the marker saw this directory named no later than the
+#: stamp's creation, so stamp-age ≥ the reader's session age on that
+#: copy — and no oracle-drive query streams one staged copy for 30
+#: minutes.
 _STAGE_REAP_GRACE_SEC = 1800
+
+#: Suffix of the per-directory supersession stamps (sibling files,
+#: not inside the stage dir — Spark must never list them as data).
+_SUPERSEDED_SUFFIX = ".superseded"
 
 
 def _reap_stale_stages(base: str, keep: str) -> None:
     """Best-effort reclamation of superseded ``events.{pid}`` staging
-    directories (ADVICE r10): last-wins marker publication previously
-    left every losing stager's full parquet copy in /tmp forever
-    (_STAGE_ROOT is outside the workdir atexit cleanup). After
-    publishing, delete sibling copies — and orphaned marker temps —
-    that the marker no longer names AND that have been untouched
-    longer than the grace period (a racing process may still be
-    mid-read on a copy it staged moments ago; age, not marker state,
-    is what bounds that window). Failures are ignored: worst case the
-    litter bound reverts to the documented one-copy-per-racing-stager.
+    directories (ADVICE r10, grace re-bound r12): last-wins marker
+    publication previously left every losing stager's full parquet
+    copy in /tmp forever (_STAGE_ROOT is outside the workdir atexit
+    cleanup). After publishing, each sibling copy the marker no
+    longer names gets a supersession stamp on first observation and
+    is deleted only once that stamp is older than the grace period —
+    so a still-running process that resolved the copy just before it
+    was superseded keeps a full grace window to finish reading,
+    regardless of how long ago the copy was staged (ADVICE r11: mtime
+    bounded staging recency, not reader recency). A re-published
+    directory (its stager restages and wins again) gets its stamp
+    cleared. Orphaned marker temps keep the simple mtime rule — they
+    are never read by another process. Failures are ignored: worst
+    case the litter bound reverts to the documented
+    one-copy-per-racing-stager.
     """
     import shutil
     import time
@@ -92,19 +110,39 @@ def _reap_stale_stages(base: str, keep: str) -> None:
         siblings = os.listdir(base)
     except OSError:
         return
+    dirs = {e for e in siblings if e.startswith("events.") and
+            not e.endswith(_SUPERSEDED_SUFFIX)}
     for entry in siblings:
-        is_stage = entry.startswith("events.") and entry != keep
-        is_marker_tmp = entry.startswith("_staged_multi.")
-        if not (is_stage or is_marker_tmp):
-            continue
         path = os.path.join(base, entry)
         try:
-            if now - os.path.getmtime(path) <= _STAGE_REAP_GRACE_SEC:
+            if entry.startswith("_staged_multi."):
+                # marker temp orphaned by a failed os.replace: private
+                # to its writer, mtime-age is the right bound
+                if now - os.path.getmtime(path) > _STAGE_REAP_GRACE_SEC:
+                    os.unlink(path)
                 continue
-            if is_stage:
-                shutil.rmtree(path, ignore_errors=True)
-            else:
-                os.unlink(path)
+            if entry.endswith(_SUPERSEDED_SUFFIX):
+                stage = entry[: -len(_SUPERSEDED_SUFFIX)]
+                if stage == keep:
+                    # re-elected: the marker names this dir again, so
+                    # it is no longer superseded — restart its clock
+                    os.unlink(path)
+                elif stage not in dirs:
+                    # stamp orphaned by a completed reap
+                    os.unlink(path)
+                elif now - os.path.getmtime(path) > _STAGE_REAP_GRACE_SEC:
+                    shutil.rmtree(os.path.join(base, stage),
+                                  ignore_errors=True)
+                    os.unlink(path)
+                continue
+            if entry in dirs and entry != keep:
+                stamp = path + _SUPERSEDED_SUFFIX
+                if not os.path.exists(stamp):
+                    # first observation as superseded: start the clock
+                    # (exclusive create — a racing publisher must not
+                    # refresh an existing stamp and extend the clock)
+                    with open(stamp, "x") as f:
+                        f.write(keep)
         except OSError:
             pass
 

@@ -349,6 +349,13 @@ def test_outlier_floor_suppresses_subsecond_noise():
     # overhead swing: 2.7x ratio but a 0.73 s delta — under the floor
     assert bench.is_outlier(1.154, 0.421) is False
     assert bench.is_outlier(-1.0, 0.3) is False         # failure clamp
+    # ADVICE r11 backstop: past OUTLIER_RATIO_BACKSTOP the absolute
+    # floor no longer shields a sub-second anchor — a 6x regression on
+    # a 0.23 s query (q_tpch_q6-shaped) must retry/flag even though
+    # its delta is ~1.2x the floor miss
+    assert bench.is_outlier(1.40, 0.23) is True         # 6.1x, tiny delta
+    assert bench.is_outlier(1.10, 0.23) is False        # 4.8x, under backstop
+    assert bench.is_outlier(12.0, 2.0) is True          # backstop on big too
 
     # flagworthy_max: only floor-clearing outliers gate the verdict
     anchors = {"small": 0.28, "big": 1.2}

@@ -45,17 +45,18 @@ def test_selection_varies_across_rounds():
 
 
 def test_current_round_selection_matches_roundlog():
-    """ROUNDLOG r11 names these five keys as the round's canary; the
+    """ROUNDLOG r12 names these five keys as the round's canary; the
     recorded claim and the tool must never drift apart. The pin is
     per-round against the adjudicated pool at that round's HEAD — the
     pool grows when a round's sampled keys are appended to
-    _DRIVER_ADJUDICATED, so the pinned round advances with it (the r10
-    pin was computed over the 383-key r10 pool; this one over the
-    full 400-key post-rotation pool)."""
-    assert canary.canary_keys(11) == [
-        "q_snapshot_diff",
-        "q_stream_stateful_tws",
-        "q_source_orc",
-        "q_stats_gtest",
-        "q_text_dechunk",
+    _DRIVER_ADJUDICATED, so the pinned round advances with it (the r11
+    pin was computed over the 400-key post-rotation pool; this one
+    over the full 401-key pool — 394 of them oracle-backed — after
+    the r12 playbook appended q_multimodal_decode_real)."""
+    assert canary.canary_keys(12) == [
+        "q_source_schema_evolution",
+        "q_intersect",
+        "q_tpch_q18",
+        "q_stats_runs_test",
+        "q_tpch_q22",
     ]

@@ -4,7 +4,9 @@
 from __future__ import annotations
 
 import os
+import pathlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from oke_cassandra_spark_locality_demo_spark.registry import get
@@ -1144,6 +1146,170 @@ class TestRealImageDecode:
             assert r.row0_red_sum == sum(
                 (r.doc_id * 31 + x * 7) % 256 for x in range(w)
             )
+
+    # ---- checked-in foreign-shaped fixtures (VERDICT r11 item 4) ----
+    # The fixtures in tests/fixtures/png/ were produced by
+    # tools/make_png_fixtures.py — a forward-filter implementation
+    # transcribed INDEPENDENTLY from W3C PNG §9 (its own Paeth, its own
+    # byte layout; zero shared code with the decoder) — and exercise
+    # what the repo encoder never emits: fixed filters 1-4, an
+    # ADAPTIVE (MSAD-heuristic, the libpng/Pillow rule) per-row filter
+    # mix, multi-IDAT splits at awkward byte boundaries, and
+    # interspersed ancillary chunks. sha256 pins keep the static bytes
+    # honest: neither the decoder nor the generator can drift to match
+    # a bug in the other without this test surfacing the change.
+
+    _FIXTURE_DIR = (
+        pathlib.Path(__file__).resolve().parent / "fixtures" / "png"
+    )
+
+    @staticmethod
+    def _lattice(width, height):
+        # independent re-derivation of make_png_fixtures.lattice
+        return bytes(
+            (x * 31 + y * 57 + c * 97 + x * y) % 256
+            for y in range(height)
+            for x in range(width)
+            for c in range(3)
+        )
+
+    @staticmethod
+    def _lattice_adaptive(width, height):
+        # independent re-derivation of make_png_fixtures.lattice_adaptive
+        def px(x, y, c):
+            r = y % 4
+            if r == 0:
+                return (x * 37 + c * 11) % 256
+            if r == 1:
+                return (x * 37 + c * 11 + 3) % 256
+            if r == 2:
+                return (
+                    x * 149 + y * 211 + c * 83 + (x * y * c + 7) ** 2
+                ) % 256
+            return (y * 5) % 256
+
+        return bytes(
+            px(x, y, c)
+            for y in range(height)
+            for x in range(width)
+            for c in range(3)
+        )
+
+    def test_foreign_filtered_fixtures_decode_byte_exact(self):
+        import hashlib
+        import json
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            decode_png,
+        )
+
+        manifest = json.loads(
+            (self._FIXTURE_DIR / "manifest.json").read_text()
+        )
+        assert len(manifest) == 6
+        filters_seen = set()
+        for name, info in sorted(manifest.items()):
+            data = (self._FIXTURE_DIR / name).read_bytes()
+            assert hashlib.sha256(data).hexdigest() == info["sha256"], (
+                f"{name}: checked-in fixture bytes drifted"
+            )
+            w, h, px = decode_png(data)
+            assert (w, h) == (info["width"], info["height"]), name
+            ref = (
+                self._lattice_adaptive(w, h)
+                if name.startswith("adaptive")
+                else self._lattice(w, h)
+            )
+            assert px == ref, f"{name}: decoded lattice mismatch"
+            filters_seen.update(info["filters"])
+        # the corpus must exercise every nontrivial filter type
+        assert {1, 2, 3, 4} <= filters_seen
+
+    def test_adaptive_fixture_exercises_mixed_filters_and_idat_splits(self):
+        import json
+        import struct
+
+        manifest = json.loads(
+            (self._FIXTURE_DIR / "manifest.json").read_text()
+        )
+        info = manifest["adaptive_msad.png"]
+        # per-row filter choice genuinely varies (no degenerate corpus)
+        assert len(set(info["filters"])) >= 3, info["filters"]
+        # the stream really is multi-IDAT with ancillary chunks mixed in
+        data = (self._FIXTURE_DIR / "adaptive_msad.png").read_bytes()
+        tags, pos = [], 8
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tags.append(data[pos + 4 : pos + 8])
+            pos += 12 + length
+        assert tags.count(b"IDAT") >= 4, tags
+        assert b"gAMA" in tags and b"tEXt" in tags, tags
+
+    def test_paeth_case_hand_computed(self):
+        """A 2x1-pixel-per-row case with every byte worked out by hand
+        from the spec equations — independent of BOTH the codec and
+        the fixture generator.
+
+        Lattice (w=2, h=2, RGB): row0 = (10,20,30),(40,60,80)
+                                 row1 = (15,25,35),(50,70,90)
+        Row 0, filter 1 (Sub):  first pixel has no left -> raw bytes
+          10,20,30; second: 40-10=30, 60-20=40, 80-30=50.
+        Row 1, filter 4 (Paeth): first pixel a=0,c=0,b=row0 ->
+          p=b so predictor=b: 15-10=5, 25-20=5, 35-30=5;
+          second pixel a=(15,25,35), b=(40,60,80), c=(10,20,30):
+          p=a+b-c=(45,65,85); |p-a|=30,40,50  |p-b|=5,5,5
+          |p-c|=35,45,55 -> b wins each time: 50-40=10, 70-60=10,
+          90-80=10.
+        """
+        import struct
+        import zlib
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            decode_png,
+        )
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        raw = bytes(
+            [1, 10, 20, 30, 30, 40, 50]  # row 0: Sub
+            + [4, 5, 5, 5, 10, 10, 10]  # row 1: Paeth
+        )
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(data) == (
+            2,
+            2,
+            bytes([10, 20, 30, 40, 60, 80, 15, 25, 35, 50, 70, 90]),
+        )
+
+    def test_pillow_round_trip_when_available(self):
+        """Upgrade-path guard: when a REAL third-party encoder is
+        present (Pillow is guarded in as the production decode tier),
+        its adaptively-filtered output must decode identically. Skips
+        in this container (no image libs, documented)."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        from oke_cassandra_spark_locality_demo_spark.llm.png_codec import (
+            decode_png,
+        )
+
+        w, h = 16, 11
+        ref = self._lattice_adaptive(w, h)
+        img = PIL_Image.frombytes("RGB", (w, h), ref)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG", optimize=True)
+        assert decode_png(buf.getvalue()) == (w, h, ref)
 
 
 def test_starved_session_tuning_is_gated_and_idempotent(spark):

@@ -220,13 +220,16 @@ def test_bucketed_table_atexit_reclamation(tmp_path):
 
 
 def test_stream_stage_reaper_reclaims_superseded_copies(tmp_path):
-    """ADVICE r10: last-wins staging publication must reclaim
-    superseded events.{pid} copies past the grace period while never
-    touching the marker-named copy or anything recent enough to have
-    a live reader."""
+    """ADVICE r10 + r11: last-wins staging publication must reclaim
+    superseded events.{pid} copies, but the grace period is bound to
+    SUPERSESSION time (the stamp the reaper lays down on first
+    observation), not the directory's own mtime — a parquet read
+    never touches dir mtime, so an ancient-but-just-superseded copy
+    may still have a live reader and must get a full grace window."""
     from oke_cassandra_spark_locality_demo_spark.streaming import runtime
 
     base = str(tmp_path)
+    sfx = runtime._SUPERSEDED_SUFFIX
     old = runtime._STAGE_REAP_GRACE_SEC + 60
     now = __import__("time").time()
 
@@ -237,15 +240,43 @@ def test_stream_stage_reaper_reclaims_superseded_copies(tmp_path):
         return p
 
     keep = mkstage("events.100", old)          # marker-named, ancient
-    stale = mkstage("events.200", old)         # superseded, ancient
-    fresh = mkstage("events.300", 10)          # superseded, recent
+    stale = mkstage("events.200", old)         # superseded, ancient dir
+    fresh = mkstage("events.300", 10)          # superseded, recent dir
     orphan_tmp = os.path.join(base, "_staged_multi.999")
     with open(orphan_tmp, "w") as f:
         f.write("events.999")
     os.utime(orphan_tmp, (now - old, now - old))
+    orphan_stamp = os.path.join(base, "events.777" + sfx)
+    with open(orphan_stamp, "w") as f:
+        f.write("events.100")
 
+    # Pass 1: NOTHING superseded gets reaped regardless of dir age —
+    # the pass only lays supersession stamps and starts the clock
+    # (ADVICE r11: dir mtime said staging recency, not reader recency)
     runtime._reap_stale_stages(base, keep="events.100")
     assert os.path.isdir(keep), "marker-named copy must survive any age"
-    assert not os.path.isdir(stale), "ancient superseded copy must go"
-    assert os.path.isdir(fresh), "recent copy may have a live reader"
+    assert os.path.isdir(stale), "ancient dir gets a grace window from supersession"
+    assert os.path.isdir(fresh)
+    assert os.path.exists(stale + sfx), "superseded dir must be stamped"
+    assert os.path.exists(fresh + sfx)
+    assert not os.path.exists(keep + sfx), "marker-named copy is never stamped"
     assert not os.path.exists(orphan_tmp), "orphaned marker temp must go"
+    assert not os.path.exists(orphan_stamp), "stamp without a dir must go"
+
+    # Pass 2, stamps aged past grace: the SUPERSEDED-for-long copies
+    # go (stamp too), however recently their dirs were staged
+    os.utime(stale + sfx, (now - old, now - old))
+    os.utime(fresh + sfx, (now - old, now - old))
+    runtime._reap_stale_stages(base, keep="events.100")
+    assert os.path.isdir(keep)
+    assert not os.path.isdir(stale) and not os.path.exists(stale + sfx)
+    assert not os.path.isdir(fresh) and not os.path.exists(fresh + sfx)
+
+    # Re-election: a dir the marker names again has its stamp cleared
+    # (clock restart), and a racing pass must not refresh a live stamp
+    relect = mkstage("events.400", 10)
+    with open(relect + sfx, "w") as f:
+        f.write("events.100")
+    runtime._reap_stale_stages(base, keep="events.400")
+    assert os.path.isdir(relect)
+    assert not os.path.exists(relect + sfx), "re-elected dir's stamp must clear"

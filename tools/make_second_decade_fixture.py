@@ -1,0 +1,171 @@
+"""Generate the LOCAL second-decade scaling fixture (VERDICT r11 item 3).
+
+The 100 TB scaling claim rests on the sf0.01 -> sf0.1 decade (10x) plus
+code reading; the three watch keys whose full-registry probe ratios sat
+highest (q_udf_cogroup, q_topk_per_group, q_join_null_safe) have never
+been measured over a SECOND decade. This tool synthesizes an sf1
+fixture — 10x sf0.1 — for exactly the tables those keys read (events,
+customer, lineitem), preserving the driver fixture's distributional
+recipe as measured across sf0.01/sf0.1 (TESTDATA.md is read-only and
+the driver's generator is not in-repo, so the recipe is reproduced
+from the data itself):
+
+  table     | rows        | key laws (measured sf0.01 -> sf0.1)
+  events    | sf * 1e6    | user_id ~ U[0, sf*15000); 5 uniform types;
+            |             | ts ~ U over 2024-01-01..01-31; value ~ |N|*
+            |             | scaled to mean ~50; props = {"k": U[0,100)}
+  customer  | sf * 150e3  | c_custkey sequential; nation U[0,25);
+            |             | acctbal U[-1000, 10000); 5 segments
+  lineitem  | sf * 6e6    | orderkey U[0, sf*1.5e6); suppkey U[0,
+            |             | sf*10e3) (per-group size CONSTANT at ~600
+            |             | rows — the law that makes topk_per_group
+            |             | sublinear); partkey U[0, sf*200e3);
+            |             | linenumber U[1,8); qty U[1,50]; price
+            |             | U[900, 105000); discount/tax small grids;
+            |             | A/N/R x F/O flags; shipdate U 1995..2001
+
+Wall-time scaling is driven by row counts, group cardinalities and
+join-key multiplicity — all preserved exactly; unrelated value noise
+(names, prop strings) does not move the probe. Seed discipline: one
+numpy default_rng(42) per table, so reruns are byte-stable.
+
+Output: .localdata/sf1/{events,customer,lineitem}.parquet (gitignored —
+~160 MB of derived data; regenerate with this tool). Run:
+    python tools/make_second_decade_fixture.py [--sf 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_events(sf: float) -> pa.Table:
+    n = int(sf * 1_000_000)
+    rng = np.random.default_rng(42)
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span = 30 * 86_400 * 1_000_000  # 30 days in microseconds
+    ts = ts0 + rng.integers(0, span, n)
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(
+                rng.integers(0, int(sf * 15_000), n, dtype="int64")
+            ),
+            "event_type": pa.array(types[rng.integers(0, 5, n)]),
+            "value": pa.array(
+                np.round(np.abs(rng.normal(0, 62.3, n)), 2)
+            ),
+            "props": pa.array(
+                np.char.add(
+                    np.char.add(
+                        '{"k": ',
+                        rng.integers(0, 100, n).astype("U3"),
+                    ),
+                    "}",
+                )
+            ),
+        }
+    )
+
+
+def gen_customer(sf: float) -> pa.Table:
+    n = int(sf * 150_000)
+    rng = np.random.default_rng(42)
+    segs = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    keys = np.arange(n, dtype="int64")
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys),
+            "c_name": pa.array(
+                np.char.add(
+                    "Customer#", np.char.zfill(keys.astype("U9"), 9)
+                )
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n, dtype="int32")
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-1_000, 10_000, n), 2)
+            ),
+            "c_mktsegment": pa.array(segs[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+def gen_lineitem(sf: float) -> pa.Table:
+    n = int(sf * 6_000_000)
+    rng = np.random.default_rng(42)
+    ship0 = np.datetime64("1995-01-01", "us").astype("int64")
+    ship_span_days = 2500
+    flags = np.array(["A", "N", "R"])
+    status = np.array(["F", "O"])
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                rng.integers(0, int(sf * 1_500_000), n, dtype="int64")
+            ),
+            "l_partkey": pa.array(
+                rng.integers(0, int(sf * 200_000), n, dtype="int64")
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, int(sf * 10_000), n, dtype="int64")
+            ),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, n, dtype="int32")
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n).astype("float64")
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 105_000, n), 2)
+            ),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, n) / 100.0, 2)
+            ),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) / 100.0, 2)),
+            "l_returnflag": pa.array(flags[rng.integers(0, 3, n)]),
+            "l_linestatus": pa.array(status[rng.integers(0, 2, n)]),
+            "l_shipdate": pa.array(
+                (
+                    ship0
+                    + rng.integers(0, ship_span_days, n)
+                    * 86_400
+                    * 1_000_000
+                ).astype("datetime64[us]")
+            ),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    args = ap.parse_args()
+    out_dir = os.path.join(ROOT, ".localdata", f"sf{args.sf:g}")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, gen in (
+        ("events", gen_events),
+        ("customer", gen_customer),
+        ("lineitem", gen_lineitem),
+    ):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        tbl = gen(args.sf)
+        pq.write_table(tbl, path, compression="snappy")
+        mb = os.path.getsize(path) / 1e6
+        print(f"  {name}: {tbl.num_rows:,} rows -> {path} ({mb:.0f} MB)")
+    print(f"second-decade fixture ready at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
