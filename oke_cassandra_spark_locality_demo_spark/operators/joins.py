@@ -625,35 +625,52 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     `=` — while `a = b OR (a IS NULL AND b IS NULL)` written by hand
     would fall off the equi-join path entirely.
 
-    100 TB posture, stated honestly: the NULL class is ONE hash key,
-    so (a) every null row lands on a single reducer — classic skew,
-    which AQE's skew-join split (on by default) repairs at the
-    partition level — and (b) the null×null match is a cross block
-    whose OUTPUT is |nulls_L|×|nulls_R|, quadratic when both sides
-    scale. That cost is the query's SEMANTICS (any engine pays it —
-    the DuckDB oracle included), not a plan artifact: at production
-    null rates you'd pre-aggregate the null class or route it to a
-    dedicated branch before the join. The aggregation here plays that
-    role — output stays |event_types|×|segments| regardless of scale.
-    SCALING_PROBE_FULL's 10× step measures this key at ~8.5×
-    (sublinear) because the grouped output is fixed-size.
+    100 TB posture — partial-aggregation pushdown through the join
+    (r12): the NULL class is ONE hash key, so the naive
+    join-then-count plan materializes a |nulls_L|x|nulls_R| cross
+    block through a single reducer — quadratic when both sides scale.
+    The r11 docstring called that cost "the query's semantics"; the
+    second-decade probe (sf0.1 -> sf1, tools/scaling_second_decade.py)
+    showed it is NOT: the naive plan went superlinear (minutes per run
+    at sf1, vs 0.9 s at sf0.1), while COUNT over a join of
+    multiplicities is distributive — pre-aggregate each side to one
+    row per (key, group-col) carrying its count, null-safe-join the
+    DISTINCT key tables, and SUM the count products. The join inputs
+    collapse from |rows| to |distinct keys x group values| (the null
+    class becomes 5x5 rows instead of |nulls_L|x|nulls_R|), the skew
+    key carries one row per group value, and the result is
+    row-identical (same oracle). This is the classic groupjoin /
+    eager-aggregation transformation (Yannakakis-style), applied by
+    hand because Catalyst does not push partial aggregates below
+    joins. Second decade after the rewrite: linear-with-overhead (see
+    SCALING.md r12).
     """
-    e = load(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 10 == 0, None)
-        .otherwise(F.col("user_id"))
-        .alias("uid"),
-        "event_type",
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("user_id") % 10 == 0, None)
+            .otherwise(F.col("user_id"))
+            .alias("uid"),
+            "event_type",
+        )
+        .groupBy("uid", "event_type")
+        .agg(F.count(F.lit(1)).alias("ne"))
     )
-    c = load(spark, sf_dir, "customer").select(
-        F.when(F.col("c_custkey") % 10 == 0, None)
-        .otherwise(F.col("c_custkey"))
-        .alias("uid"),
-        "c_mktsegment",
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.when(F.col("c_custkey") % 10 == 0, None)
+            .otherwise(F.col("c_custkey"))
+            .alias("uid"),
+            "c_mktsegment",
+        )
+        .groupBy("uid", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("nc"))
     )
     return (
         e.join(c, e["uid"].eqNullSafe(c["uid"]))
         .groupBy("event_type", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("ne") * F.col("nc")).alias("n"))
         .orderBy("event_type", "c_mktsegment")
     )
 

@@ -301,6 +301,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # the five iterative graph ops
     "q_graph_pagerank", "q_graph_bfs", "q_graph_cc", "q_graph_kcore",
     "q_graph_sssp",
+    # operators/joins.py: partial-aggregation pushdown through the
+    # null-safe join (second-decade probe found the naive
+    # join-then-count plan superlinear at sf1; same oracle)
+    "q_join_null_safe",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed

@@ -361,6 +361,25 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_null_safe_join_preaggregates_below_the_join(spark, sf_dir):
+    """r12 groupjoin pushdown: the second-decade probe measured the
+    naive join-then-count plan at x133.9 across sf0.1 -> sf1 (the
+    single-key NULL class makes the join output |nulls_L|x|nulls_R|);
+    pre-aggregating each side to (key, group-col, count) collapsed it
+    to x1.3. Pin the shape: BOTH join children must contain a count
+    aggregate (join inputs are the distinct-key tables, not raw
+    rows), and the final agg must sum count products."""
+    df = get("q_join_null_safe").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    assert join_pos != -1, plan
+    below = plan[join_pos:]
+    assert below.count("functions=[count(1)]") >= 2, (
+        "join children are no longer pre-aggregated:\n" + plan
+    )
+    assert "sum((ne" in plan, plan
+
+
 def test_nested_schema_pruning(spark, sf_dir):
     """Nested-field pruning: selecting one subfield of a struct column
     must shrink the parquet ReadSchema to that subfield — at 100 TB
