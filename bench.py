@@ -91,8 +91,12 @@ REPEATS = 5
 #: single-query-spiked on a real plan regression.
 #:
 #: Measured as the per-query MEDIAN over three contended-false FULL
-#: bench.py runs (re-baselined at the r11 CLOSING tree — after the
-#: ckpt-release and memharden work — idle host) — NOT over standalone section
+#: bench.py runs (re-baselined r12 at HEAD after the round-12
+#: hardenings, per the r11 playbook note: the r11 anchors predated
+#: the ckpt-release speedup and carried residual host noise — the
+#: refresh moved tpch anchors down ~17% median and llm ~8%, so
+#: section ratios read ≈1.0 on unchanged code again; zero retries in
+#: all three runs) — NOT over standalone section
 #: loops: section timings are context-sensitive to the session state
 #: the headline/tpch passes accumulate before them (measured r11:
 #: q_graph_kcore runs 0.56 s in a fresh session but ~3.3 s at its
@@ -104,77 +108,77 @@ REPEATS = 5
 #: runs, splice the medians (tools/measure_section_anchors.py
 #: documents both recipes).
 ANCHOR_TPCH_SF01 = {
-    "q_tpch_q1": 0.358,
-    "q_tpch_q2": 0.819,
-    "q_tpch_q3": 0.84,
-    "q_tpch_q4": 0.788,
-    "q_tpch_q5": 1.157,
-    "q_tpch_q6": 0.23,
-    "q_tpch_q7": 1.039,
-    "q_tpch_q8": 1.171,
-    "q_tpch_q9": 0.848,
-    "q_tpch_q10": 0.796,
-    "q_tpch_q11": 0.702,
-    "q_tpch_q12": 0.552,
-    "q_tpch_q13": 0.555,
-    "q_tpch_q14": 0.321,
-    "q_tpch_q15": 0.518,
-    "q_tpch_q16": 0.36,
-    "q_tpch_q17": 0.617,
-    "q_tpch_q18": 0.701,
-    "q_tpch_q19": 0.377,
-    "q_tpch_q20": 0.836,
-    "q_tpch_q21": 1.404,
-    "q_tpch_q22": 0.377,
+    "q_tpch_q1": 0.306,
+    "q_tpch_q2": 0.697,
+    "q_tpch_q3": 0.696,
+    "q_tpch_q4": 0.609,
+    "q_tpch_q5": 0.905,
+    "q_tpch_q6": 0.153,
+    "q_tpch_q7": 0.812,
+    "q_tpch_q8": 0.857,
+    "q_tpch_q9": 0.733,
+    "q_tpch_q10": 0.594,
+    "q_tpch_q11": 0.6,
+    "q_tpch_q12": 0.408,
+    "q_tpch_q13": 0.395,
+    "q_tpch_q14": 0.264,
+    "q_tpch_q15": 0.403,
+    "q_tpch_q16": 0.314,
+    "q_tpch_q17": 0.49,
+    "q_tpch_q18": 0.6,
+    "q_tpch_q19": 0.358,
+    "q_tpch_q20": 0.78,
+    "q_tpch_q21": 1.271,
+    "q_tpch_q22": 0.35,
 }
 
 ANCHOR_LLM_SF01 = {
-    "q_dedup_span": 1.922,
-    "q_dedup_containment": 2.395,
-    "q_dedup_minhash": 1.832,
-    "q_dedup_simhash": 3.681,
-    "q_text_bm25": 0.687,
-    "q_shuffle_epoch": 0.39,
-    "q_agg_sketch_theta": 0.961,
-    "q_sim_lsh": 0.966,
-    "q_sample_weighted": 0.185,
-    "q_pack_sequences": 0.15,
-    "q_multimodal_resize": 0.311,
-    "q_text_bpe_train": 0.346,
-    "q_text_bpe_encode": 0.457,
-    "q_text_boilerplate": 0.891,
-    "q_join_asof_tolerance": 0.278,
-    "q_dedup_incremental_fuzzy": 1.443,
-    "q_corpus_card": 0.28,
-    "q_text_perplexity_bigram": 0.973,
-    "q_text_bpe_fertility": 0.48,
-    "q_privacy_kanon": 0.264,
-    "q_select_dsir": 1.313,
-    "q_order_curriculum": 0.269,
-    "q_multimodal_phash": 0.611,
-    "q_drift_ks": 1.165,
-    "q_classify_nb": 1.747,
-    "q_split_leakage": 1.573,
-    "q_text_novelty": 1.402,
-    "q_quality_gopher": 0.233,
-    "q_dedup_url": 0.482,
-    "q_text_rake": 0.655,
-    "q_agg_heavy_hitters": 2.145,
-    "q_geo_radius_join": 0.311,
-    "q_geo_knn": 2.627,
-    "q_graph_kcore": 1.994,
-    "q_stats_permutation": 0.459,
-    "q_multimodal_scenecut": 0.333,
-    "q_agg_abc_pareto": 1.599,
-    "q_drift_jsd": 0.427,
-    "q_stats_kruskal": 1.093,
-    "q_vec_jl_projection": 0.401,
-    "q_join_asof_nearest": 0.36,
-    "q_geo_grid_density": 0.42,
-    "q_agg_ohlc": 0.326,
-    "q_export_manifest": 0.233,
-    "q_ts_interpolate_linear": 0.36,
-    "q_multimodal_decode_real": 0.345,
+    "q_dedup_span": 1.792,
+    "q_dedup_containment": 2.055,
+    "q_dedup_minhash": 1.772,
+    "q_dedup_simhash": 3.658,
+    "q_text_bm25": 0.703,
+    "q_shuffle_epoch": 0.386,
+    "q_agg_sketch_theta": 0.936,
+    "q_sim_lsh": 1.055,
+    "q_sample_weighted": 0.206,
+    "q_pack_sequences": 0.156,
+    "q_multimodal_resize": 0.309,
+    "q_text_bpe_train": 0.281,
+    "q_text_bpe_encode": 0.433,
+    "q_text_boilerplate": 1.018,
+    "q_join_asof_tolerance": 0.247,
+    "q_dedup_incremental_fuzzy": 1.395,
+    "q_corpus_card": 0.24,
+    "q_text_perplexity_bigram": 0.779,
+    "q_text_bpe_fertility": 0.388,
+    "q_privacy_kanon": 0.187,
+    "q_select_dsir": 0.976,
+    "q_order_curriculum": 0.216,
+    "q_multimodal_phash": 0.531,
+    "q_drift_ks": 0.926,
+    "q_classify_nb": 1.615,
+    "q_split_leakage": 1.618,
+    "q_text_novelty": 1.534,
+    "q_quality_gopher": 0.237,
+    "q_dedup_url": 0.381,
+    "q_text_rake": 0.689,
+    "q_agg_heavy_hitters": 1.874,
+    "q_geo_radius_join": 0.283,
+    "q_geo_knn": 2.301,
+    "q_graph_kcore": 1.86,
+    "q_stats_permutation": 0.483,
+    "q_multimodal_scenecut": 0.323,
+    "q_agg_abc_pareto": 1.398,
+    "q_drift_jsd": 0.339,
+    "q_stats_kruskal": 1.024,
+    "q_vec_jl_projection": 0.352,
+    "q_join_asof_nearest": 0.294,
+    "q_geo_grid_density": 0.387,
+    "q_agg_ohlc": 0.266,
+    "q_export_manifest": 0.188,
+    "q_ts_interpolate_linear": 0.308,
+    "q_multimodal_decode_real": 0.305,
 }
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
