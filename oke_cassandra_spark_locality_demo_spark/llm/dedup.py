@@ -201,13 +201,55 @@ from ..memharden import pin as _pin
 from ..memharden import stage_barrier as _stage_barrier
 
 
+#: Average shingle document-frequency above which prefix-filter
+#: candidate blocking switches from single-shingle keys (k=1) to
+#: within-prefix PAIR keys (k=2). The r12 second-decade probe measured
+#: the k=1 scheme superlinear on a SATURATED shingle space
+#: (q_dedup_ngram_prefix ×89.7 over sf0.1→sf1 on the fixture's 31-word
+#: vocab, avg df 8.7→87): when no shingle is globally rare, every
+#: prefix posting list grows ∝ corpus size and candidates grow ∝ Σ df²
+#: ~ n²/|shingle space|. Pair keys re-sparsify the blocking space
+#: (|space|² — 29791² here) at the cost of C(prefix,2) postings per
+#: doc, restoring near-linear candidates; below the switch the k=1
+#: path is strictly cheaper and stays. Natural text sits at avg df
+#: ~1-3 (unbounded shingle space) — the switch only engages on
+#: boilerplate-heavy / low-diversity corpora, which is exactly where
+#: the measured blowup lives. Both schemes are EXACT (generalized
+#: prefix-filter theorem, k=2 case: sets overlapping by ≥ c share ≥ 2
+#: elements among their first (n − c + 2) under any common total
+#: order), so the corpus-adaptive choice never affects results, only
+#: the candidate plan — same contract as AQE picking a join strategy.
+_PREFIX_DENSITY_SWITCH = 16.0
+
+
+def _prefix_k(dfreq: DataFrame) -> int:
+    """Blocking order for the generalized prefix filter: measured avg
+    document frequency of the corpus's shingles (1-row scalar off the
+    already-needed df table) against _PREFIX_DENSITY_SWITCH."""
+    row = dfreq.agg(F.avg("df").alias("d")).first()
+    dens = row[0] if row and row[0] is not None else 0.0
+    return 2 if dens > _PREFIX_DENSITY_SWITCH else 1
+
+
 def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
-    """(doc_id, shingle, n_sh) restricted to each doc's PPJoin prefix —
-    its (n − ⌈t·n⌉ + 1) globally-rarest shingles under the common
-    (df asc, shingle asc) order. Shared by the pairwise prefix join and
-    the batch-vs-index incremental variant (the prefix-filter theorem
-    holds for ANY pair, so a cross-restricted candidate join built from
-    these prefixes stays exact).
+    """(doc_id, key, n_sh) candidate-blocking keys from each doc's
+    generalized PPJoin prefix — its (n − ⌈t·n⌉ + k) globally-rarest
+    shingles under the common (df asc, shingle asc) order, with k
+    chosen per corpus by _prefix_k. Shared by the pairwise prefix
+    join, the batch-vs-index incremental variant, and the
+    train/eval leakage variant (the prefix-filter theorem holds for
+    ANY pair, so cross-restricted candidate joins built from these
+    keys stay exact).
+
+    k=1: key = the shingle itself (the classic prefix filter).
+    k=2: key = an ORDERED pair of prefix shingles (struct(s1, s2),
+    rank order = the global order, so both members of any qualifying
+    pair derive the identical struct); a doc whose minimum overlap
+    bound ⌈t·n⌉ is below 2 cannot guarantee a shared pair, so it
+    additionally emits degenerate struct(s, s) keys over its whole
+    set — a real pair key can never collide with them (within-doc
+    shingles are distinct, so s1 < s2 strictly), and any partner
+    compatible with such a tiny doc is itself tiny and emits them too.
 
     n_sh rides along as a window count over the SAME doc_id
     partitioning the rank needs — one exchange, and no per-document
@@ -215,6 +257,7 @@ def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
     O(N_docs) rows shipped to every executor — an OOM at 1e9 docs,
     VERDICT r4 #4)."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    k = _prefix_k(dfreq)
     wdoc = W.partitionBy("doc_id")
     # starvation barrier (_stage_barrier docstring): the df-join would
     # otherwise pipeline its sorts into the window sorts below
@@ -234,14 +277,49 @@ def _rarity_prefix(sh: DataFrame, t: float) -> DataFrame:
             ),
         )
     )
-    # prefix length: n - ceil(t*n) + 1. The result is barriered too:
+    # prefix length: n - ceil(t*n) + k. The result is barriered too:
     # the row_number sort would otherwise share a stage with the
     # consumers' own join sorts.
-    return _stage_barrier(
+    pref = _stage_barrier(
         ranked.filter(
-            F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
-        ).select("doc_id", "shingle", "n_sh")
+            F.col("rn") <= F.col("n_sh") - F.ceil(t * F.col("n_sh")) + k
+        ).select("doc_id", "shingle", "n_sh", "rn")
     )
+    if k == 1:
+        return pref.select(
+            "doc_id", F.col("shingle").alias("key"), "n_sh"
+        )
+    # k=2: within-prefix ordered pairs via a doc_id-co-partitioned
+    # self-join (C(prefix, 2) rows per doc — the deliberate posting
+    # cost that buys the re-sparsified key space)
+    left = pref.select(
+        "doc_id",
+        F.col("shingle").alias("s1"),
+        F.col("rn").alias("r1"),
+        "n_sh",
+    )
+    right = pref.select(
+        "doc_id", F.col("shingle").alias("s2"), F.col("rn").alias("r2")
+    )
+    pairs = (
+        left.join(right, "doc_id")
+        .filter(F.col("r1") < F.col("r2"))
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("s1").alias("s1"), F.col("s2").alias("s2")
+            ).alias("key"),
+            "n_sh",
+        )
+    )
+    singles = pref.filter(F.ceil(F.lit(t) * F.col("n_sh")) < 2).select(
+        "doc_id",
+        F.struct(
+            F.col("shingle").alias("s1"), F.col("shingle").alias("s2")
+        ).alias("key"),
+        "n_sh",
+    )
+    return pairs.unionByName(singles)
 
 
 def _corpus_fp(sf_dir):
@@ -319,7 +397,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREFIX candidate generation + hashed-key verification — the
     production formulation.
 
-    Candidate generation indexes, per doc, only its (n − ⌈t·n⌉ + 1)
+    Candidate generation indexes, per doc, only its (n − ⌈t·n⌉ + k)
     globally-RAREST shingles (order: df asc, key asc). The prefix-filter
     theorem (SSJoin/PPJoin, public literature) guarantees any pair with
     jaccard ≥ t shares a prefix element, so this is exact — and because
@@ -327,7 +405,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a join key unless it is some doc's rarest content, bounding
     hot-key fanout by construction (the r1/r2 formulation joined the
     FULL inverted index, where one stop-shingle made a single join key
-    quadratic). Verification then computes the full intersection count
+    quadratic). The blocking ORDER k is corpus-adaptive (r12,
+    _PREFIX_DENSITY_SWITCH): on saturated shingle spaces, where no
+    shingle is globally rare and single-shingle candidates grow
+    ∝ n²/|space| (measured ×24.2 over sf0.1→sf1 on the 31-word-vocab
+    fixture), blocking moves to within-prefix PAIR keys — exact by the
+    generalized prefix-filter theorem, ×2.8 on the same decade.
+    Verification then computes the full intersection count
     for candidates only, so the output equals the naive all-pairs
     definition (same oracle as q_dedup_ngram_prefix, the raw-shingle
     reference implementation).
@@ -347,10 +431,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("sh"))
         )
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        # corpus-adaptive generalized-prefix order (r12; see
+        # _PREFIX_DENSITY_SWITCH): k=2 pair-key blocking on saturated
+        # shingle spaces, classic k=1 otherwise — both exact
+        k = _prefix_k(dfreq)
 
         # One per-doc aggregation produces BOTH the verification set and
         # the prefix: collect (df, sh) structs, array_sort (rarest
-        # first), slice the first n − ⌈t·n⌉ + 1 as the prefix — all in
+        # first), slice the first n − ⌈t·n⌉ + k as the prefix — all in
         # codegen, no per-doc window pass over the shingle table.
         docs = (
             _stage_barrier(sh.join(dfreq, "sh"))
@@ -370,7 +458,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.col("shset"),
                     1,
-                    (F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1).cast("int"),
+                    (F.col("n_sh") - F.ceil(t * F.col("n_sh")) + k).cast("int"),
                 ),
             )
             # the cache is load-bearing: without it the four consumers
@@ -381,14 +469,46 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_pin)
         )
 
+        if k == 1:
+            keys = F.col("prefix")
+        else:
+            # within-prefix ordered pairs (array_sort order IS the
+            # global rarity order, so both members of a qualifying
+            # pair derive the identical struct), plus degenerate
+            # (s, s) keys for docs whose overlap bound is < 2 — see
+            # _rarity_prefix's k=2 docstring for the soundness
+            # argument (within-doc shingles are distinct, so real
+            # pair keys never collide with degenerate ones)
+            pair_keys = F.flatten(
+                F.transform(
+                    F.col("prefix"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("prefix"), i + F.lit(2), F.size("prefix")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("s1"), y.alias("s2")
+                        ),
+                    ),
+                )
+            )
+            degen = F.transform(
+                F.col("prefix"),
+                lambda s: F.struct(s.alias("s1"), s.alias("s2")),
+            )
+            keys = F.when(
+                F.ceil(F.lit(t) * F.col("n_sh")) < 2,
+                F.concat(pair_keys, degen),
+            ).otherwise(pair_keys)
+
         pa = docs.select(
             F.col("doc_id").alias("doc_a"),
-            F.explode("prefix").alias("sh"),
+            F.explode(keys).alias("bk"),
             F.col("n_sh").alias("na"),
         )
         pb = docs.select(
             F.col("doc_id").alias("doc_b"),
-            F.explode("prefix").alias("sh"),
+            F.explode(keys).alias("bk"),
             F.col("n_sh").alias("nb"),
         )
         # size-compatibility prune INSIDE the join: jaccard ≥ t implies
@@ -398,7 +518,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stage_barrier(
                 pa.join(
                     pb,
-                    (pa.sh == pb.sh)
+                    (pa.bk == pb.bk)
                     & (F.col("doc_a") < F.col("doc_b"))
                     & (F.col("na") >= t * F.col("nb"))
                     & (F.col("nb") >= t * F.col("na")),
@@ -455,13 +575,15 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin, public literature): order every doc's shingles by global
     rarity (df asc, shingle asc). A pair with jaccard ≥ t and
     compatible sizes (nb ≥ t·na) must overlap by c ≥ ceil(t·na), and
-    any two sets overlapping ≥ c must share an element within the
-    first (n − c + 1) elements of this common order. So only the
-    prefixes are indexed for candidate generation — the join touches a
-    fraction of the inverted index, and because prefixes hold the
-    *rarest* shingles, hot-shingle fan-out is avoided entirely.
-    Candidates are then verified with a full intersection count, so
-    the result is exact (same oracle as the plain formulation).
+    any two sets overlapping ≥ c must share k elements within the
+    first (n − c + k) elements of this common order (k=1 is the
+    classic filter; _rarity_prefix picks k per corpus — see
+    _PREFIX_DENSITY_SWITCH). So only the prefixes are indexed for
+    candidate generation — the join touches a fraction of the
+    inverted index, and because prefixes hold the *rarest* shingles,
+    hot-shingle fan-out is avoided entirely. Candidates are then
+    verified with a full intersection count, so the result is exact
+    (same oracle as the plain formulation).
 
     This is the raw-shingle REFERENCE implementation of the algorithm;
     q_dedup_ngram_jaccard runs the production form of the same prefix
@@ -479,15 +601,15 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = _rarity_prefix(sh, t)
 
         pa = prefix.select(
-            F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+            F.col("doc_id").alias("doc_a"), "key", F.col("n_sh").alias("na")
         )
         pb = prefix.select(
-            F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+            F.col("doc_id").alias("doc_b"), "key", F.col("n_sh").alias("nb")
         )
         cand = (
             pa.join(
                 pb,
-                (pa.shingle == pb.shingle)
+                (pa.key == pb.key)
                 & (F.col("doc_a") < F.col("doc_b"))
                 & (F.col("na") >= t * F.col("nb"))
                 & (F.col("nb") >= t * F.col("na")),
@@ -1170,16 +1292,16 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = _rarity_prefix(sh, t)
         is_batch = F.col("doc_id") % 10 == 0
         pb = prefix.filter(is_batch).select(
-            F.col("doc_id").alias("new_id"), "shingle", F.col("n_sh").alias("nb")
+            F.col("doc_id").alias("new_id"), "key", F.col("n_sh").alias("nb")
         )
         ph = prefix.filter(~is_batch).select(
-            F.col("doc_id").alias("dup_of"), "shingle", F.col("n_sh").alias("nh")
+            F.col("doc_id").alias("dup_of"), "key", F.col("n_sh").alias("nh")
         )
         cand = (
             _stage_barrier(
                 pb.join(
                     ph,
-                    (pb.shingle == ph.shingle)
+                    (pb.key == ph.key)
                     & (F.col("nb") >= t * F.col("nh"))
                     & (F.col("nh") >= t * F.col("nb")),
                 ).select("new_id", "dup_of", "nb", "nh")
@@ -1596,17 +1718,17 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = _rarity_prefix(sh, t).join(sp, "doc_id")
         pe = prefix.filter(F.col("split") != "train").select(
             F.col("doc_id").alias("ev_id"),
-            "shingle",
+            "key",
             F.col("n_sh").alias("ne"),
             "split",
         )
         pt = prefix.filter(F.col("split") == "train").select(
-            F.col("doc_id").alias("tr_id"), "shingle", F.col("n_sh").alias("nt")
+            F.col("doc_id").alias("tr_id"), "key", F.col("n_sh").alias("nt")
         )
         cand = (
             pe.join(
                 pt,
-                (pe.shingle == pt.shingle)
+                (pe.key == pt.key)
                 & (F.col("ne") >= t * F.col("nt"))
                 & (F.col("nt") >= t * F.col("ne")),
             )

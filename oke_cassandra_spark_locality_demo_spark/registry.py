@@ -305,6 +305,14 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # null-safe join (second-decade probe found the naive
     # join-then-count plan superlinear at sf1; same oracle)
     "q_join_null_safe",
+    # llm/dedup.py: corpus-adaptive generalized prefix filter
+    # (_prefix_k / _rarity_prefix k=2 pair keys — the second-decade
+    # probe measured the k=1 scheme superlinear on saturated shingle
+    # spaces). Fronting the three direct consumers plus the two keys
+    # that derive their truth sets from the jaccard pairs.
+    "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix",
+    "q_dedup_incremental_fuzzy", "q_split_leakage",
+    "q_dedup_clusters", "q_dedup_minhash_audit",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed

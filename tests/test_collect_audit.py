@@ -53,6 +53,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("llm/bpe.py", "train_bpe_merges"): (
         "top-1 pair per merge round; VOCAB-bounded driver loop"
     ),
+    ("llm/dedup.py", "_prefix_k"): (
+        "1-row density scalar (corpus avg shingle df) per index build "
+        "— picks the generalized-prefix blocking order (r12)"
+    ),
     ("llm/ivf.py", "kmeans_centroids"): (
         "k centroids (k<=32) per Lloyd round, twice (init + update)"
     ),

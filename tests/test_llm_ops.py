@@ -1335,3 +1335,130 @@ def test_starved_session_tuning_is_gated_and_idempotent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
         memharden._TUNED_APPS.discard(app)
+
+
+class TestGeneralizedPrefixFilter:
+    """r12: the second-decade probe measured the k=1 prefix filter
+    superlinear on a SATURATED shingle space (q_dedup_ngram_prefix
+    x89.7 over sf0.1 -> sf1 on the fixture's 31-word vocab). The fix is
+    a corpus-adaptive generalized prefix filter: k=2 pair-key blocking
+    once the measured avg shingle df passes _PREFIX_DENSITY_SWITCH.
+    Both orders are exact, so the switch must be invisible in results —
+    these tests build a corpus DENSE ENOUGH to engage k=2 and compare
+    the full query output against naive all-pairs brute force."""
+
+    VOCAB = ["aa", "bb", "cc", "dd", "ee"]  # 5^3 = 125 shingle space
+
+    def _mk_corpus(self, tmp_path, n_docs=240, seed=7):
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = random.Random(seed)
+        texts = []
+        for i in range(n_docs):
+            if i > 0 and rng.random() < 0.15:
+                # planted near-dup: driver-law append of one word
+                texts.append(texts[rng.randrange(i)] + " " +
+                             rng.choice(self.VOCAB))
+            else:
+                texts.append(" ".join(
+                    rng.choice(self.VOCAB)
+                    for _ in range(rng.randint(8, 28))
+                ))
+        sf_dir = str(tmp_path / "dense")
+        os.makedirs(sf_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "doc_id": list(range(n_docs)),
+                "text": texts,
+                "lang": ["en"] * n_docs,
+                "source": [f"src{i % 3}" for i in range(n_docs)],
+                "n_chars": [len(t) for t in texts],
+            }),
+            os.path.join(sf_dir, "documents.parquet"),
+        )
+        return sf_dir, texts
+
+    @staticmethod
+    def _brute_pairs(texts, t=0.6):
+        def sh(s):
+            w = s.split()
+            return set(zip(w, w[1:], w[2:]))
+        S = [sh(x) for x in texts]
+        out = set()
+        for a in range(len(S)):
+            for b in range(a + 1, len(S)):
+                if not S[a] or not S[b]:
+                    continue
+                j = len(S[a] & S[b]) / len(S[a] | S[b])
+                if j >= t:
+                    out.add((a, b))
+        return out
+
+    def test_dense_corpus_engages_k2_and_stays_exact(self, spark, tmp_path):
+        from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+        sf_dir, texts = self._mk_corpus(tmp_path)
+        # the corpus really is past the switch (else the test is vacuous)
+        sh = dedup._shingles(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), 3
+        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        assert dedup._prefix_k(dfreq) == 2
+
+        expected = self._brute_pairs(texts)
+        assert len(expected) >= 10, "corpus must contain planted near-dups"
+        for key in ("q_dedup_ngram_jaccard", "q_dedup_ngram_prefix"):
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in get(key).fn(spark, sf_dir).collect()
+            }
+            assert got == expected, (
+                f"{key} under k=2 diverged from brute force: "
+                f"missing={sorted(expected - got)[:5]} "
+                f"extra={sorted(got - expected)[:5]}"
+            )
+
+    def test_sparse_corpus_keeps_k1(self, spark, sf_dir):
+        """The driver fixtures sit well under the switch (measured avg
+        df ~1.5 at sf0.01, ~8.7 at sf0.1): the classic path must keep
+        serving them unchanged."""
+        from oke_cassandra_spark_locality_demo_spark.llm import dedup
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        dfreq = (
+            dedup._shingles(d, 3)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        assert dedup._prefix_k(dfreq) == 1
+
+    def test_degenerate_singleton_docs_still_pair(self, spark, tmp_path):
+        """k=2's pigeonhole needs overlap >= 2; docs whose bound
+        ceil(t*n) < 2 fall back to degenerate (s, s) keys. Two
+        identical 3-word docs (a single shingle each, jaccard 1.0)
+        must still be found on a corpus dense enough for k=2."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf_dir, texts = self._mk_corpus(tmp_path, n_docs=200)
+        n = len(texts)
+        texts = texts + ["aa bb cc", "aa bb cc"]
+        pq.write_table(
+            pa.table({
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["src0"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }),
+            os.path.join(sf_dir, "documents.parquet"),
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in get("q_dedup_ngram_prefix").fn(spark, sf_dir).collect()
+        }
+        assert (n, n + 1) in got, "degenerate singleton pair missed"
+        assert got == self._brute_pairs(texts)

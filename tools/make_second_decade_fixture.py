@@ -148,6 +148,81 @@ def gen_lineitem(sf: float) -> pa.Table:
     )
 
 
+#: the driver documents fixture's exact 31-word vocabulary (measured —
+#: identical at sf0.01 and sf0.1, shared by all five lang labels)
+_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def gen_documents(sf: float) -> pa.Table:
+    """Bag-of-words docs reproducing the measured near-dup law: word
+    count U[10,100] over the fixed 31-word vocab; ~5% of docs are a
+    planted near-dup of a random earlier doc. The driver's
+    perturbation is an APPEND of k vocab words at the END of the copy
+    (measured exactly at sf0.1: all 256 near-dup pairs classify as
+    append_1 x243 / exact x8 / append_2 x4 / append_3 x1 — no
+    substitutions, no internal insertions), which preserves every
+    original shingle (jaccard = (L-2)/(L-1+k) for a 1-append, >=0.89
+    even on the shortest docs — reproducing the 249-of-256 >=0.9
+    profile at UNIFORM source lengths, which random-position edits
+    cannot) and the mostly-pairs cluster-size law. lang/source labels
+    as measured (en ~41%, rest ~15% each; 20 uniform sources; all
+    langs share the one vocab)."""
+    n = int(sf * 50_000)
+    rng = np.random.default_rng(42)
+    vocab = np.array(_DOC_VOCAB)
+    langs = np.array(["en", "zh", "es", "de", "fr"])
+    lang_p = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+    texts: list[str] = []
+    words: list[list[str]] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.051:
+            k = rng.choice(4, p=[0.031, 0.949, 0.016, 0.004])
+            w = list(words[rng.integers(0, i)]) + [
+                str(v) for v in vocab[rng.integers(0, len(vocab), k)]
+            ]
+        else:
+            w = list(vocab[rng.integers(0, len(vocab), rng.integers(10, 101))])
+        words.append(w)
+        texts.append(" ".join(w))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype="int64")),
+            "text": pa.array(texts),
+            "lang": pa.array(langs[rng.choice(5, n, p=lang_p)]),
+            "source": pa.array(
+                np.char.add("src", rng.integers(0, 20, n).astype("U2"))
+            ),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype="int64")
+            ),
+        }
+    )
+
+
+def gen_embeddings(sf: float) -> pa.Table:
+    """Unit-norm 64-dim float vectors, 10 uniform labels. The driver
+    fixture's count law is x4 per decade (500 -> 2000 measured), NOT
+    x10 — preserved here (sf1 -> 8000); vectors are isotropic (the
+    measured intra/inter-label cosine are both ~0: labels carry no
+    cluster structure)."""
+    n = int(8000 * (sf / 1.0) ** 0.60206)  # x4/decade: 4 = 10^0.60206
+    rng = np.random.default_rng(42)
+    v = rng.standard_normal((n, 64)).astype("float32")
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64")),
+            "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n, dtype="int32")),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -158,6 +233,8 @@ def main() -> None:
         ("events", gen_events),
         ("customer", gen_customer),
         ("lineitem", gen_lineitem),
+        ("documents", gen_documents),
+        ("embeddings", gen_embeddings),
     ):
         path = os.path.join(out_dir, f"{name}.parquet")
         tbl = gen(args.sf)
