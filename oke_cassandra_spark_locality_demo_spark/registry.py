@@ -313,6 +313,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix",
     "q_dedup_incremental_fuzzy", "q_split_leakage",
     "q_dedup_clusters", "q_dedup_minhash_audit",
+    # llm/dedup.py: exact projection prune ahead of the full-width
+    # cosine in the label-blocked embedding pair join (necessary
+    # condition only — emitted values untouched)
+    "q_dedup_embedding",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed
