@@ -1646,20 +1646,131 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(_shingle_array(CONTAINMENT_SHINGLE_K)).cast("long").alias("n_sh"),
     )
-    df_ok = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
-        .select("h")
-    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    df_ok = dfreq.filter(F.col("df") <= CONTAINMENT_DF_CAP)
     indexed = _stage_barrier(sh.join(df_ok, "h"))
-    a = indexed.select(F.col("doc_id").alias("doc_a"), "h")
-    b = indexed.select(F.col("doc_id").alias("doc_b"), "h")
-    common = (
-        _stage_barrier(a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    memo = _ngram_memo_get(spark, sf_dir, variant="containment")
+    # Corpus-adaptive candidate scheme (r12, same switch as the
+    # jaccard family): below the density switch the classic full
+    # inverted-index self-join counts common shingles directly; on a
+    # SATURATED shingle space (second-decade probe: ×15.0 over
+    # sf0.1→sf1 at avg df 87 — every shingle is medium-df, so the
+    # self-join's Σ C(df,2) candidate volume grows ∝ n²/|space| and
+    # the stop-shingle cap never engages) candidates come from the
+    # asymmetric generalized prefix filter instead: containment ≥ 0.9
+    # needs overlap c = ⌈0.9·|S_B|⌉, so ANY subset of the CONTAINED
+    # doc's capped set of size n_cap − c + 2 must share ≥ 2 elements
+    # with the container (else overlap ≤ c−1) — the contained side
+    # emits ordered pairs from its RAREST such subset, the container
+    # side emits all its within-set pairs (both under the one global
+    # (df, h) order, so shared pairs derive identical structs), and
+    # only verified candidates get an exact intersection count.
+    # Degenerate (s,s) keys cover contained docs whose bound is < 2,
+    # matched by container-side singles. Both schemes are exact and
+    # produce the same (doc_a < doc_b, n_common-over-capped-sets)
+    # relation the directed emission below consumes. The k=2 branch's
+    # pinned index/candidates are leak-bounded via the one-slot
+    # "containment" memo variant, like every other dedup cache.
+    if memo is not None:
+        common = memo[-1]
+    elif _prefix_k(dfreq) == 1:
+        a = indexed.select(F.col("doc_id").alias("doc_a"), "h")
+        b = indexed.select(F.col("doc_id").alias("doc_b"), "h")
+        common = (
+            _stage_barrier(
+                a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        arr = (
+            _stage_barrier(indexed)
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "h"))).alias(
+                    "rk"
+                )
+            )
+            .select(
+                "doc_id",
+                F.transform("rk", lambda s: s.h).alias("hs"),
+                F.size("rk").alias("n_cap"),
+            )
+            .join(sizes, "doc_id")
+            .transform(_pin)
+        )
+
+        def pair_keys(col_arr):
+            return F.flatten(
+                F.transform(
+                    col_arr,
+                    lambda x, i: F.transform(
+                        F.slice(col_arr, i + F.lit(2), F.size(col_arr)),
+                        lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                    ),
+                )
+            )
+
+        def degen_keys(col_arr):
+            return F.transform(
+                col_arr, lambda s: F.struct(s.alias("s1"), s.alias("s2"))
+            )
+
+        c_bound = F.ceil(
+            F.lit(float(CONTAINMENT_THRESHOLD)) * F.col("n_sh")
+        )
+        bsub = F.slice(
+            F.col("hs"),
+            1,
+            F.greatest(
+                F.col("n_cap") - c_bound + 2, F.lit(0)
+            ).cast("int"),
+        )
+        bkeys = arr.select(
+            F.col("doc_id").alias("doc_b2"),
+            F.explode(
+                F.when(c_bound < 2, degen_keys(F.col("hs"))).otherwise(
+                    pair_keys(bsub)
+                )
+            ).alias("bk"),
+        )
+        akeys = arr.select(
+            F.col("doc_id").alias("doc_a2"),
+            F.explode(
+                F.concat(pair_keys(F.col("hs")), degen_keys(F.col("hs")))
+            ).alias("bk"),
+        )
+        cand = (
+            _stage_barrier(
+                akeys.join(bkeys, "bk")
+                .filter(F.col("doc_a2") != F.col("doc_b2"))
+                .select(
+                    F.least("doc_a2", "doc_b2").alias("doc_a"),
+                    F.greatest("doc_a2", "doc_b2").alias("doc_b"),
+                )
+            )
+            .distinct()
+            .transform(_pin)
+        )
+        va = arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+        vb = arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+        common = (
+            _capped_broadcast(cand)
+            .join(va, "doc_a")
+            .join(vb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("ha", "hb"))
+                .cast("long")
+                .alias("n_common"),
+            )
+            .filter(F.col("n_common") > 0)
+        )
+        _ngram_memo_put(
+            spark, sf_dir, (arr, cand, common), variant="containment"
+        )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     both = _stage_barrier(common).join(sz_a, "doc_a").join(sz_b, "doc_b")

@@ -223,18 +223,133 @@ def gen_embeddings(sf: float) -> pa.Table:
     )
 
 
+def gen_orders(sf: float) -> pa.Table:
+    """Measured laws: sequential keys; custkey uniform over the
+    customer keyspace; status P/O/F uniform thirds (the fixture's law,
+    not TPC-H's); totalprice U[1000, 500000); orderdate uniform
+    1995-01-01 .. 2001-08-01 (year histogram flat, 2001 partial);
+    5 uniform priorities."""
+    n = int(sf * 1_500_000)
+    rng = np.random.default_rng(42)
+    d0 = np.datetime64("1995-01-01", "us").astype("int64")
+    span_days = 2404  # 1995-01-01 .. 2001-08-01 inclusive-ish
+    prios = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype="int64")),
+            "o_custkey": pa.array(
+                rng.integers(0, int(sf * 150_000), n, dtype="int64")
+            ),
+            "o_orderstatus": pa.array(
+                np.array(["O", "P", "F"])[rng.integers(0, 3, n)]
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1_000, 500_000, n), 2)
+            ),
+            "o_orderdate": pa.array(
+                (
+                    d0
+                    + rng.integers(0, span_days, n) * 86_400 * 1_000_000
+                ).astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(prios[rng.integers(0, 5, n)]),
+        }
+    )
+
+
+def gen_part(sf: float) -> pa.Table:
+    """Measured laws: sequential keys; name = adjective(8) + noun(8)
+    uniform; Brand#1..25 uniform; 6 uniform types; size U[1,50];
+    retailprice = 900 + (key % 1000)/10 exactly (fixture law,
+    verified at keys 0-4 and the 999.9 max)."""
+    n = int(sf * 200_000)
+    rng = np.random.default_rng(42)
+    adjs = np.array(
+        ["new", "red", "blue", "old", "small", "cold", "large", "hot"]
+    )
+    nouns = np.array(
+        ["widget", "anvil", "gizmo", "bolt", "plate", "rod", "ring", "gear"]
+    )
+    types = np.array(
+        ["LARGE", "STANDARD", "SMALL", "ECONOMY", "PROMO", "MEDIUM"]
+    )
+    keys = np.arange(n, dtype="int64")
+    return pa.table(
+        {
+            "p_partkey": pa.array(keys),
+            "p_name": pa.array(
+                np.char.add(
+                    np.char.add(adjs[rng.integers(0, 8, n)], " "),
+                    nouns[rng.integers(0, 8, n)],
+                )
+            ),
+            "p_brand": pa.array(
+                np.char.add(
+                    "Brand#", rng.integers(1, 26, n).astype("U2")
+                )
+            ),
+            "p_type": pa.array(types[rng.integers(0, 6, n)]),
+            "p_size": pa.array(rng.integers(1, 51, n, dtype="int32")),
+            "p_retailprice": pa.array(
+                np.round(900.0 + (keys % 1000) / 10.0, 1)
+            ),
+        }
+    )
+
+
+def gen_supplier(sf: float) -> pa.Table:
+    n = int(sf * 10_000)
+    rng = np.random.default_rng(42)
+    keys = np.arange(n, dtype="int64")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys),
+            "s_name": pa.array(
+                np.char.add(
+                    "Supplier#", np.char.zfill(keys.astype("U9"), 9)
+                )
+            ),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n, dtype="int32")
+            ),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-1_000, 10_000, n), 2)
+            ),
+        }
+    )
+
+
+def copy_constant_tables(out_dir: str) -> None:
+    """nation/region are scale-constant (25/5 rows at every driver
+    SF) — carry the driver fixture's own rows so name-joining TPC-H
+    queries (q7/q8/...) see identical dimension content."""
+    src = "/root/testdata/sf0.1"
+    for t in ("nation", "region"):
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"{t}.parquet"), compression="snappy"
+        )
+        print(f"  {t}: {tbl.num_rows} rows (copied, scale-constant)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     args = ap.parse_args()
     out_dir = os.path.join(ROOT, ".localdata", f"sf{args.sf:g}")
     os.makedirs(out_dir, exist_ok=True)
+    copy_constant_tables(out_dir)
     for name, gen in (
         ("events", gen_events),
         ("customer", gen_customer),
         ("lineitem", gen_lineitem),
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
+        ("orders", gen_orders),
+        ("part", gen_part),
+        ("supplier", gen_supplier),
     ):
         path = os.path.join(out_dir, f"{name}.parquet")
         tbl = gen(args.sf)

@@ -47,8 +47,28 @@ SF_DIRS = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--keys", nargs="+", default=WATCH_KEYS)
+    ap.add_argument("--keys", nargs="+", default=None)
+    ap.add_argument(
+        "--suite",
+        choices=["watch", "bench"],
+        default="watch",
+        help="watch = the three r11 watch keys; bench = the full "
+        "headline+tpch+llm probe suite (the r12 full-fixture sweep)",
+    )
     args = ap.parse_args()
+    if args.keys is None:
+        if args.suite == "bench":
+            from bench import HEADLINE, LLM_SECONDARY
+
+            args.keys = list(
+                dict.fromkeys(
+                    HEADLINE
+                    + [f"q_tpch_q{i}" for i in range(1, 23)]
+                    + LLM_SECONDARY
+                )
+            )
+        else:
+            args.keys = WATCH_KEYS
     sf1_dir = SF_DIRS[-1][1]
     if not os.path.isdir(sf1_dir):
         print(
