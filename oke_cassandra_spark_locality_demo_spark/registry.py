@@ -154,20 +154,14 @@ def _load_all() -> None:
 #: free capacity is always a rolling re-adjudication of the stalest
 #: external verdicts. As of r10 the one-time rotation is complete
 #: (every key graded at least once) and this list holds all 401 keys
-#: (r12 bookkeeping: r11's 50 graded keys moved to the tail in
-#: CORRECTNESS_r11 order, with q_multimodal_decode_real — new and
-#: graded hash-green in r11 — appended where it landed, growing the
-#: list 400 -> 401): r1-r9 grades first (minus keys re-graded later),
-#: then the r10 block, then the r11 block.
+#: (r13 bookkeeping: r12's 50 graded keys moved to the tail in
+#: CORRECTNESS_r12 order, per the standing playbook): r1-r9 grades
+#: first (minus keys re-graded later), then the r10/r11 blocks, then
+#: the r12 block at the tail.
 _DRIVER_ADJUDICATED_ORDERED = (
     """
-    q_join_null_safe q_agg_global q_agg_hash q_agg_distinct
-    q_agg_rollup q_agg_cube q_agg_gsets q_agg_having q_agg_stats
-    q_pivot q_unpivot q_agg_hist q_agg_mode q_agg_collect_sorted
-    q_agg_filtered q_basket_lift q_agg_corr_matrix q_agg_regr
-    q_agg_incremental q_agg_mad_outliers q_agg_approx_distinct
-    q_agg_sketch_hll q_fn_date q_fn_array q_fn_map q_vec_centroid
-    q_vec_quantize q_retention_cohorts q_udf_cogroup q_agg_weighted
+    q_fn_array q_fn_map q_vec_centroid q_vec_quantize
+    q_retention_cohorts q_udf_cogroup q_agg_weighted
     q_agg_multi_distinct q_agg_listagg q_agg_grouping_id
     q_agg_higher_moments q_agg_approx_quantile q_win_rank
     q_win_analytic q_win_frame_rows q_win_frame_range
@@ -180,25 +174,25 @@ _DRIVER_ADJUDICATED_ORDERED = (
     q_sim_knn_blas q_sample_weighted q_mix_sources q_split_train_test
     q_split_drift_chisq q_feature_rare_collapse q_text_stats
     q_text_redact q_text_repetition q_fn_string q_fn_math q_fn_json
-    q_fn_cast_decimal q_dedup_exact q_dedup_embedding q_dedup_entity
-    q_dedup_incremental q_sim_knn_exact q_sim_pairwise_label
-    q_sim_lsh_audit q_sim_ivf_audit q_text_quality q_text_langid
-    q_text_tokens q_text_fingerprint q_text_chunk q_text_tfidf
-    q_text_clean q_text_url_extract q_text_pmi q_text_entropy
-    q_text_perplexity q_multimodal_cols q_multimodal_binary
-    q_multimodal_frames q_pipeline_e2e q_udf_python q_multimodal_resize
-    q_sim_ivf q_sim_pq q_sim_pq_audit q_vec_pca q_pack_sequences
-    q_stream_pyds q_udf_pandas q_udf_grouped_agg q_udf_arrow q_udtf
-    q_udtf_python q_source_pyds_scan q_source_pyds_lookup
-    q_insert_upsert q_meta_engine_info q_tpch_q1 q_tpch_q3 q_tpch_q5
-    q_tpch_q6 q_tpch_q9 q_tpch_q18 q_tpch_q21 q_privacy_dp_count
-    q_tpch_q2 q_tpch_q4 q_tpch_q7 q_tpch_q8 q_tpch_q10 q_tpch_q11
-    q_tpch_q12 q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17
-    q_tpch_q19 q_tpch_q20 q_tpch_q22 q_agg_sketch_cms
-    q_agg_sketch_theta q_agg_sketch_moments q_agg_bitmap_distinct
-    q_agg_bitmap_overlap q_mv_incremental q_merge_multi_action
-    q_sessionize q_join_bloom q_text_bm25 q_text_zipf q_shuffle_epoch
-    q_win_ewma q_sample_temperature q_sample_stratified q_sql_scripting
+    q_fn_cast_decimal q_dedup_exact q_dedup_entity q_dedup_incremental
+    q_sim_knn_exact q_sim_pairwise_label q_sim_lsh_audit
+    q_sim_ivf_audit q_text_quality q_text_langid q_text_tokens
+    q_text_fingerprint q_text_chunk q_text_tfidf q_text_clean
+    q_text_url_extract q_text_pmi q_text_entropy q_text_perplexity
+    q_multimodal_cols q_multimodal_binary q_multimodal_frames
+    q_pipeline_e2e q_udf_python q_multimodal_resize q_sim_ivf q_sim_pq
+    q_sim_pq_audit q_vec_pca q_pack_sequences q_stream_pyds
+    q_udf_pandas q_udf_grouped_agg q_udf_arrow q_udtf q_udtf_python
+    q_source_pyds_scan q_source_pyds_lookup q_insert_upsert
+    q_meta_engine_info q_tpch_q1 q_tpch_q3 q_tpch_q5 q_tpch_q6
+    q_tpch_q9 q_tpch_q18 q_tpch_q21 q_privacy_dp_count q_tpch_q2
+    q_tpch_q4 q_tpch_q7 q_tpch_q8 q_tpch_q10 q_tpch_q11 q_tpch_q12
+    q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q19
+    q_tpch_q20 q_tpch_q22 q_agg_sketch_cms q_agg_sketch_theta
+    q_agg_sketch_moments q_agg_bitmap_distinct q_agg_bitmap_overlap
+    q_mv_incremental q_merge_multi_action q_sessionize q_join_bloom
+    q_text_bm25 q_text_zipf q_shuffle_epoch q_win_ewma
+    q_sample_temperature q_sample_stratified q_sql_scripting
     q_ordinal_assign q_feature_bucketize q_fn_bitwise q_fn_collation
     q_fn_explode q_fn_generators q_fn_sequence q_fn_struct q_fn_try
     q_sim_lsh q_text_compress_ratio q_fn_variant q_fn_xml
@@ -255,20 +249,26 @@ _DRIVER_ADJUDICATED_ORDERED = (
     q_scan_users q_flagship_pricing_summary q_sample_hash
     q_scan_file_metadata q_project_expr q_filter_conj
     q_filter_in_between_like q_filter_rlike q_filter_null q_case_when
-    q_sink_pyds q_join_bucketed q_stream_tumbling q_stream_sliding
-    q_stream_session q_stream_multires q_stream_watermark_late
-    q_stream_dedup q_stream_stateful q_stream_sink
-    q_stream_foreach_batch q_stream_cdc_upsert q_stream_join_static
-    q_stream_join_interval q_stream_join_outer q_stream_join_semi
-    q_stream_stateful_tws q_dedup_ngram_jaccard q_dedup_ngram_prefix
-    q_contamination q_dedup_minhash q_dedup_minhash_audit
-    q_dedup_incremental_fuzzy q_dedup_containment q_split_leakage
-    q_dedup_clusters q_dedup_span q_maintenance_compact
-    q_graph_pagerank q_graph_bfs q_graph_cc q_graph_kcore q_graph_sssp
+    q_sink_pyds q_join_bucketed q_contamination q_dedup_minhash
+    q_dedup_containment q_dedup_span q_maintenance_compact
     q_dedup_simhash q_multimodal_decode_real q_join_inner q_join_left
     q_join_right q_join_full q_join_semi q_join_anti q_join_broadcast
     q_join_theta_range q_join_cross q_join_asof q_join_copartitioned
     q_join_multiway q_join_salted q_join_range_binned q_join_pit
+    q_stream_tumbling q_stream_sliding q_stream_session
+    q_stream_multires q_stream_watermark_late q_stream_dedup
+    q_stream_stateful q_stream_sink q_stream_foreach_batch
+    q_stream_cdc_upsert q_stream_join_static q_stream_join_interval
+    q_stream_join_outer q_stream_join_semi q_stream_stateful_tws
+    q_graph_pagerank q_graph_bfs q_graph_cc q_graph_kcore q_graph_sssp
+    q_join_null_safe q_dedup_ngram_jaccard q_dedup_ngram_prefix
+    q_dedup_incremental_fuzzy q_split_leakage q_dedup_clusters
+    q_dedup_minhash_audit q_dedup_embedding q_agg_global q_agg_hash
+    q_agg_distinct q_agg_rollup q_agg_cube q_agg_gsets q_agg_having
+    q_agg_stats q_pivot q_unpivot q_agg_hist q_agg_mode
+    q_agg_collect_sorted q_agg_filtered q_basket_lift q_agg_corr_matrix
+    q_agg_regr q_agg_incremental q_agg_mad_outliers
+    q_agg_approx_distinct q_agg_sketch_hll q_fn_date
     """.split()
 )
 
@@ -279,44 +279,39 @@ _DRIVER_ADJUDICATED = frozenset(_DRIVER_ADJUDICATED_ORDERED)
 #: adjudication (ADVICE r3: a rewrite back-listed behind
 #: _DRIVER_ADJUDICATED would never be re-graded externally). This
 #: guard is permanent: reset the list each round to the keys actually
-#: touched. Round 12 (maintenance round, VERDICT/ADVICE r11): the two
-#: code changes are both ADVICE hardenings on shared paths — the
-#: streaming staging reaper's grace is now bound to SUPERSESSION time
-#: instead of directory mtime (streaming/runtime.py — shared staging
-#: path of every q_stream_* key), and tracked_local_checkpoint now
-#: refuses to attribute a multi-RDD getPersistentRDDs diff (ckpt.py —
-#: shared by the five iterative graph ops). Both are
-#: results-invariant by design; fronting them proves it externally.
+#: touched. Round 13 (VERDICT/ADVICE r12): q_dedup_containment's k=2
+#: asymmetric prefix-filter branch landed in the r12 CLOSING commit,
+#: after CORRECTNESS_r12's sample was drawn, so its rework has no
+#: external verdict yet (VERDICT r12 item 1 / ADVICE r12 item 1) —
+#: fronted now that its dense-corpus brute-force parity tests are in
+#: (tests/test_llm_ops.py TestGeneralizedPrefixFilter). The streaming
+#: keys are fronted for the ADVICE r12 reaper fix on their shared
+#: staging path (streaming/runtime.py: skip stamp creation for a
+#: directory reaped earlier in the same pass — results-invariant by
+#: design; fronting proves it externally).
 _MODIFIED_THIS_ROUND: list[str] = [
-    # streaming/runtime.py stage reaper: grace re-bound from dir
-    # mtime to supersession-stamp age — shared staging path of every
-    # streaming key
+    # llm/dedup.py q_dedup_containment: k=2 branch landed post-sample
+    # in r12 (brute-force parity + starvation tests added this
+    # round), and r13 additionally reworked the query's k=1 cost
+    # (shared-shingle-slot source, per-corpus density memo, memoized
+    # common table — bench r13 caught the r12 density probe doubling
+    # the query's sf0.1 cost)
+    "q_dedup_containment",
+    # llm/dedup.py density memo threading (_prefix_k/_rarity_prefix
+    # signatures): shared by the whole generalized-prefix family —
+    # results-invariant by design (the scalar is the same number,
+    # just cached); fronting proves it externally
+    "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix",
+    "q_dedup_incremental_fuzzy", "q_split_leakage",
+    "q_dedup_clusters", "q_dedup_minhash_audit",
+    # streaming/runtime.py stage reaper: same-pass orphan-stamp fix —
+    # shared staging path of every streaming key
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_multires", "q_stream_watermark_late", "q_stream_dedup",
     "q_stream_stateful", "q_stream_sink", "q_stream_foreach_batch",
     "q_stream_cdc_upsert", "q_stream_join_static",
     "q_stream_join_interval", "q_stream_join_outer",
     "q_stream_join_semi", "q_stream_stateful_tws",
-    # ckpt.py: single-id attribution guard on tracked checkpoints in
-    # the five iterative graph ops
-    "q_graph_pagerank", "q_graph_bfs", "q_graph_cc", "q_graph_kcore",
-    "q_graph_sssp",
-    # operators/joins.py: partial-aggregation pushdown through the
-    # null-safe join (second-decade probe found the naive
-    # join-then-count plan superlinear at sf1; same oracle)
-    "q_join_null_safe",
-    # llm/dedup.py: corpus-adaptive generalized prefix filter
-    # (_prefix_k / _rarity_prefix k=2 pair keys — the second-decade
-    # probe measured the k=1 scheme superlinear on saturated shingle
-    # spaces). Fronting the three direct consumers plus the two keys
-    # that derive their truth sets from the jaccard pairs.
-    "q_dedup_ngram_jaccard", "q_dedup_ngram_prefix",
-    "q_dedup_incremental_fuzzy", "q_split_leakage",
-    "q_dedup_clusters", "q_dedup_minhash_audit",
-    # llm/dedup.py: exact projection prune ahead of the full-width
-    # cosine in the label-blocked embedding pair join (necessary
-    # condition only — emitted values untouched)
-    "q_dedup_embedding",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed
@@ -326,14 +321,14 @@ _MODIFIED_THIS_ROUND: list[str] = [
 #: _DRIVER_ADJUDICATED_ORDERED, so the full 401-key surface
 #: re-adjudicates roughly every 8-10 rounds with no bookkeeping
 #: beyond the per-round _MODIFIED reset and the post-CORRECTNESS
-#: append-to-tail (see the list docstring above). The round-12
-#: playbook (r11 keys to tail, _MODIFIED reset, canary repin to the
-#: 401 pool, section-anchor re-derivation) was executed in r12.
+#: append-to-tail (see the list docstring above). The round-13
+#: playbook (r12 keys to tail, _MODIFIED reset, canary repin on the
+#: unchanged 401 pool) was executed in r13.
 #:
-#: ROUND-13 PLAYBOOK (after CORRECTNESS_r12 lands): (1) MOVE r12's
+#: ROUND-14 PLAYBOOK (after CORRECTNESS_r13 lands): (1) MOVE r13's
 #: graded keys to the tail of _DRIVER_ADJUDICATED_ORDERED in the
-#: CORRECTNESS_r12 order; (2) reset _MODIFIED_THIS_ROUND to whatever
-#: r13 actually touches; (3) repin tools/canary_adjudicated.py's
+#: CORRECTNESS_r13 order; (2) reset _MODIFIED_THIS_ROUND to whatever
+#: r14 actually touches; (3) repin tools/canary_adjudicated.py's
 #: round in test_canary.py; (4) if any bench SECTION query's
 #: implementation changes, re-derive ANCHOR_TPCH_SF01/ANCHOR_LLM_SF01
 #: as the per-query median over 3 contended-false FULL bench.py runs

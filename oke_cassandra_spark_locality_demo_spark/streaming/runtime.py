@@ -134,8 +134,15 @@ def _reap_stale_stages(base: str, keep: str) -> None:
                     shutil.rmtree(os.path.join(base, stage),
                                   ignore_errors=True)
                     os.unlink(path)
+                    # keep the snapshot honest within this pass: if the
+                    # dir's own listdir entry is iterated AFTER its
+                    # expired stamp (os.listdir order is arbitrary),
+                    # the stale snapshot would re-stamp the directory
+                    # we just reaped, leaving an orphan stamp until the
+                    # next pass (ADVICE r12)
+                    dirs.discard(stage)
                 continue
-            if entry in dirs and entry != keep:
+            if entry in dirs and entry != keep and os.path.isdir(path):
                 stamp = path + _SUPERSEDED_SUFFIX
                 if not os.path.exists(stamp):
                     # first observation as superseded: start the clock

@@ -337,24 +337,30 @@ def test_summary_line_fits_with_section_checks():
     assert parsed["load_check"]["sections"]["tpch"]["outlier_retries"] == 22
 
 
-def test_outlier_floor_suppresses_subsecond_noise():
-    """r11: both closing bench runs flagged on sub-second llm keys with
-    ~0.4 s absolute deltas while every median was clean — a relative
-    gate needs an absolute floor. A 2.7x blip on a 0.25 s anchor is
-    noise; the same ratio on a 1.2 s anchor is worth a retry/flag."""
-    assert bench.is_outlier(0.674, 0.248) is False      # r9's exact shape
-    assert bench.is_outlier(3.387, 1.246) is True       # big-query 2.7x
-    assert bench.is_outlier(0.70, 0.283) is False       # the r11 ohlc blip
-    # drift_jsd's folded (min-of-windows) value during the measured
-    # overhead swing: 2.7x ratio but a 0.73 s delta — under the floor
-    assert bench.is_outlier(1.154, 0.421) is False
+def test_outlier_gate_is_anchor_scaled():
+    """VERDICT r12 item 4: the r11-era blanket 1.0 s floor let a
+    3.66x sub-second regression ride unflagged through the judge's
+    contended-false run. The gate is now anchor-scaled: pure ratio
+    (>2.5) below SUBSECOND_ANCHOR_CUTOFF, ratio+floor at or above it,
+    3x pure backstop everywhere. A trip means one fresh min-of-N
+    retry — only persistence through both windows flags the run."""
+    # the judge's exact unflagged r12 shape: 0.308 s anchor -> 1.128 s
+    # (3.66x) MUST now trip (the 'Done =' criterion of item 4)
+    assert bench.is_outlier(1.128, 0.308) is True
+    # a clean 3x synthetic sub-second regression trips too
+    assert bench.is_outlier(0.90, 0.30) is True         # 3.0x on 0.3 s anchor
+    assert bench.is_outlier(3.387, 1.246) is True       # big-query 2.7x, over floor
+    assert bench.is_outlier(0.70, 0.283) is False       # r11 ohlc blip: 2.47x, under
+    assert bench.is_outlier(0.674, 0.248) is True       # r9's 2.72x shape: retries now
     assert bench.is_outlier(-1.0, 0.3) is False         # failure clamp
-    # ADVICE r11 backstop: past OUTLIER_RATIO_BACKSTOP the absolute
-    # floor no longer shields a sub-second anchor — a 6x regression on
-    # a 0.23 s query (q_tpch_q6-shaped) must retry/flag even though
-    # its delta is ~1.2x the floor miss
-    assert bench.is_outlier(1.40, 0.23) is True         # 6.1x, tiny delta
-    assert bench.is_outlier(1.10, 0.23) is False        # 4.8x, under backstop
+    # cutoff boundary: at/above 0.5 s the floor still suppresses
+    # suite-scale-irrelevant blips (2.2x on a 0.5 s anchor = 0.6 s
+    # delta, under the 1.0 s floor)
+    assert bench.is_outlier(1.10, 0.50) is False
+    assert bench.is_outlier(1.24, 0.50) is False        # 2.48x, delta 0.74
+    # r12 backstop at 3x: anchors in [cutoff, 1 s) can no longer ride
+    # ratio ~3-5x under the absolute floor
+    assert bench.is_outlier(1.80, 0.55) is True         # 3.27x, delta 0.8 < 1.0
     assert bench.is_outlier(12.0, 2.0) is True          # backstop on big too
 
     # flagworthy_max: only floor-clearing outliers gate the verdict
@@ -364,8 +370,8 @@ def test_outlier_floor_suppresses_subsecond_noise():
     assert bench.flagworthy_max({"small": 2.5}, anchors) is None
     assert bench.flagworthy_max({}, anchors) is None
 
-    # retime_outliers respects the floor: the small-anchor 2.5x query
-    # is not re-timed
+    # retime_outliers respects the small-anchor ratio boundary: a
+    # query at exactly 2.5x its sub-cutoff anchor is not re-timed
     timings = {"small": 0.70, "big": 3.0}
     calls = []
     t, r, retries = bench.retime_outliers(

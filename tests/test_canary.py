@@ -45,18 +45,17 @@ def test_selection_varies_across_rounds():
 
 
 def test_current_round_selection_matches_roundlog():
-    """ROUNDLOG r12 names these five keys as the round's canary; the
+    """ROUNDLOG r13 names these five keys as the round's canary; the
     recorded claim and the tool must never drift apart. The pin is
-    per-round against the adjudicated pool at that round's HEAD — the
-    pool grows when a round's sampled keys are appended to
-    _DRIVER_ADJUDICATED, so the pinned round advances with it (the r11
-    pin was computed over the 400-key post-rotation pool; this one
-    over the full 401-key pool — 394 of them oracle-backed — after
-    the r12 playbook appended q_multimodal_decode_real)."""
-    assert canary.canary_keys(12) == [
-        "q_source_schema_evolution",
-        "q_intersect",
-        "q_tpch_q18",
-        "q_stats_runs_test",
-        "q_tpch_q22",
+    per-round against the adjudicated pool at that round's HEAD —
+    membership is unchanged since r12 (the r13 playbook only REORDERS
+    _DRIVER_ADJUDICATED_ORDERED, moving r12's graded keys to the
+    tail; the frozenset pool and therefore the sorted draw base are
+    identical), so only the seed advances."""
+    assert canary.canary_keys(13) == [
+        "q_graph_neighbor_sample",
+        "q_join_cross",
+        "q_ts_backtest_snaive",
+        "q_fn_array",
+        "q_tpch_q15",
     ]

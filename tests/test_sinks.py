@@ -280,3 +280,55 @@ def test_stream_stage_reaper_reclaims_superseded_copies(tmp_path):
     runtime._reap_stale_stages(base, keep="events.400")
     assert os.path.isdir(relect)
     assert not os.path.exists(relect + sfx), "re-elected dir's stamp must clear"
+
+
+def test_stream_stage_reaper_no_same_pass_orphan_stamp(tmp_path, monkeypatch):
+    """ADVICE r12: within one reap pass, if a dir's expired .superseded
+    stamp is iterated BEFORE the dir's own listdir entry (os.listdir
+    order is arbitrary), the reap (rmtree + stamp unlink) must not be
+    followed by the stale `dirs` snapshot re-stamping the now-deleted
+    directory — that orphan stamp would linger until the next pass.
+    Deterministically forces the adversarial order via a pinned
+    listdir, and also pins the isdir guard for a dir that vanished
+    between the listdir snapshot and stamp creation."""
+    import time
+
+    from oke_cassandra_spark_locality_demo_spark.streaming import runtime
+
+    base = str(tmp_path)
+    sfx = runtime._SUPERSEDED_SUFFIX
+    now = time.time()
+    old = runtime._STAGE_REAP_GRACE_SEC + 60
+
+    doomed = os.path.join(base, "events.500")
+    os.makedirs(doomed)
+    with open(doomed + sfx, "w") as f:
+        f.write("events.100")
+    os.utime(doomed + sfx, (now - old, now - old))
+
+    real_listdir = os.listdir
+
+    def stamp_first(path):
+        entries = real_listdir(path)
+        return sorted(entries, key=lambda e: not e.endswith(sfx))
+
+    monkeypatch.setattr(runtime.os, "listdir", stamp_first)
+    runtime._reap_stale_stages(base, keep="events.100")
+    monkeypatch.undo()
+    assert not os.path.isdir(doomed), "expired-stamp dir must be reaped"
+    assert not os.path.exists(doomed + sfx), (
+        "same-pass re-stamp of a reaped dir (orphan stamp) — the stale "
+        "dirs snapshot leaked through"
+    )
+
+    # isdir guard: a listdir snapshot naming a dir that no longer
+    # exists on disk must not produce a stamp for it
+    ghost = os.path.join(base, "events.600")
+
+    def with_ghost(path):
+        return real_listdir(path) + ["events.600"]
+
+    monkeypatch.setattr(runtime.os, "listdir", with_ghost)
+    runtime._reap_stale_stages(base, keep="events.100")
+    monkeypatch.undo()
+    assert not os.path.exists(ghost + sfx), "stamped a nonexistent dir"
