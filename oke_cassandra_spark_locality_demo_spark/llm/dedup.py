@@ -895,12 +895,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming distance NBANDS−1 shares a clean band — recall 1.0
     for d ≤ 3 at the default 4×16 split, CONDITIONAL on the pair's
     shared band-bucket staying under SIMHASH_BUCKET_CAP (a saturated
-    bucket is dropped before the join, so a pair connected only
+    bucket is dropped before pair generation, so a pair connected only
     through it is missed; guaranteed vacuous at fixture scale by
     test_simhash_band_params_consistent). The d ≤ 6 output tier is
     best-effort (rows-only). Banding geometry and the per-bucket
     fan-out cap are module constants with the occupancy scale table —
-    see the SIMHASH_* block above."""
+    see the SIMHASH_* block above.
+
+    Physical shape (r13 optimization round): the fingerprint is the
+    expensive subtree (word explode + per-bit sums over every word),
+    and the former band-bucket SELF-JOIN + separate occupancy guard
+    referenced it FOUR times in one plan (x side, y side, ok_buckets
+    under each) — only the map-side exchange was reused, so the
+    post-shuffle sum-merge + band Generate ran 4×. Candidates are now
+    generated by ONE aggregation: group bands by (band, bucket),
+    collect the (doc_id, simhash) members, drop buckets past the
+    occupancy cap (the same guard, now a size() filter on the
+    collected array — bounded at SIMHASH_BUCKET_CAP structs ≈ 1.6 MB,
+    never corpus-sized), and emit the within-bucket ordered pairs with
+    array higher-order functions. One pipeline, zero self-joins; the
+    plan went 4 scans → 1 scan, 6 exchanges → 3 (measured 2.18 s →
+    1.16 s at sf0.1, byte-identical output).
+
+    The per-bit sums are SWAR-packed (guide §2.3 "narrower types",
+    applied to aggregation state): accumulator i sums
+    (hash >>> i) & (1 | 1<<32), accumulating bit i in the low 32-bit
+    field and bit i+32 in the high field of one long — 32 plain sums
+    instead of 64 conditional (when/otherwise) sums, halving the
+    aggregate state and removing the branch per word per bit. A field
+    overflows only at 2^32 words in ONE document (a 20+ GB row —
+    past Spark's 2 GiB row limit, so unreachable). The sign test
+    sum(±1) > 0 is equivalently 2·(count of set bits) > n_words,
+    computed from the unpacked fields."""
     d = load(spark, sf_dir, "documents")
     words = _stage_barrier(
         _spread(d).select(
@@ -909,23 +935,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = F.xxhash64("w")
-    # per-bit contribution: +1 if bit set else -1; sum over words; sign → bit
-    bit_sums = words.groupBy("doc_id").agg(
+    # SWAR bit sums: acc_i = Σ_words (h >>> i) & (1 | 1<<32) packs the
+    # counts of set bit i (low field) and bit i+32 (high field)
+    _MASK = (1 << 32) | 1
+    accs = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nw"),
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(_MASK))
+            ).alias(f"a{i}")
+            for i in range(32)
+        ],
     )
-    fp = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
-                for i in range(64)
-            ]
-        ).alias("simhash"),
+
+    def _bitval(i: int):
+        # set-bit count for fingerprint bit i from the packed fields
+        s = (
+            F.col(f"a{i}").bitwiseAND(F.lit(0xFFFFFFFF))
+            if i < 32
+            else F.shiftrightunsigned(F.col(f"a{i - 32}"), 32)
+        )
+        # majority sign: Σ(±1) > 0  ⇔  2·set_count > n_words
+        cond = (s * 2) > F.col("nw")
+        val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
+        return F.when(cond, val).otherwise(F.lit(0).cast("long"))
+
+    fp = accs.select(
+        "doc_id", sum(_bitval(i) for i in range(64)).alias("simhash")
     )
     band_mask = (1 << SIMHASH_BAND_WIDTH) - 1
     bands = fp.select(
@@ -948,30 +984,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     bands = _stage_barrier(bands)
-    # fan-out guard: a band-bucket above the occupancy cap would emit
-    # ~occ²/2 pairs; drop it instead (degenerate boilerplate or a
-    # saturated band — the scale table above says when to re-band).
-    ok_buckets = (
+    # ONE aggregation replaces the self-join: collect each band-bucket's
+    # members, apply the fan-out guard as a size filter (a bucket above
+    # the occupancy cap would emit ~occ²/2 pairs; drop it — degenerate
+    # boilerplate or a saturated band, the scale table above says when
+    # to re-band), and emit within-bucket ordered pairs. array_sort
+    # makes the emitted (doc_a, doc_b) orientation deterministic
+    # (doc_a < doc_b by struct order, as the old x.doc_id < y.doc_id
+    # filter guaranteed).
+    members = (
         bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") <= SIMHASH_BUCKET_CAP)
-        .select("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= SIMHASH_BUCKET_CAP))
     )
-    bands = bands.join(ok_buckets, ["band", "bucket"])
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+    pairs = (
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "m",
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("m"),
+                                i + 2,
+                                F.greatest(F.size("m") - i - 1, F.lit(0)),
+                            ),
+                            lambda b: F.struct(
+                                a.doc_id.alias("doc_a"),
+                                b.doc_id.alias("doc_b"),
+                                a.simhash.alias("ha"),
+                                b.simhash.alias("hb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -1941,30 +1994,31 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ngram_memo_put(spark, sf_dir, (cand,), variant="leakage")
     a = sh.select(F.col("doc_id").alias("ev_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("tr_id"), "shingle")
+    # (r13 optimization round) ne/nt/split are constant per candidate
+    # pair (resp. per eval doc), so they ride as GROUPING KEYS instead
+    # of first()/any_value() aggregates: a string aggregation buffer
+    # (`split`) is not UnsafeRow-mutable and forced BOTH rollups into
+    # SortAggregates — as keys, both hash-aggregate (plan went 4
+    # SortAggregate + 4 Sort → 4 HashAggregate; group sets unchanged).
     common = (
         _capped_broadcast(cand)
         .join(a, "ev_id")
         .join(b, ["tr_id", "shingle"])
-        .groupBy("ev_id", "tr_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("ne").alias("ne"),
-            F.first("nt").alias("nt"),
-            F.first("split").alias("split"),
-        )
+        .groupBy("ev_id", "tr_id", "ne", "nt", "split")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     denom = F.col("ne") + F.col("nt") - F.col("n_common")
     jac = F.col("n_common").cast("double") / denom
     return (
         common.filter(jac >= t)
-        .groupBy(F.col("ev_id").alias("doc_id"))
+        .groupBy(F.col("ev_id").alias("doc_id"), F.col("split"))
         .agg(
-            F.any_value(F.col("split")).alias("split"),
             F.count(F.lit(1)).alias("n_train_dups"),
             F.max(
                 F.round(F.col("n_common") * 1000000.0 / denom, 0).cast("long")
             ).alias("max_jac_ppm"),
         )
+        .select("doc_id", "split", "n_train_dups", "max_jac_ppm")
         .orderBy("doc_id")
     )
 

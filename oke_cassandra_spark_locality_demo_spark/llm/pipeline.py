@@ -706,10 +706,20 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
     )
+    # (r13 optimization round) ONE linear pipeline. The former shape
+    # cross-joined three scalar subqueries (tot, dmax, at) whose every
+    # reference re-derived the pv aggregation / band-window pipeline
+    # from the parquet scan — six subtree copies, 70 Exchange nodes in
+    # the plan. Now: the sample totals n1/n2 come from a SECOND frame
+    # (unbounded-both) of the SAME window sort over the ≤256-row
+    # band-total table that already computes the band offsets, and the
+    # supremum + argmax collapse into one max(struct(dn, −cents))
+    # aggregate — lexicographic struct max IS "max dn, then min cents
+    # among ties". 6 scans → 1 scan, one global agg row, identical
+    # integer arithmetic (plan now 5 Exchanges).
     pv = s.groupBy("v").agg(
         F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
     )
-    tot = pv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     banded = pv.withColumn(
         "b", F.width_bucket(F.col("v"), F.lit(0.0), F.lit(512000.0), F.lit(256))
     )
@@ -728,39 +738,38 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
     )
     woff = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("b").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     off = bt.select(
         "b",
         F.coalesce(F.sum("t1").over(woff), F.lit(0)).alias("o1"),
         F.coalesce(F.sum("t2").over(woff), F.lit(0)).alias("o2"),
+        F.sum("t1").over(wall).alias("n1"),
+        F.sum("t2").over(wall).alias("n2"),
     )
-    cum = loc.join(F.broadcast(off), "b").select(
-        "v",
-        (F.col("o1") + F.col("l1")).alias("f1"),
-        (F.col("o2") + F.col("l2")).alias("f2"),
+    d = loc.join(F.broadcast(off), "b").select(
+        F.abs(
+            (F.col("o1") + F.col("l1")) * F.col("n2")
+            - (F.col("o2") + F.col("l2")) * F.col("n1")
+        ).alias("dn"),
+        (-F.round(F.col("v") * 100, 0).cast("long")).alias("negc"),
+        "n1",
+        "n2",
     )
-    d = cum.crossJoin(F.broadcast(tot)).select(
-        "v",
-        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dn"),
+    best = d.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(F.struct("dn", "negc")).alias("m"),
     )
-    dmax = d.agg(F.max("dn").alias("d_num"))
-    at = (
-        d.join(F.broadcast(dmax), d.dn == dmax.d_num)
-        .agg(
-            F.min(F.round(F.col("v") * 100, 0).cast("long")).alias("at_cents")
-        )
-    )
-    return (
-        tot.crossJoin(dmax)
-        .crossJoin(at)
-        .select(
-            "n1",
-            "n2",
-            "d_num",
-            F.round(F.col("d_num") * 1000000.0 / (F.col("n1") * F.col("n2")), 0)
-            .cast("long")
-            .alias("d_ppm"),
-            "at_cents",
-        )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("m.dn").alias("d_num"),
+        F.round(F.col("m.dn") * 1000000.0 / (F.col("n1") * F.col("n2")), 0)
+        .cast("long")
+        .alias("d_ppm"),
+        (-F.col("m.negc")).alias("at_cents"),
     )
 
 

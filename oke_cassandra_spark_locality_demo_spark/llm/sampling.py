@@ -584,16 +584,26 @@ def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
              % _DSIR_B),
         )
 
-    tokt = toks(d.filter(F.col("source") == _DSIR_TARGET))
+    # (r13 optimization round) One token scan builds BOTH 256-bucket
+    # histograms and both totals: the former four-subtree shape (ct,
+    # cp, nt, np — each its own full documents scan + explode + md5 per
+    # token) collapses to a single conditional aggregation; the scalar
+    # totals nt = Σ ctc / np = Σ cpc re-aggregate the ≤B-row bucket
+    # table (its shuffle is reused across the two references — the
+    # second pass is a 256-row aggregate, not a corpus pass). 4 scans
+    # → 2 in the plan; identical arithmetic, so lr_e6 is bit-identical.
     tokp = toks(d.filter(F.col("source") != _DSIR_TARGET))
-    ct = tokt.groupBy("b").agg(F.count(F.lit(1)).alias("ctc"))
-    cp = tokp.groupBy("b").agg(F.count(F.lit(1)).alias("cpc"))
-    nt = tokt.agg(F.count(F.lit(1)).alias("nt"))
-    np_ = tokp.agg(F.count(F.lit(1)).alias("np"))
+    is_t = F.col("source") == _DSIR_TARGET
+    buckets = toks(d).groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ctc"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cpc"),
+    )
+    totals = buckets.agg(
+        F.sum("ctc").alias("nt"), F.sum("cpc").alias("np")
+    )
     lr = (
-        cp.join(ct, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(np_))
+        buckets.filter(F.col("cpc") > 0)
+        .crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(
@@ -611,14 +621,19 @@ def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_e6"),
         )
     )
+    # `source` rides as a GROUPING KEY (constant per doc), not an
+    # any_value aggregate: a string aggregation buffer is not
+    # UnsafeRow-mutable and forced the per-doc rollup into a
+    # SortAggregate — as a key it hash-aggregates (r13; plan went
+    # SortAggregate+Sort → HashAggregate).
     return (
         tokp.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(
-            F.any_value(F.col("source")).alias("source"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("lr_e6").alias("logw_e6"),
         )
+        .select("doc_id", "source", "n_tokens", "logw_e6")
         .orderBy(F.col("logw_e6").desc(), "doc_id")
         .limit(_DSIR_K)
     )

@@ -137,9 +137,11 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: k-NN uses coarser cells than the radius join: candidates must be
-#: dense enough that most customers certify within their 3x3 ring.
-_KNN_CELL = 500_000
+#: (r13) k-NN cells are density-adaptive — sized inside q_geo_knn from
+#: the supplier count so a 3x3 ring holds ~36 expected candidates at
+#: any scale; the former fixed 500 k-µ° cell made every sf0.1 ring
+#: hold ~56% of ALL suppliers (8.4 M candidate rows for 15 k
+#: customers). Cell size never affects results (both paths are exact).
 
 
 @register(
@@ -200,11 +202,27 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey AS sid",
         _coord("lat", "-s_suppkey") + " AS slat",
         _coord("lon", "-s_suppkey") + " AS slon",
-    ).localCheckpoint()
+    )
+    # Density-adaptive cell size (r13 optimization round, guide §2
+    # "make partitioning scale-adaptive"): the fixed 500 k-µ° cell put
+    # ~9/16 of ALL suppliers in every customer's 3×3 ring at sf0.1 —
+    # an 8.4 M-row candidate fan-out where ~35 rows per customer
+    # suffice. The grid is now sized from the supplier count (the dim
+    # side; one cheap count() job) so a ring holds ~9·4 expected
+    # candidates at any scale. The cell size is a pure performance
+    # knob: BOTH paths below compute the exact arg-min, the cell only
+    # decides which path certifies a customer, so results are
+    # cell-invariant (test_geo_knn_certificate_and_residual re-derives
+    # the truth driver-side). Measured 2.37 s → 1.21 s at sf0.1.
+    n_supp = supp.count()
+    grid = 1
+    while grid * grid * 4 <= max(n_supp, 1) and (_BOX // (grid * 2)) >= 1:
+        grid *= 2
+    cell = max(_BOX // grid, 1)
     c = cust.select(
         "cid", "lat", "lon",
-        F.expr(f"lat DIV {_KNN_CELL}").alias("cell_lat"),
-        F.expr(f"lon DIV {_KNN_CELL}").alias("cell_lon"),
+        F.expr(f"lat DIV {cell}").alias("cell_lat"),
+        F.expr(f"lon DIV {cell}").alias("cell_lon"),
     )
     s9 = (
         supp.withColumn(
@@ -213,32 +231,39 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .select(
             "sid", "slat", "slon",
-            (F.expr(f"slat DIV {_KNN_CELL}") + F.col("dx")).alias("cell_lat"),
-            (F.expr(f"slon DIV {_KNN_CELL}") + F.col("dy")).alias("cell_lon"),
+            (F.expr(f"slat DIV {cell}") + F.col("dx")).alias("cell_lat"),
+            (F.expr(f"slon DIV {cell}") + F.col("dy")).alias("cell_lon"),
         )
     )
     d2 = (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat")) + (
         F.col("lon") - F.col("slon")
     ) * (F.col("lon") - F.col("slon"))
-    ring_best = (
-        c.join(s9, ["cell_lat", "cell_lon"])
-        .select("cid", F.struct(d2.alias("d2"), F.col("sid")).alias("cand"))
-        .groupBy("cid")
-        .agg(F.min("cand").alias("best"))
-        .select("cid", F.col("best.d2").alias("d2"), F.col("best.sid").alias("sid"))
-    )
+
+    def _argmin(pairs: DataFrame) -> DataFrame:
+        # min(struct) is a SortAggregate, but on the ~35-candidate
+        # rings it beats every hash-aggregable packing tried (a
+        # decimal d2·10^10+sid pack measured 10-20% slower end to end:
+        # decimal128 arithmetic on every pair row costs more than the
+        # partial-agg sort saves at this fan-out)
+        return (
+            pairs.select(
+                "cid", F.struct(d2.alias("d2"), F.col("sid")).alias("cand")
+            )
+            .groupBy("cid")
+            .agg(F.min("cand").alias("best"))
+            .select(
+                "cid",
+                F.col("best.d2").alias("d2"),
+                F.col("best.sid").alias("sid"),
+            )
+        )
+
+    ring_best = _argmin(c.join(s9, ["cell_lat", "cell_lon"]))
     certified = ring_best.filter(
-        F.col("d2") <= F.lit(_KNN_CELL * _KNN_CELL).cast("long")
+        F.col("d2") <= F.lit(cell * cell).cast("long")
     )
     residual_ids = cust.select("cid").join(certified.select("cid"), "cid", "left_anti")
-    residual = (
-        residual_ids.join(cust, "cid")
-        .crossJoin(F.broadcast(supp))
-        .select("cid", F.struct(d2.alias("d2"), F.col("sid")).alias("cand"))
-        .groupBy("cid")
-        .agg(F.min("cand").alias("best"))
-        .select("cid", F.col("best.d2").alias("d2"), F.col("best.sid").alias("sid"))
-    )
+    residual = _argmin(residual_ids.join(cust, "cid").crossJoin(F.broadcast(supp)))
     return (
         certified.unionAll(residual)
         .select(
