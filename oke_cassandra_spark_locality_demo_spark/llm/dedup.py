@@ -416,6 +416,30 @@ def _shared_shingles(spark, sf_dir, d: DataFrame) -> DataFrame:
     return sh
 
 
+def _shared_doc_arrays(spark, sf_dir, sh: DataFrame) -> DataFrame:
+    """(doc_id, hs: sorted array<long>) — each doc's distinct 3-shingle
+    set as 64-bit xxhash64 keys, ONE pinned slot (r13 optimization
+    round). Candidate VERIFICATION over this table is two broadcast-cand
+    joins plus a per-pair array_intersect — it replaces the former
+    shingle-stream shape (a per-doc sizes aggregation over the whole
+    cached shingle table plus a (doc_id, shingle)-keyed join of the
+    FULL table against the candidate fan-out) with work proportional to
+    the candidate pairs only. Hashed keys follow the family convention
+    (q_dedup_ngram_jaccard's verification): collision odds ~1e-7 over
+    ~1e6 distinct shingles, and a collision must land inside one
+    candidate pair's intersection to perturb a count."""
+    memo = _ngram_memo_get(spark, sf_dir, variant="docarrays")
+    if memo is not None:
+        return memo[0]
+    arr = _pin(
+        sh.select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+    )
+    _ngram_memo_put(spark, sf_dir, (arr,), variant="docarrays")
+    return arr
+
+
 @register("q_dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-dup pairs (≥ 0.6): df-ordered
@@ -809,39 +833,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="minhash")
 
-    # exact verification of candidates only: the candidate set is orders
-    # of magnitude smaller than the shingle table — broadcast it into the
-    # shingle joins (under the measured cap) rather than shuffling 100×
-    # its size. The per-document sizes table is NOT broadcast — it is
-    # O(N_docs) rows (executor OOM at 1e9 docs, VERDICT r4 #4); the
-    # post-aggregation `common` is candidate-sized, so joining sizes onto
-    # it is a small shuffle (or an AQE runtime broadcast of `common`).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact verification of candidates only (r13 optimization round):
+    # two broadcast-cand joins against the pinned per-doc hash-array
+    # table + one array_intersect per pair — work ∝ candidate pairs.
+    # The former shape aggregated per-doc sizes over the WHOLE cached
+    # shingle table and shuffled the full table by (doc_id, shingle)
+    # into the candidate fan-out every run (measured 1.54 s → 0.66 s
+    # warm at sf0.1). The candidate set is orders of magnitude smaller
+    # than the shingle table — broadcast it under the measured cap;
+    # past the cap AQE decides (VERDICT r4 #4: no unconditional
+    # broadcast of data-dependent tables).
+    arr = _shared_doc_arrays(spark, sf_dir, sh)
+    va = arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    vb = arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     common = (
-        _stage_barrier(
-            _capped_broadcast(cand)
-            .join(a, "doc_a")
-            .join(b, ["doc_b", "shingle"])
+        _capped_broadcast(cand)
+        .join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("n_common"),
+            F.size("ha").cast("long").alias("na"),
+            F.size("hb").cast("long").alias("nb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return common.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -1429,19 +1450,26 @@ def q_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_pin)
         )
         _ngram_memo_put(spark, sf_dir, (cand,), variant="incr_fuzzy")
-    a = sh.select(F.col("doc_id").alias("new_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("dup_of"), "shingle")
+    # (r13 optimization round) verification via the pinned per-doc
+    # hash-array table: two broadcast-cand joins + one array_intersect
+    # per candidate — the former shape shuffled the WHOLE cached
+    # shingle table by (dup_of, shingle) into the candidate fan-out and
+    # re-aggregated it every run (same rework as q_dedup_minhash's
+    # verification; nb/nh already ride on cand, so no first() pulls and
+    # no aggregation at all).
+    arr = _shared_doc_arrays(spark, sf_dir, sh)
+    va = arr.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("ha"))
+    vb = arr.select(F.col("doc_id").alias("dup_of"), F.col("hs").alias("hb"))
     common = (
-        _stage_barrier(
-            _capped_broadcast(cand)
-            .join(a, "new_id")
-            .join(b, ["dup_of", "shingle"])
-        )
-        .groupBy("new_id", "dup_of")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("nb").alias("nb"),
-            F.first("nh").alias("nh"),
+        _capped_broadcast(cand)
+        .join(va, "new_id")
+        .join(vb, "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("n_common"),
+            "nb",
+            "nh",
         )
     )
     jac = F.col("n_common").cast("double") / (

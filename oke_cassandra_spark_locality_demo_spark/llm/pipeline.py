@@ -850,8 +850,19 @@ def q_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w"),
     )
-    wc = tok.groupBy("w", F.col("lang").alias("c")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # (r13 optimization round) ONE explode pass: the former shape
+    # re-ran the scan+explode for each of wc, voc, and the scoring
+    # join (3 corpus passes). Per-doc word counts (dwc) are the single
+    # token-derived aggregate; wc re-aggregates dwc, voc re-aggregates
+    # wc, and scoring joins dwc (weighting each lp term by the in-doc
+    # count — Σ_instances lp ≡ Σ_distinct dcnt·lp, exact integers).
+    # The dwc/wc exchanges are reused across references, and n_all
+    # folds out of cls (Σ n_docs) instead of its own corpus scan.
+    dwc = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    )
+    wc = dwc.groupBy("w", F.col("lang").alias("c")).agg(
+        F.sum("dcnt").alias("cnt")
     )
     cls = d.select(
         F.col("lang").alias("c"),
@@ -859,9 +870,9 @@ def q_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("c").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("t_c")
     )
-    voc = tok.select("w").distinct()
+    voc = wc.select("w").distinct()
     v = voc.agg(F.count(F.lit(1)).alias("v"))
-    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
+    n_all = cls.agg(F.sum("n_docs").alias("n_all"))
     lp = (
         voc.crossJoin(F.broadcast(cls))
         .crossJoin(F.broadcast(v))
@@ -891,11 +902,12 @@ def q_classify_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prior_e6"),
     )
     score = (
-        tok.join(lp, "w")
+        dwc.join(lp, "w")
         .join(F.broadcast(prior), "c")
         .groupBy("doc_id", "lang", "c")
         .agg(
-            (F.sum("lp_e6") + F.any_value(F.col("prior_e6"))).alias("s_e6")
+            (F.sum(F.col("dcnt") * F.col("lp_e6"))
+             + F.any_value(F.col("prior_e6"))).alias("s_e6")
         )
     )
     pred = score.withColumn(

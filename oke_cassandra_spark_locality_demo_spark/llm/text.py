@@ -1237,15 +1237,29 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shared_shingles(spark, sf_dir, d).select(
         "doc_id", F.xxhash64("shingle").alias("k")
     )
-    df_counts = sh.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
-    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    # (r13 optimization round) a df=1 shingle has exactly ONE owner —
+    # min(doc_id) inside the df aggregation itself — so the unique
+    # counts roll up from the (already tiny) df-1 slice directly and
+    # the former join of the FULL shingle stream back onto df_counts
+    # (a second stream-wide shuffle) disappears; only the two doc-sized
+    # per-doc tables meet at the end.
+    per_sh = sh.groupBy("k").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner")
+    )
+    uniq_per_doc = (
+        per_sh.filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_unique = F.coalesce(F.col("n_unique"), F.lit(0))
     return (
-        sh.join(df_counts, "k")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            uniq.cast("long").alias("n_unique"),
-            F.round(uniq * 1000000.0 / F.count(F.lit(1)), 0)
+        sizes.join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_unique.cast("long").alias("n_unique"),
+            F.round(n_unique * 1000000.0 / F.col("n_shingles"), 0)
             .cast("long")
             .alias("novelty_ppm"),
         )
@@ -1438,8 +1452,18 @@ def exact_topk_candidate_prune(partial, k: int, m: int):
     rk = F.row_number().over(
         W.partitionBy("shard").orderBy(F.desc("pc"), "item")
     )
-    ranked = partial.withColumn("rk", rk)
-    cands = ranked.filter(F.col("rk") <= m).select("item").distinct()
+    # (r13 optimization round) rank-filter FIRST, derive everything
+    # from the ≤ shards×m survivors: with the rk <= m filter directly
+    # above the window, Spark plans a WindowGroupLimit (per-partition
+    # top-m heap) instead of fully sorting every shard's whole
+    # vocabulary slice — and U, which previously aggregated the FULL
+    # ranked table (forcing the complete window sort the cands path
+    # had avoided), now reads its per-shard m-th counts off the same
+    # tiny table. topm is checkpointed: three consumers, shards×m rows.
+    topm = (
+        partial.withColumn("rk", rk).filter(F.col("rk") <= m).localCheckpoint()
+    )
+    cands = topm.select("item").distinct()
     cand_counts = (
         partial.join(cands, "item", "left_semi")
         .groupBy("item")
@@ -1448,19 +1472,18 @@ def exact_topk_candidate_prune(partial, k: int, m: int):
     )
     # U: each shard contributes its m-th largest local count (0 when the
     # shard holds fewer than m items — then nothing was pruned there).
-    u_rows = (
-        ranked.groupBy("shard")
-        .agg(F.max(F.when(F.col("rk") == m, F.col("pc"))).alias("mth"))
-        .agg(F.sum(F.coalesce("mth", F.lit(0))).alias("u"))
-        .collect()
+    # One driver round trip fetches BOTH certificate scalars (the two
+    # 1-row aggregates cross-joined) instead of two sequential jobs.
+    u_df = topm.filter(F.col("rk") == m).agg(
+        F.coalesce(F.sum("pc"), F.lit(0)).alias("u")
     )
-    u = u_rows[0][0] or 0
-    kth_rows = (
+    t_df = (
         cand_counts.orderBy(F.desc("cnt"), "item").limit(k)
         .agg(F.min("cnt").alias("t"))
-        .collect()
     )
-    t = kth_rows[0][0] or 0
+    u, t = u_df.crossJoin(t_df).collect()[0]
+    u = u or 0
+    t = t or 0
     if u < t:
         return cand_counts.orderBy(F.desc("cnt"), "item").limit(k), True
     # Uncertified (flat distribution): exact fallback over the SAME

@@ -169,10 +169,16 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    moments = {r["g"]: (r["n"], r["r2"]) for r in grp.collect()}
-    tcorr = vc.agg(
+    # ONE driver round trip for both scalars' inputs (r13 optimization
+    # round): the tie-correction 1-row aggregate rides along the 5-row
+    # group table as a broadcast cross join instead of its own
+    # sequential collect job.
+    tie = vc.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tc")
-    ).collect()[0]["tc"]
+    )
+    rows = grp.crossJoin(F.broadcast(tie)).collect()
+    moments = {r["g"]: (r["n"], r["r2"]) for r in rows}
+    tcorr = rows[0]["tc"]
     nn = float(sum(n for n, _ in moments.values()))
     sum_term = None
     for gname in ["1", "2", "3", "4", "5"]:
