@@ -565,16 +565,21 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li = load(spark, sf_dir, "lineitem")
     qty_i = F.round(F.col("l_quantity"), 0).cast("long")
-    stats = (
-        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("l_partkey").alias("sp_key"))
-        .agg(
-            F.count(F.lit(1)).alias("n_li"),
-            F.sum(qty_i).alias("sum_qty_i"),
-        )
-    )
+    # (r13 optimization round) per-part stats as unordered-frame WINDOW
+    # aggregates over the part-filtered rows: the former decorrelated
+    # shape scanned lineitem twice (once into the stats aggregation,
+    # once as the outer side of the join back) and shuffled the full
+    # fact table into that join. One part-filtered scan, one part-keyed
+    # exchange; the 5·n·qty < sum predicate and the final decimal sum
+    # are unchanged.
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("l_partkey")
     return (
-        li.join(stats, F.col("l_partkey") == F.col("sp_key"))
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("n_li", F.count(F.lit(1)).over(wp))
+        .withColumn("sum_qty_i", F.sum(qty_i).over(wp))
         .filter(5 * F.col("n_li") * qty_i < F.col("sum_qty_i"))
         .agg(
             (F.round(F.sum(_dec("l_extendedprice")), 4).cast("double") / 7.0).alias(
@@ -1044,29 +1049,40 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max("l_shipdate").alias("supp_max"))
     )
-    per_order = per_supp.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.max("supp_max").alias("order_max"),
+    # (r13 optimization round) the per-order rollups (supplier count,
+    # order max, attainer count) are WINDOW aggregates over the same
+    # (ok) partitioning, not separate groupBys: the former shape
+    # referenced per_supp three times (per_order, at_max, candidate) —
+    # re-running the lineitem⋈orders aggregation subtree and adding two
+    # join exchanges. Now ONE pass: the (ok, sk) aggregate flows
+    # through one ok-exchange carrying two unordered-frame Window
+    # nodes (n_at compares against the first window's order_max, so it
+    # rides a second Window over the same partitioning — no new
+    # shuffle), then the winner filter and the broadcast nation join.
+    # 3 fact-side subtrees + 2 join exchanges → 1 subtree + 1 window
+    # exchange; same rows by construction.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ok")
+    stats = per_supp.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("order_max", F.max("supp_max").over(w))
+    stats = stats.withColumn(
+        "n_at",
+        F.sum(
+            F.when(F.col("supp_max") == F.col("order_max"), 1).otherwise(0)
+        ).over(w),
     )
-    at_max = per_supp.groupBy(
-        F.col("ok").alias("am_ok"), F.col("supp_max").alias("am_ship")
-    ).agg(F.count(F.lit(1)).alias("n_at"))
     s5 = s.join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
-    cand = per_supp.join(s5, F.col("sk") == F.col("s_suppkey"))
     return (
-        cand.join(per_order, "ok")
-        .join(
-            at_max,
-            (F.col("ok") == F.col("am_ok"))
-            & (F.col("order_max") == F.col("am_ship")),
-        )
-        .filter(
+        stats.filter(
             (F.col("n_supp") > 1)
             & (F.col("n_at") == 1)
             & (F.col("supp_max") == F.col("order_max"))
         )
+        .join(s5, F.col("sk") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1220,11 +1236,17 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty"))
     )
-    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("qty").alias("tot_qty")
-    )
+    # (r13 optimization round) the per-part total is a WINDOW aggregate
+    # over the same part key, not a second groupBy + join: the former
+    # shape referenced `shipped` twice (re-running the fact-side
+    # aggregation subtree) and paid the tot-side join exchange — one
+    # unordered-frame window over a single part-keyed exchange computes
+    # the identical 2·qty > tot predicate (same q21 rework).
+    from pyspark.sql import Window as W
+
+    tot_qty = F.sum("qty").over(W.partitionBy("l_partkey"))
     qual = (
-        shipped.join(tot, F.col("l_partkey") == F.col("pk"))
+        shipped.withColumn("tot_qty", tot_qty)
         .filter(2 * F.col("qty") > F.col("tot_qty"))
         .select("l_suppkey")
         .distinct()
