@@ -91,7 +91,11 @@ REPEATS = 5
 #: single-query-spiked on a real plan regression.
 #:
 #: Measured as the per-query MEDIAN over three contended-false FULL
-#: bench.py runs (re-baselined r12 at HEAD after the round-12
+#: bench.py runs (re-baselined r13 at HEAD after the optimization
+#: round's reworks — 14 section-query implementations changed, so the
+#: r12 anchors stopped describing the current code; the three r13
+#: runs spread ±15% on section totals, which the per-query median
+#: splice absorbs; previously re-baselined r12 at HEAD after the r12
 #: hardenings, per the r11 playbook note: the r11 anchors predated
 #: the ckpt-release speedup and carried residual host noise — the
 #: refresh moved tpch anchors down ~17% median and llm ~8%, so
@@ -108,77 +112,77 @@ REPEATS = 5
 #: runs, splice the medians (tools/measure_section_anchors.py
 #: documents both recipes).
 ANCHOR_TPCH_SF01 = {
-    "q_tpch_q1": 0.306,
-    "q_tpch_q2": 0.697,
-    "q_tpch_q3": 0.696,
-    "q_tpch_q4": 0.609,
-    "q_tpch_q5": 0.905,
-    "q_tpch_q6": 0.153,
-    "q_tpch_q7": 0.812,
-    "q_tpch_q8": 0.857,
-    "q_tpch_q9": 0.733,
-    "q_tpch_q10": 0.594,
-    "q_tpch_q11": 0.6,
-    "q_tpch_q12": 0.408,
-    "q_tpch_q13": 0.395,
-    "q_tpch_q14": 0.264,
-    "q_tpch_q15": 0.403,
-    "q_tpch_q16": 0.314,
-    "q_tpch_q17": 0.49,
-    "q_tpch_q18": 0.6,
-    "q_tpch_q19": 0.358,
-    "q_tpch_q20": 0.78,
-    "q_tpch_q21": 1.271,
-    "q_tpch_q22": 0.35,
+    "q_tpch_q1": 0.405,
+    "q_tpch_q2": 0.874,
+    "q_tpch_q3": 0.922,
+    "q_tpch_q4": 0.888,
+    "q_tpch_q5": 1.108,
+    "q_tpch_q6": 0.198,
+    "q_tpch_q7": 0.961,
+    "q_tpch_q8": 1.321,
+    "q_tpch_q9": 0.964,
+    "q_tpch_q10": 0.842,
+    "q_tpch_q11": 0.751,
+    "q_tpch_q12": 0.534,
+    "q_tpch_q13": 0.514,
+    "q_tpch_q14": 0.352,
+    "q_tpch_q15": 0.554,
+    "q_tpch_q16": 0.417,
+    "q_tpch_q17": 0.504,
+    "q_tpch_q18": 0.834,
+    "q_tpch_q19": 0.45,
+    "q_tpch_q20": 0.942,
+    "q_tpch_q21": 1.289,
+    "q_tpch_q22": 0.481,
 }
 
 ANCHOR_LLM_SF01 = {
-    "q_dedup_span": 1.792,
-    "q_dedup_containment": 2.055,
-    "q_dedup_minhash": 1.772,
-    "q_dedup_simhash": 3.658,
-    "q_text_bm25": 0.703,
-    "q_shuffle_epoch": 0.386,
-    "q_agg_sketch_theta": 0.936,
-    "q_sim_lsh": 1.055,
-    "q_sample_weighted": 0.206,
-    "q_pack_sequences": 0.156,
-    "q_multimodal_resize": 0.309,
-    "q_text_bpe_train": 0.281,
-    "q_text_bpe_encode": 0.433,
-    "q_text_boilerplate": 1.018,
-    "q_join_asof_tolerance": 0.247,
-    "q_dedup_incremental_fuzzy": 1.395,
-    "q_corpus_card": 0.24,
-    "q_text_perplexity_bigram": 0.779,
-    "q_text_bpe_fertility": 0.388,
-    "q_privacy_kanon": 0.187,
-    "q_select_dsir": 0.976,
-    "q_order_curriculum": 0.216,
-    "q_multimodal_phash": 0.531,
-    "q_drift_ks": 0.926,
-    "q_classify_nb": 1.615,
-    "q_split_leakage": 1.618,
-    "q_text_novelty": 1.534,
-    "q_quality_gopher": 0.237,
-    "q_dedup_url": 0.381,
-    "q_text_rake": 0.689,
-    "q_agg_heavy_hitters": 1.874,
-    "q_geo_radius_join": 0.283,
-    "q_geo_knn": 2.301,
-    "q_graph_kcore": 1.86,
-    "q_stats_permutation": 0.483,
-    "q_multimodal_scenecut": 0.323,
-    "q_agg_abc_pareto": 1.398,
-    "q_drift_jsd": 0.339,
-    "q_stats_kruskal": 1.024,
-    "q_vec_jl_projection": 0.352,
-    "q_join_asof_nearest": 0.294,
-    "q_geo_grid_density": 0.387,
-    "q_agg_ohlc": 0.266,
-    "q_export_manifest": 0.188,
-    "q_ts_interpolate_linear": 0.308,
-    "q_multimodal_decode_real": 0.305,
+    "q_dedup_span": 2.233,
+    "q_dedup_containment": 1.194,
+    "q_dedup_minhash": 0.709,
+    "q_dedup_simhash": 2.604,
+    "q_text_bm25": 0.815,
+    "q_shuffle_epoch": 0.425,
+    "q_agg_sketch_theta": 1.002,
+    "q_sim_lsh": 1.129,
+    "q_sample_weighted": 0.195,
+    "q_pack_sequences": 0.147,
+    "q_multimodal_resize": 0.316,
+    "q_text_bpe_train": 0.329,
+    "q_text_bpe_encode": 0.419,
+    "q_text_boilerplate": 0.761,
+    "q_join_asof_tolerance": 0.242,
+    "q_dedup_incremental_fuzzy": 0.545,
+    "q_corpus_card": 0.222,
+    "q_text_perplexity_bigram": 0.985,
+    "q_text_bpe_fertility": 0.357,
+    "q_privacy_kanon": 0.177,
+    "q_select_dsir": 1.423,
+    "q_order_curriculum": 0.225,
+    "q_multimodal_phash": 0.548,
+    "q_drift_ks": 0.486,
+    "q_classify_nb": 1.544,
+    "q_split_leakage": 1.424,
+    "q_text_novelty": 0.633,
+    "q_quality_gopher": 0.261,
+    "q_dedup_url": 0.495,
+    "q_text_rake": 0.87,
+    "q_agg_heavy_hitters": 1.728,
+    "q_geo_radius_join": 0.309,
+    "q_geo_knn": 0.925,
+    "q_graph_kcore": 1.841,
+    "q_stats_permutation": 0.415,
+    "q_multimodal_scenecut": 0.317,
+    "q_agg_abc_pareto": 1.51,
+    "q_drift_jsd": 0.374,
+    "q_stats_kruskal": 1.235,
+    "q_vec_jl_projection": 0.37,
+    "q_join_asof_nearest": 0.309,
+    "q_geo_grid_density": 0.359,
+    "q_agg_ohlc": 0.27,
+    "q_export_manifest": 0.202,
+    "q_ts_interpolate_linear": 0.309,
+    "q_multimodal_decode_real": 0.339,
 }
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -751,7 +755,7 @@ def main() -> None:
         # comparable to r6+.
         "anchor_methodology": "headline: r1-tree@14236e2, idle host, "
         "median of 3 runs x min-of-5, re-baselined r6; sections: "
-        "HEAD-r11 tree, idle host, median of 3 runs x min-of-2 "
+        "HEAD-r13 tree, idle host, median of 3 runs x min-of-2 "
         "(drift anchors, not progress anchors — see ANCHOR_TPCH_SF01)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

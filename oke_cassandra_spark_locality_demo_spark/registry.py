@@ -312,6 +312,14 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "q_stream_cdc_upsert", "q_stream_join_static",
     "q_stream_join_interval", "q_stream_join_outer",
     "q_stream_join_semi", "q_stream_stateful_tws",
+    # r13 OPTIMIZATION-round reworks (OPTIMIZATION_r13.md has the
+    # measurement + equivalence evidence per key; every one re-driven
+    # green at sf0.01 + sf0.1 builder-side, fronted for the external
+    # verdict): plan restructures that must not change results.
+    "q_dedup_simhash", "q_dedup_minhash", "q_geo_knn", "q_select_dsir",
+    "q_drift_ks", "q_classify_nb", "q_agg_heavy_hitters",
+    "q_text_novelty", "q_stats_kruskal",
+    "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
 ]
 
 #: One-time rotation priority — RETIRED as of r10 (every oracle-backed
