@@ -41,6 +41,97 @@ def test_simhash_pairs_are_close(spark, sf_dir):
     assert df.filter(F.col("hamming") > 6).count() == 0
 
 
+def test_simhash_rework_parity_vs_reference_formulation(spark, sf_dir):
+    """r13 optimization-round equivalence pin: q_dedup_simhash is
+    rows-only (no SQL oracle), so its r13 rework — SWAR-packed bit sums
+    and per-bucket collect_list pair generation replacing the band
+    self-join + separate occupancy guard — is brute-forced here against
+    the pre-r13 REFERENCE formulation (64 conditional ±1 sums, bands
+    exploded and self-joined, occupancy guard as a groupBy+join). Both
+    the fingerprints and the emitted pair set must match exactly; a
+    divergence in either the SWAR unpacking or the in-bucket pair
+    enumeration flips this test."""
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        SIMHASH_BAND_WIDTH,
+        SIMHASH_BUCKET_CAP,
+        SIMHASH_HAMMING_MAX,
+        SIMHASH_NBANDS,
+        _norm_text,
+    )
+    from oke_cassandra_spark_locality_demo_spark.sources.ingest import load
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    )
+    h = F.xxhash64("w")
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.lit(1).cast("long") * (1 << i)
+                    if i < 63
+                    else F.lit(-(1 << 63)).cast("long"),
+                ).otherwise(0)
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    band_mask = (1 << SIMHASH_BAND_WIDTH) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_WIDTH)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_NBANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ok_buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= SIMHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bands = bands.join(ok_buckets, ["band", "bucket"])
+    reference = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+    new = get("q_dedup_simhash").fn(spark, sf_dir)
+    assert reference.exceptAll(new).count() == 0
+    assert new.exceptAll(reference).count() == 0
+
+
 def test_containment_df_cap_exceeds_fixture_df(spark, sf_dir):
     """The CONTAINMENT_DF_CAP scale guard must be invisible at test
     scales: the fixture's maximum shingle document-frequency has to sit
