@@ -1606,13 +1606,22 @@ def duplicated_spans(d: DataFrame, K: int = SPAN_K) -> DataFrame:
             F.xxhash64(F.lit("span-seed-2"), F.col("gram")).alias("h2"),
         )
     )
-    dup = (
-        gh.groupBy("h1", "h2")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    # (r13 optimization round) cross-doc multiplicity as WINDOW
+    # aggregates over the gram-hash partitioning instead of a groupBy +
+    # join back: the former dup-key aggregate and the gh⋈dup hash join
+    # (two consumers of the gram exchange + a join pass) collapse into
+    # one unordered-frame min/max window over the single (h1, h2)
+    # exchange — no dup-key relation to build or probe at all
+    # (measured 1.68 s → 1.30 s at sf0.1, byte-identical output; at
+    # scale this trades the join's per-partition hash build for the
+    # window's per-partition cluster sort on the same single exchange).
+    wg = W.partitionBy("h1", "h2")
+    pos = _stage_barrier(
+        gh.withColumn("lo", F.min("doc_id").over(wg))
+        .withColumn("hi", F.max("doc_id").over(wg))
         .filter(F.col("lo") != F.col("hi"))
-        .select("h1", "h2")
+        .select("doc_id", "pos")
     )
-    pos = _stage_barrier(gh.join(dup, ["h1", "h2"]).select("doc_id", "pos"))
     w = W.partitionBy("doc_id").orderBy("pos")
     lag = F.lag("pos").over(w)
     sp = pos.withColumn(

@@ -316,7 +316,8 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # measurement + equivalence evidence per key; every one re-driven
     # green at sf0.01 + sf0.1 builder-side, fronted for the external
     # verdict): plan restructures that must not change results.
-    "q_dedup_simhash", "q_dedup_minhash", "q_geo_knn", "q_select_dsir",
+    "q_dedup_simhash", "q_dedup_minhash", "q_dedup_span",
+    "q_geo_knn", "q_select_dsir",
     "q_drift_ks", "q_classify_nb", "q_agg_heavy_hitters",
     "q_text_novelty", "q_stats_kruskal",
     "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
