@@ -1483,33 +1483,47 @@ def q_agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.3% / 11.0% —
     a determinism assumption tied to fixed fixture data and seeds, like
     the HLL/CMS bounds). A broken hash, rank limit, theta selection, or
-    merge flips a boolean and hash-fails the query."""
+    merge flips a boolean and hash-fails the query.
+
+    Physical shape (r14 optimization round): the former formulation
+    derived the distinct (segment, user, day) table SIX times in one
+    plan (per-segment exact, the two self-join sides of the exact
+    intersection, the sketch pass, and the two sketch sides of the
+    estimated intersection) and sorted it under THREE windows. The
+    item hash depends only on (user, day) — segment never enters it —
+    so ONE aggregation `groupBy(user_id, d).agg(collect_set(segment))`
+    (bounded state: the set of event types) replaces the distinct, and
+    every consumer reads that table: per-segment rows come from one
+    explode, the exact intersection is `array_contains(click) AND
+    array_contains(purchase)` (no self-join), and the ESTIMATED
+    intersection needs no sketch join either — an item hash strictly
+    below theta_min = min(hk_click, hk_purchase) has rank < k in both
+    segments (h < hk ⇒ at most k−1 hashes precede it), so it is
+    provably IN both sketches iff its item carries both segments; the
+    count rides the same boolean filter. The user-day table is
+    localCheckpointed (kruskal/heavy-hitters discipline) so its four
+    consumers re-read ~distinct-user-day rows instead of re-running
+    the events aggregation; pre-checkpoint plan fragment dumped per
+    the plans/r14 policy."""
     e = load(spark, sf_dir, "events")
-    t = e.select(
-        F.col("event_type").alias("segment"),
-        "user_id",
-        F.col("ts").cast("date").alias("d"),
-    ).distinct()
-    exact = t.groupBy("segment").agg(F.count(F.lit(1)).alias("exact_n"))
-    pair_exact = (
-        t.filter(F.col("segment") == "click")
-        .select("user_id", "d")
-        .join(
-            t.filter(F.col("segment") == "purchase").select("user_id", "d"),
-            ["user_id", "d"],
+    ud = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.collect_set("event_type").alias("segs"))
+        .select(
+            F.xxhash64(
+                F.concat_ws(":", F.col("user_id"), F.col("d").cast("string"))
+            ).alias("h"),
+            "segs",
         )
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .select(F.lit("click&purchase").alias("segment"), "exact_n")
+    )
+    seg_h = ud.select(F.explode("segs").alias("segment"), "h")
+    exact = seg_h.groupBy("segment").agg(F.count(F.lit(1)).alias("exact_n"))
+    both = F.array_contains("segs", "click") & F.array_contains(
+        "segs", "purchase"
     )
 
-    h = t.select(
-        "segment",
-        F.xxhash64(
-            F.concat_ws(":", F.col("user_id"), F.col("d").cast("string"))
-        ).alias("h"),
-    )
     rn = F.row_number().over(Window.partitionBy("segment").orderBy("h"))
-    sk = h.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    sk = seg_h.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
     stats = sk.groupBy("segment").agg(
         F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
     )
@@ -1524,37 +1538,50 @@ def q_agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("theta_raw"),
     )
 
-    # intersection: common hash values strictly below theta_min, scaled
+    # intersection: common hash values strictly below theta_min, scaled.
+    # h < theta_min ⇒ the hash is in BOTH sketches (rank < k on each
+    # side), so membership of the item in both segments is the whole
+    # test — no sketch self-join.
     th = (
         est.filter(F.col("segment").isin("click", "purchase"))
         .agg(F.min(F.col("theta_raw")).alias("th_raw"))
     )
-    common = (
-        sk.filter(F.col("segment") == "click")
+    # ONE aggregate carries BOTH intersection numbers: the exact common
+    # count (all both-segment items) and the sketch count (those below
+    # theta_min) — the former pair self-join and the separate sketch
+    # join collapse into a conditional count on the same pass.
+    pair_rows = (
+        ud.filter(both)
         .select("h")
-        .join(sk.filter(F.col("segment") == "purchase").select("h"), "h")
         .crossJoin(F.broadcast(th))
-        .filter(F.col("th_raw").isNull() | (F.col("h") < F.col("th_raw")))
         .agg(
-            F.count(F.lit(1)).alias("n_c"),
+            F.count(F.lit(1)).alias("exact_n"),
+            F.count(
+                F.when(
+                    F.col("th_raw").isNull()
+                    | (F.col("h") < F.col("th_raw")),
+                    1,
+                )
+            ).alias("n_c"),
             F.first(F.col("th_raw"), ignorenulls=False).alias("th_raw"),
         )
-    )
-    pair_est = common.select(
-        F.lit("click&purchase").alias("segment"),
-        F.when(F.col("th_raw").isNull(), F.col("n_c").cast("double"))
-        .otherwise(F.col("n_c") / ((F.col("th_raw") + _TWO63) / _TWO64))
-        .alias("est"),
+        .select(
+            F.lit("click&purchase").alias("segment"),
+            "exact_n",
+            F.when(F.col("th_raw").isNull(), F.col("n_c").cast("double"))
+            .otherwise(F.col("n_c") / ((F.col("th_raw") + _TWO63) / _TWO64))
+            .alias("est"),
+        )
     )
 
     seg_rows = exact.join(est.select("segment", "est"), "segment")
-    pair_rows = pair_exact.join(F.broadcast(pair_est), "segment")
     band = (
         F.abs(F.col("est") - F.col("exact_n"))
         <= 0.25 * F.col("exact_n")
     )
     return (
-        seg_rows.unionByName(pair_rows)
+        seg_rows.select("segment", "exact_n", "est")
+        .unionByName(pair_rows)
         .select("segment", "exact_n", band.alias("within_band"))
     )
 

@@ -204,3 +204,142 @@ class TestCheckpointRelease:
             # the count can DROP; it must never grow past the per-
             # invocation budget (pre-r11 kcore grew by ~2 + rounds)
             assert after - before <= budget, (name, before, after)
+
+
+def test_sketch_theta_rework_parity_vs_reference_formulation(spark, tmp_path):
+    """r14 optimization parity pin (the q_dedup_simhash-parity pattern):
+    q_agg_sketch_theta's single-pass formulation — one
+    groupBy(user, day).collect_set(segment) table feeding per-segment
+    exacts, sketches, and a JOIN-FREE intersection (h < theta_min ⇒ the
+    hash has rank < k in both sketches, so both-segment membership is
+    the whole test) — must emit exactly the rows of the pre-r14
+    reference: distinct (segment,user,day) + per-segment window sketch +
+    pair SELF-JOIN + sketch-side join. The planted corpus exercises the
+    branches the driver fixtures may not: a segment past k (theta
+    non-null), one under k (theta null), a non-trivial intersection,
+    and items on both sides of the theta_min cut."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oke_cassandra_spark_locality_demo_spark.operators.aggregates import (
+        _KMV_K,
+        _TWO63,
+        _TWO64,
+    )
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    # planted corpus: click = 500 user-days (> k=256, theta engages),
+    # purchase = 400 with 300 overlapping click, view = 40 (< k, theta
+    # NULL). Duplicate raw events confirm the distinct. One user crosses
+    # two days (day matters in the item key).
+    rows = []
+    day0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    eid = 0
+
+    def add(user, day_off, etype, times=1):
+        nonlocal eid
+        for _ in range(times):
+            rows.append(
+                (eid, day0 + datetime.timedelta(days=day_off), user, etype, 1.0, "{}")
+            )
+            eid += 1
+
+    for u in range(500):
+        add(u, 0, "click", times=2 if u % 7 == 0 else 1)
+    for u in range(200, 600):
+        add(u, 0, "purchase")
+    for u in range(40):
+        add(u, 1, "view")
+    add(3, 1, "click")  # same user, second day: distinct item
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    sf = str(tmp_path / "theta")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    # ---- pre-r14 reference formulation, verbatim shape ----
+    e = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    t = e.select(
+        F.col("event_type").alias("segment"),
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    exact = t.groupBy("segment").agg(F.count(F.lit(1)).alias("exact_n"))
+    pair_exact = (
+        t.filter(F.col("segment") == "click")
+        .select("user_id", "d")
+        .join(
+            t.filter(F.col("segment") == "purchase").select("user_id", "d"),
+            ["user_id", "d"],
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select(F.lit("click&purchase").alias("segment"), "exact_n")
+    )
+    h = t.select(
+        "segment",
+        F.xxhash64(
+            F.concat_ws(":", F.col("user_id"), F.col("d").cast("string"))
+        ).alias("h"),
+    )
+    rn = F.row_number().over(Window.partitionBy("segment").orderBy("h"))
+    sk = h.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    stats = sk.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("hk")
+    )
+    u_k = (F.col("hk") + _TWO63) / _TWO64
+    est = stats.select(
+        "segment",
+        F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+        .otherwise((_KMV_K - 1) / u_k)
+        .alias("est"),
+        F.when(F.col("m") < _KMV_K, F.lit(None).cast("long"))
+        .otherwise(F.col("hk"))
+        .alias("theta_raw"),
+    )
+    th = est.filter(F.col("segment").isin("click", "purchase")).agg(
+        F.min(F.col("theta_raw")).alias("th_raw")
+    )
+    common = (
+        sk.filter(F.col("segment") == "click")
+        .select("h")
+        .join(sk.filter(F.col("segment") == "purchase").select("h"), "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("th_raw").isNull() | (F.col("h") < F.col("th_raw")))
+        .agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.first(F.col("th_raw"), ignorenulls=False).alias("th_raw"),
+        )
+    )
+    pair_est = common.select(
+        F.lit("click&purchase").alias("segment"),
+        F.when(F.col("th_raw").isNull(), F.col("n_c").cast("double"))
+        .otherwise(F.col("n_c") / ((F.col("th_raw") + _TWO63) / _TWO64))
+        .alias("est"),
+    )
+    band = F.abs(F.col("est") - F.col("exact_n")) <= 0.25 * F.col("exact_n")
+    ref = (
+        exact.join(est.select("segment", "est"), "segment")
+        .unionByName(pair_exact.join(F.broadcast(pair_est), "segment"))
+        .select("segment", "exact_n", band.alias("within_band"))
+    )
+    ref_rows = sorted(tuple(r) for r in ref.collect())
+
+    got_rows = sorted(tuple(r) for r in get("q_agg_sketch_theta").fn(spark, sf).collect())
+    assert got_rows == ref_rows, (got_rows, ref_rows)
+    # non-vacuous: theta engaged (click past k), intersection non-empty
+    segs = {r[0]: r[1] for r in got_rows}
+    assert segs["click"] > _KMV_K
+    assert segs["click&purchase"] == 300
