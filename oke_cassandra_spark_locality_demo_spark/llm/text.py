@@ -1135,38 +1135,58 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     or machine-mangled text scores high even when its unigram profile
     is normal.
 
-    Scale shape: bigrams form NARROWLY inside each row (zip_with over
-    two array slices, the q_text_pmi construction — no per-token
-    shuffle); the LM is one (w1,w2) hash aggregate; scoring joins the
-    bigram stream to the bigram and unigram dictionaries on their keys
-    — both vocabulary-bounded, never pinned-broadcast (unbounded worst
-    case at 100 TB; AQE broadcasts at runtime when actually small, the
-    q_text_pmi/tfidf policy). Only the 1-row vocabulary scalar is a
-    pinned broadcast. Float parity: each -ln-ratio term is rounded
-    once to integer MICRO-units (coarse ≫ the 1-ulp ln() divergence
-    across libm/fdlibm), summed exactly as BIGINT, and the mean is
-    derived from exact integers — the q_text_perplexity discipline."""
+    Scale shape (r14 optimization round — former shape was three corpus
+    explodes joined back on STRING keys): ONE explode emits each doc's
+    bigrams PLUS a pseudo-row (last token, NULL) — every token instance
+    is either some bigram's w1 or the doc's last token, so unigram
+    counts c1 AND the vocabulary size V ride the same pass with no
+    separate token explode. Keys collapse to xxhash64 longs before any
+    shuffle (the q_text_novelty/dedup-family convention; collision odds
+    ~pairs/2^64, documented there), counts aggregate per
+    (doc, w1h, w2h) so downstream moves distinct doc-bigrams, not
+    instances, and BOTH dictionary lookups become unordered-frame
+    windows over one w1h exchange — partitioning by w1h alone satisfies
+    the (w1h, w2h) window's clustering, so c2 and c1 share the exchange
+    and the two dictionary joins disappear. V is a row_number()==1 tag
+    summed over the same sort (no distinct aggregation); the scored
+    table is localCheckpointed (≤ distinct doc-bigrams rows) so the
+    V-scalar and the per-doc rollup don't re-derive the pipeline.
+    Per-instance nll sums become m·nll_e6 — identical exact integers,
+    since every instance of a (doc,w1,w2) group shares one nll_e6.
+    Float parity: each -ln-ratio term is rounded once to integer
+    MICRO-units (coarse ≫ the 1-ulp ln() divergence across
+    libm/fdlibm), summed exactly as BIGINT, and the mean is derived
+    from exact integers — the q_text_perplexity discipline."""
     d = load(spark, sf_dir, "documents")
-    bg = (
+    t = (
         d.withColumn("ws", _words(F.col("text")))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
+                    "concat("
                     "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),"
-                    " (a, b) -> named_struct('w1', a, 'w2', b))"
+                    " (a, b) -> named_struct('w1', a, 'w2', b)),"
+                    " array(named_struct('w1', element_at(ws, -1),"
+                    "                    'w2', CAST(NULL AS STRING))))"
                 )
             ).alias("b"),
         )
-        .select("doc_id", "b.w1", "b.w2")
+        .select(
+            "doc_id",
+            F.xxhash64("b.w1").alias("w1h"),
+            # xxhash64(NULL) would return the seed, not NULL — keep the
+            # pseudo-row marker nullable
+            F.when(F.col("b.w2").isNotNull(), F.xxhash64("b.w2")).alias("w2h"),
+        )
     )
-    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
-    lm2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    lm1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    lm2p = t.groupBy("w1h", "w2h").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = lm2p.groupBy("w1h").agg(F.sum("c2").alias("c1"))
     voc = lm1.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        bg.join(lm2, ["w1", "w2"])
-        .join(lm1.select(F.col("w").alias("w1"), "c1"), "w1")
+        t.filter(F.col("w2h").isNotNull())
+        .join(lm2p.filter(F.col("w2h").isNotNull()), ["w1h", "w2h"])
+        .join(lm1, "w1h")
         .crossJoin(F.broadcast(voc))
         .select(
             "doc_id",

@@ -1696,3 +1696,124 @@ class TestGeneralizedPrefixFilter:
         assert set(got) == set(expected)
         for pair, val in expected.items():
             assert got[pair] == val, (pair, got[pair], val)
+
+
+def test_perplexity_bigram_pseudo_row_token_accounting(spark, tmp_path):
+    """r14 rework pin: q_text_perplexity_bigram derives unigram counts
+    and vocabulary from the bigram pass via a (last-token, NULL)
+    pseudo-row instead of a separate token explode. Brute-force parity
+    on a corpus planted with exactly the edge shapes that accounting
+    must get right: an empty text (one '' token, no bigram), a
+    single-word doc (token, no bigram), a doc whose last word also
+    appears mid-doc, and repeated bigrams inside one doc."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oke_cassandra_spark_locality_demo_spark.registry import get
+
+    texts = [
+        "the cat sat on the mat the cat sat",   # repeated bigrams; 'sat' last + mid-doc
+        "hello",                                 # single word: token only
+        "",                                      # empty: one '' token
+        "the the the",                           # degenerate repetition
+        "cat mat",                               # 2 words, 1 bigram
+    ]
+    n = len(texts)
+    sf = str(tmp_path / "ppx")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(n)),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [len(t) for t in texts],
+        }),
+        os.path.join(sf, "documents.parquet"),
+    )
+
+    # brute force per the oracle definition (tokens = split on ' ')
+    toks = {i: t.strip().lower().split(" ") for i, t in enumerate(texts)}
+    lm1: dict[str, int] = {}
+    lm2: dict[tuple, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            lm1[w] = lm1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            lm2[(a, b)] = lm2.get((a, b), 0) + 1
+    v = len(lm1)
+    expected = {}
+    for i, ws in toks.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        s = sum(
+            int(round(-(math.log((lm2[bg] + 1.0) / (lm1[bg[0]] + v))
+                        / math.log(2.0)) * 1e6))
+            for bg in bgs
+        )
+        expected[i] = (len(bgs), s / 1e6 / len(bgs))
+
+    rows = get("q_text_perplexity_bigram").fn(spark, sf).collect()
+    got = {r["doc_id"]: (r["n_bigrams"], r["cross_entropy2"]) for r in rows}
+    assert set(got) == set(expected), (sorted(got), sorted(expected))
+    for i in expected:
+        assert got[i][0] == expected[i][0], (i, got[i], expected[i])
+        assert got[i][1] == pytest.approx(expected[i][1], abs=1e-9), (
+            i, got[i], expected[i],
+        )
+
+
+def test_lsh_rework_parity_vs_reference_formulation(spark, sf_dir):
+    """r14 optimization parity pin (the simhash-parity pattern):
+    q_sim_lsh is rows-only, so its Arrow-batch rework (NumPy
+    dimension-sequential folds for buckets and cosines, pandas probe
+    join, per-batch local top-k) is pinned in CI against the pre-r14
+    all-JVM formulation — interpreted zip_with/aggregate folds, a
+    broadcast bucket join, and the full pair stream through the window.
+    Exact row-set equality including the rounded cosine doubles."""
+    from pyspark.sql import Window as W
+
+    from oke_cassandra_spark_locality_demo_spark.llm.similarity import (
+        N_PLANES,
+        TOP_K,
+        _bucket_of,
+        _dot,
+        _queries_and_candidates,
+    )
+
+    q, c = _queries_and_candidates(spark, sf_dir)
+    probe_offsets = F.array(F.lit(0), *[F.lit(1 << i) for i in range(N_PLANES)])
+    qb = (
+        q.withColumn("home_bucket", _bucket_of(F.col("qv")))
+        .withColumn("probe", F.explode(probe_offsets))
+        .withColumn("bucket", F.col("home_bucket").bitwiseXOR(F.col("probe")))
+        .drop("home_bucket", "probe")
+    )
+    cb = c.withColumn("bucket", _bucket_of(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    ref = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )
+    ref_rows = sorted(tuple(r) for r in ref.collect())
+    got_rows = sorted(
+        tuple(r) for r in get("q_sim_lsh").fn(spark, sf_dir).collect()
+    )
+    assert got_rows, "LSH returned nothing"
+    assert got_rows == ref_rows, (
+        f"missing={sorted(set(ref_rows) - set(got_rows))[:5]} "
+        f"extra={sorted(set(got_rows) - set(ref_rows))[:5]}"
+    )
