@@ -245,25 +245,117 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: sign-projection LSH with multi-probe — each
     query scores its own bucket and all hamming-1 neighbor buckets
     (the standard recall/cost lever). Deterministic (fixed-seed planes);
-    recall vs exact asserted in tests, not oracle-checkable."""
-    q, c = _queries_and_candidates(spark, sf_dir)
-    probe_offsets = F.array(F.lit(0), *[F.lit(1 << i) for i in range(N_PLANES)])
-    qb = (
-        q.withColumn("home_bucket", _bucket_of(F.col("qv")))
-        .withColumn("probe", F.explode(probe_offsets))
-        .withColumn("bucket", F.col("home_bucket").bitwiseXOR(F.col("probe")))
-        .drop("home_bucket", "probe")
+    recall vs exact asserted in tests, not oracle-checkable.
+
+    Physical shape (r14 optimization round, the q_sim_knn_blas path):
+    the former all-JVM formulation evaluated N_PLANES interpreted
+    zip_with/aggregate folds per CANDIDATE for bucketing plus one more
+    per surviving pair for the cosine — the guide's §4 UDF-boundary
+    case in reverse (interpreted expression trees where a vectorized
+    batch kernel belongs). Candidates now stream through mapInPandas:
+    per Arrow batch, bucket bits and cosines are computed by NumPy
+    loops over the dimension axis — DIMENSION-SEQUENTIAL accumulation,
+    the _fold_cosine discipline, so every dot, norm and sign is
+    bit-identical to the JVM left-fold — probe matching is one pandas
+    hash-join against the broadcast query probe table, and each batch
+    emits only its local top-k per query under the exact final order
+    (cosine desc, cand_id asc), so the JVM window ranks
+    |batches|·nq·k rows instead of every bucket-collision pair.
+    Driver memory stays O(MAX_PROBES) (the knn_blas hard cap)."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cb = c.withColumn("bucket", _bucket_of(F.col("cv")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cosine"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+    q_pdf = (
+        emb.filter(F.col("vec_id") % 100 == 0).limit(MAX_PROBES + 1).toPandas()
+    )
+    if len(q_pdf) > MAX_PROBES:
+        raise ValueError(
+            f"probe set exceeds MAX_PROBES={MAX_PROBES}; use the "
+            "distributed q_sim_knn_exact path or chunk the probes"
+        )
+    q_ids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(q_pdf["v"].to_numpy())
+    planes = np.asarray(_projection_planes())  # (N_PLANES, dim)
+
+    def _fold_buckets(M):
+        """Sign-projection bucket per row of M with dimension-sequential
+        fold per plane — bit-identical to the JVM zip_with/aggregate."""
+        dim = M.shape[1]
+        b = np.zeros(len(M), dtype=np.int64)
+        for i in range(len(planes)):
+            acc = np.zeros(len(M))
+            for t in range(dim):
+                acc += M[:, t] * planes[i, t]
+            b |= (acc > 0).astype(np.int64) << i
+        return b
+
+    def _fold_sq(M):
+        """Dimension-sequential Σx², per row."""
+        s = np.zeros(len(M))
+        for t in range(M.shape[1]):
+            s += M[:, t] * M[:, t]
+        return s
+
+    qn2 = _fold_sq(Q)
+    home = _fold_buckets(Q)
+    # multi-probe table: home bucket and every hamming-1 neighbor
+    offs = np.array([0] + [1 << i for i in range(N_PLANES)], dtype=np.int64)
+    probe_b = (home[:, None] ^ offs[None, :]).ravel()
+    probe_qi = np.repeat(np.arange(len(q_ids)), len(offs))
+    bq = spark.sparkContext.broadcast((q_ids, Q, qn2, probe_b, probe_qi))
+    k = TOP_K
+
+    def score_batches(it):
+        q_ids, Q, qn2, probe_b, probe_qi = bq.value
+        probes = pd.DataFrame({"b": probe_b, "qi": probe_qi})
+        for pdf in it:
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.vstack(pdf["v"].to_numpy())
+            cb = _fold_buckets(C)
+            cn2 = _fold_sq(C)
+            pairs = pd.DataFrame(
+                {"ci": np.arange(len(cids)), "b": cb}
+            ).merge(probes, on="b")
+            ci = pairs["ci"].to_numpy()
+            qi = pairs["qi"].to_numpy()
+            keep = cids[ci] != q_ids[qi]
+            ci, qi = ci[keep], qi[keep]
+            if not len(ci):
+                continue
+            Cp, Qp = C[ci], Q[qi]
+            dot = np.zeros(len(ci))
+            for t in range(Cp.shape[1]):
+                dot += Cp[:, t] * Qp[:, t]
+            cos = dot / (np.sqrt(qn2[qi]) * np.sqrt(cn2[ci]))
+            out_q, out_c, out_s = [], [], []
+            order = np.lexsort((cids[ci], -cos, qi))  # qi, then final order
+            qi_s, ci_s, cos_s = qi[order], ci[order], cos[order]
+            starts = np.flatnonzero(
+                np.r_[True, qi_s[1:] != qi_s[:-1]]
+            )
+            ends = np.r_[starts[1:], len(qi_s)]
+            for s, e in zip(starts, ends):
+                sel = slice(s, min(s + k, e))
+                out_q.append(np.full(sel.stop - s, q_ids[qi_s[s]]))
+                out_c.append(cids[ci_s[sel]])
+                out_s.append(cos_s[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    partial = emb.mapInPandas(
+        score_batches, "query_id long, cand_id long, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
     )
