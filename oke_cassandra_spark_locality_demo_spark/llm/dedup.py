@@ -907,6 +907,73 @@ SIMHASH_BUCKET_CAP = 100_000
 SIMHASH_HAMMING_MAX = 6
 
 
+def _simhash_fold_batches(it):
+    """mapInPandas kernel: fold per-doc SimHash bit counts over
+    CONTIGUOUS doc runs of (doc_id, h) batches and emit finished
+    (doc_id, simhash) rows — the NumPy replacement for the former
+    33-column doc-keyed JVM aggregation (see q_dedup_simhash). A doc
+    split across Arrow batch boundaries is merged via the carry; a doc
+    reappearing NON-adjacently (meaning upstream re-shuffled word rows
+    — the contiguity invariant this kernel requires) raises instead of
+    silently emitting duplicate fingerprints. Integer-exact: counts are
+    int64, the majority test is 2·set_count > n_words, and the bit
+    packing goes through uint64 so bit 63 lands as the two's-complement
+    sign, identical to the JVM's -(1<<63) literal."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def finish(docs, cnt, nw):
+        bits = (cnt * 2 > nw[:, None]).astype(np.uint64)
+        packed = (bits << shifts[None, :]).sum(axis=1).view(np.int64)
+        return pd.DataFrame({"doc_id": docs, "simhash": packed})
+
+    carry = None  # (doc_id, cnt (64,), nw) of the partition's open run
+    seen = set()
+    for pdf in it:
+        if not len(pdf):
+            continue
+        doc = pdf["doc_id"].to_numpy()
+        h = pdf["h"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        rdocs = doc[starts]
+        cnt = np.empty((len(starts), 64), dtype=np.int64)
+        for i in range(64):
+            cnt[:, i] = np.add.reduceat((h >> i) & 1, starts)
+        nw = np.diff(np.r_[starts, len(doc)]).astype(np.int64)
+        if carry is not None:
+            if rdocs[0] == carry[0]:
+                cnt[0] += carry[1]
+                nw[0] += carry[2]
+            else:
+                yield finish(
+                    np.array([carry[0]]), carry[1][None, :],
+                    np.array([carry[2]]),
+                )
+                seen.add(carry[0])
+        carry = (rdocs[-1], cnt[-1].copy(), nw[-1])
+        done_docs, done_cnt, done_nw = rdocs[:-1], cnt[:-1], nw[:-1]
+        if len(done_docs):
+            for x in done_docs.tolist():
+                if x in seen:
+                    raise RuntimeError(
+                        "simhash fingerprint kernel saw a non-contiguous "
+                        "doc run — upstream must not re-shuffle word rows"
+                    )
+                seen.add(x)
+            yield finish(done_docs, done_cnt, done_nw)
+    if carry is not None:
+        if carry[0] in seen:
+            raise RuntimeError(
+                "simhash fingerprint kernel saw a non-contiguous "
+                "doc run — upstream must not re-shuffle word rows"
+            )
+        yield finish(
+            np.array([carry[0]]), carry[1][None, :], np.array([carry[2]])
+        )
+
+
 @register("q_dedup_simhash")  # rows-only: banded Hamming search, recall < 1
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: SIMHASH_BITS-bit fingerprint (sign of
@@ -930,59 +997,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     under each) — only the map-side exchange was reused, so the
     post-shuffle sum-merge + band Generate ran 4×. Candidates are now
     generated by ONE aggregation: group bands by (band, bucket),
-    collect the (doc_id, simhash) members, drop buckets past the
-    occupancy cap (the same guard, now a size() filter on the
-    collected array — bounded at SIMHASH_BUCKET_CAP structs ≈ 1.6 MB,
-    never corpus-sized), and emit the within-bucket ordered pairs with
-    array higher-order functions. One pipeline, zero self-joins; the
-    plan went 4 scans → 1 scan, 6 exchanges → 3 (measured 2.18 s →
-    1.16 s at sf0.1, byte-identical output).
+    collect the (doc_id, simhash) members — with the occupancy guard
+    applied BEFORE the collect as a window count over the same
+    (band, bucket) exchange (r14, ADVICE r13: the former size() filter
+    ran after the collect_list buffer had already materialized a
+    saturated bucket's full membership; the window pre-filter keeps
+    aggregation state truly bounded at SIMHASH_BUCKET_CAP structs ≈
+    1.6 MB, and WindowExec itself spills gracefully) — and emit the
+    within-bucket ordered pairs with array higher-order functions. One
+    pipeline, zero self-joins; pairs are slimmed to
+    (doc_a, doc_b, hamming) and the d ≤ SIMHASH_HAMMING_MAX filter
+    runs BEFORE the multi-band dedup (r14), so the distinct exchange
+    moves the ~4% of candidate pairs that pass, not every bucket
+    collision.
 
-    The per-bit sums are SWAR-packed (guide §2.3 "narrower types",
-    applied to aggregation state): accumulator i sums
-    (hash >>> i) & (1 | 1<<32), accumulating bit i in the low 32-bit
-    field and bit i+32 in the high field of one long — 32 plain sums
-    instead of 64 conditional (when/otherwise) sums, halving the
-    aggregate state and removing the branch per word per bit. A field
-    overflows only at 2^32 words in ONE document (a 20+ GB row —
-    past Spark's 2 GiB row limit, so unreachable). The sign test
-    sum(±1) > 0 is equivalently 2·(count of set bits) > n_words,
-    computed from the unpacked fields."""
+    The per-bit accumulation is a NumPy batch kernel (r14 optimization
+    round, guide §4.2 "hand whole batches to vectorized native code"):
+    words explode and xxhash64 stay in the JVM (string semantics and
+    hashes bit-identical by construction), then mapInPandas folds each
+    doc's 64 bit-counts with vectorized reduceat passes and emits the
+    FINISHED fingerprint — no doc-keyed exchange, no 33-column
+    aggregation buffer, no separate fingerprint projection. That is
+    exact because a doc's word rows are CONTIGUOUS IN ONE PARTITION:
+    _spread round-robins whole documents and explode/select are narrow
+    (order-preserving), with no exchange before the map — the same
+    invariant heavy_hitters' shard logic builds on; the stage barrier
+    moved AFTER the (corpus-count-sized) fingerprint table, where it
+    barriers 34× fewer rows anyway. The kernel still merges runs
+    across Arrow BATCH boundaries within the partition, and raises on
+    any non-contiguous doc run (defensive, also pinned by a CI test
+    feeding it a split batch stream). The sign test sum(±1) > 0 is
+    equivalently 2·(count of set bits) > n_words — integer-exact end
+    to end, pinned by the CI parity test vs the pre-r13 formulation.
+    The r13 SWAR-packed 32-sum JVM aggregation this replaces measured
+    0.82 s isolated vs 0.49 s for the kernel at sf0.1 (the codegen'd
+    per-word buffer updates plus the doc exchange were the fingerprint
+    pipeline's floor, not the explode or the hash)."""
     d = load(spark, sf_dir, "documents")
-    words = _stage_barrier(
-        _spread(d).select(
-            "doc_id",
-            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
-        )
-    )
-    h = F.xxhash64("w")
-    # SWAR bit sums: acc_i = Σ_words (h >>> i) & (1 | 1<<32) packs the
-    # counts of set bit i (low field) and bit i+32 (high field)
-    _MASK = (1 << 32) | 1
-    accs = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("nw"),
-        *[
-            F.sum(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(_MASK))
-            ).alias(f"a{i}")
-            for i in range(32)
-        ],
-    )
+    wh = _spread(d).select(
+        "doc_id",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"),
+    ).select("doc_id", F.xxhash64("w").alias("h"))
 
-    def _bitval(i: int):
-        # set-bit count for fingerprint bit i from the packed fields
-        s = (
-            F.col(f"a{i}").bitwiseAND(F.lit(0xFFFFFFFF))
-            if i < 32
-            else F.shiftrightunsigned(F.col(f"a{i - 32}"), 32)
-        )
-        # majority sign: Σ(±1) > 0  ⇔  2·set_count > n_words
-        cond = (s * 2) > F.col("nw")
-        val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
-        return F.when(cond, val).otherwise(F.lit(0).cast("long"))
-
-    fp = accs.select(
-        "doc_id", sum(_bitval(i) for i in range(64)).alias("simhash")
+    fp = _stage_barrier(
+        wh.mapInPandas(_simhash_fold_batches, "doc_id long, simhash long")
     )
     band_mask = (1 << SIMHASH_BAND_WIDTH) - 1
     bands = fp.select(
@@ -1005,19 +1063,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
     bands = _stage_barrier(bands)
-    # ONE aggregation replaces the self-join: collect each band-bucket's
-    # members, apply the fan-out guard as a size filter (a bucket above
-    # the occupancy cap would emit ~occ²/2 pairs; drop it — degenerate
-    # boilerplate or a saturated band, the scale table above says when
-    # to re-band), and emit within-bucket ordered pairs. array_sort
+    # ONE aggregation replaces the self-join: the fan-out guard runs as
+    # an unordered-frame window COUNT over the same (band, bucket)
+    # exchange BEFORE the collect (a bucket above the occupancy cap
+    # would emit ~occ²/2 pairs AND build an occupancy-sized aggregation
+    # buffer; drop its rows first — degenerate boilerplate or a
+    # saturated band, the scale table above says when to re-band — so
+    # collect_list state is genuinely bounded at SIMHASH_BUCKET_CAP
+    # structs and the window itself spills gracefully). The groupBy
+    # reuses the window's partitioning: one exchange total. array_sort
     # makes the emitted (doc_a, doc_b) orientation deterministic
     # (doc_a < doc_b by struct order, as the old x.doc_id < y.doc_id
     # filter guaranteed).
+    occ = F.count(F.lit(1)).over(W.partitionBy("band", "bucket"))
     members = (
-        bands.groupBy("band", "bucket")
+        bands.withColumn("occ", occ)
+        .filter((F.col("occ") >= 2) & (F.col("occ") <= SIMHASH_BUCKET_CAP))
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
-        .filter((F.size("m") >= 2) & (F.size("m") <= SIMHASH_BUCKET_CAP))
     )
+    # emit (doc_a, doc_b, hamming) directly and filter the Hamming tier
+    # BEFORE the multi-band dedup: the distinct exchange then moves only
+    # the pairs that survive the tier (~4% at sf0.1), three narrow
+    # columns instead of pair+both fingerprints.
     pairs = (
         members.select(
             F.explode(
@@ -1041,14 +1109,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .select("p.*")
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
     )
-    return (
-        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return pairs.select("doc_a", "doc_b", "hamming")
 
 
 @register(

@@ -1817,3 +1817,61 @@ def test_lsh_rework_parity_vs_reference_formulation(spark, sf_dir):
         f"missing={sorted(set(ref_rows) - set(got_rows))[:5]} "
         f"extra={sorted(set(got_rows) - set(ref_rows))[:5]}"
     )
+
+
+def test_simhash_fold_kernel_batch_boundaries():
+    """r14 kernel pin: _simhash_fold_batches merges a doc split across
+    Arrow batch boundaries into one exact fingerprint (same result as
+    the unsplit stream), and raises on a NON-contiguous doc run instead
+    of silently emitting duplicate fingerprints. Pure-Python brute
+    force: per doc, bit i of the fingerprint is set iff
+    2*count(set bit i over word hashes) > n_words."""
+    import numpy as np
+    import pandas as pd
+
+    from oke_cassandra_spark_locality_demo_spark.llm.dedup import (
+        _simhash_fold_batches,
+    )
+
+    rng = np.random.RandomState(7)
+    doc = np.repeat(np.array([10, 11, 12], dtype=np.int64), [5, 9, 2])
+    h = rng.randint(-(2**63), 2**63 - 1, size=len(doc)).astype(np.int64)
+
+    def brute(doc, h):
+        out = {}
+        for d in np.unique(doc):
+            hs = h[doc == d]
+            v = 0
+            for i in range(64):
+                c = int(((hs >> i) & 1).sum())
+                if 2 * c > len(hs):
+                    v |= 1 << i
+            out[int(d)] = v - (1 << 64) if v >= (1 << 63) else v
+        return out
+
+    expected = brute(doc, h)
+
+    def run(splits):
+        batches = [
+            pd.DataFrame({"doc_id": doc[a:b], "h": h[a:b]})
+            for a, b in zip([0] + splits, splits + [len(doc)])
+        ]
+        got = pd.concat(list(_simhash_fold_batches(iter(batches))))
+        return dict(zip(got["doc_id"].astype(int), got["simhash"].astype(int)))
+
+    # unsplit, split inside doc 11, split at a doc edge, every-3-rows
+    assert run([]) == expected
+    assert run([8]) == expected
+    assert run([5]) == expected
+    assert run([3, 6, 9, 12]) == expected
+
+    # non-contiguous doc run (10 reappears after 11) must raise
+    bad = pd.DataFrame({"doc_id": np.array([10, 10, 11, 10], dtype=np.int64),
+                        "h": h[:4]})
+    with pytest.raises(RuntimeError, match="non-contiguous"):
+        list(_simhash_fold_batches(iter([bad])))
+    # ... also when the repeat crosses a batch boundary
+    b1 = pd.DataFrame({"doc_id": np.array([10, 11], dtype=np.int64), "h": h[:2]})
+    b2 = pd.DataFrame({"doc_id": np.array([10], dtype=np.int64), "h": h[2:3]})
+    with pytest.raises(RuntimeError, match="non-contiguous"):
+        list(_simhash_fold_batches(iter([b1, b2])))
