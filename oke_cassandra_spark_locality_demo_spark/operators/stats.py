@@ -178,7 +178,9 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = grp.crossJoin(F.broadcast(tie)).collect()
     moments = {r["g"]: (r["n"], r["r2"]) for r in rows}
-    tcorr = rows[0]["tc"]
+    # empty input leaves the crossJoin with zero rows (ADVICE r13): the
+    # old standalone 1-row aggregate always returned a (null) tc row
+    tcorr = rows[0]["tc"] if rows else 0
     nn = float(sum(n for n, _ in moments.values()))
     sum_term = None
     for gname in ["1", "2", "3", "4", "5"]:
